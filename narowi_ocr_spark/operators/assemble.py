@@ -1,0 +1,53 @@
+"""Main-text assembly from classified blocks (SURVEY.md §2 T3-T5).
+
+The reference joins OCR tokens into a stripped text string and averages
+token confidences (src/processing/ocr_engine.py:51-95). Here: join the
+kept content blocks with newlines and average block scores — both as pure
+higher-order array expressions (no explode, no shuffle, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def content_blocks(scored_blocks: Column | str) -> Column:
+    return F.filter(_col(scored_blocks), lambda b: b["is_content"])
+
+
+def main_text(scored_blocks: Column | str) -> Column:
+    """T3: newline-joined text of content blocks, stripped like the
+    reference's ``text.strip()`` (ocr_engine.py:67)."""
+    joined = F.array_join(
+        F.transform(content_blocks(scored_blocks), lambda b: b["text"]), "\n"
+    )
+    return F.regexp_replace(joined, r"^\s+|\s+$", "")
+
+
+def mean_content_score(scored_blocks: Column | str) -> Column:
+    """T4: mean score over non-empty blocks; no blocks → 0.0
+    (reference get_confidence filters empty/-1 tokens, errors → 0.0,
+    ocr_engine.py:84-95)."""
+    nonempty = F.filter(
+        _col(scored_blocks), lambda b: F.length(b["text"]) > 0
+    )
+    total = F.aggregate(
+        nonempty, F.lit(0.0), lambda acc, b: acc + b["score"]
+    )
+    n = F.size(nonempty)
+    return F.when(n > 0, F.round(total / n.cast("double"), 4)).otherwise(F.lit(0.0))
+
+
+def text_with_confidence(scored_blocks: Column | str) -> Column:
+    """T5: (extracted_text, confidence) struct — computed in one pass,
+    unlike the reference's double OCR invocation (ocr_engine.py:107-111)."""
+    b = _col(scored_blocks)
+    return F.struct(
+        main_text(b).alias("extracted_text"),
+        mean_content_score(b).alias("confidence"),
+    )

@@ -1,0 +1,130 @@
+"""Deterministic synthetic Common-Crawl-style pages corpus (SURVEY.md §2
+S8; FIXTURES.md §1).
+
+The reference ships deterministic labeled fixture generators with the
+expected value embedded in the artifact itself (generate_synthetic_readings
+.py:6-49, src/utils/generate_synth_scale.py:18-60 — value in the
+filename). Same pattern here: every generated page carries its expected
+extracted main text in the ``text`` oracle column, and golden strings from
+the reference's passing tests are embedded verbatim in content blocks.
+
+Generation is fully distributed (mapInPandas over spark.range) and
+deterministic per row id — no driver-side loops, no external data, any
+scale. Hosts are Zipf-skewed (~20% of pages on three hot hosts) so the
+salted-partitioning path is exercised honestly.
+"""
+
+from __future__ import annotations
+
+import html as _html
+from datetime import datetime, timedelta
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from narowi_ocr_spark.schema import PAGES_SCHEMA
+
+# Golden strings from the reference's passing tests
+# (tests/test_pattern_matcher.py:9-185) — one per page, cycled.
+GOLDEN_SNIPPETS = [
+    "98.6F", "37.0°C", "TEMP: 98.6F", "T: 98.6F", "105F", "34C",
+    "150.5 lbs", "68.2 kg", "WT: 150.5 lbs", "W: 150.5 lbs", "450 lbs", "15 kg",
+    "120/80 mmHg", "BP: 120/80", "SYS: 120 DIA: 80", "S: 120 D: 80",
+    "85/60 mmHg", "150/95 mmHg",
+    "SpO2: 98%", "O2: 98%", "65%", "101%",
+    "72 BPM", "HR: 72", "PULSE: 72", "P: 72", "35 BPM", "205 BPM",
+    "120 mg/dL", "6.7 mmol/L", "BG: 120 mg/dL", "GLU: 120 mg/dL",
+    "45 mg/dL", "2.5 mmol/L",
+    "16 RR", "RR: 16", "RESP: 16", "R: 16", "6 RR", "45 RR",
+    "7/10", "PAIN: 7/10", "P: 7/10", "7 out of 10", "11/10",
+    "170 cm", "5'10\"", "H: 170 cm", "HT: 170 cm", "25 cm", "260 cm",
+]
+
+# Multi-reading documents (test_pattern_matcher.py:215-263), embedded as
+# single content blocks. Leading/trailing whitespace is stripped at block
+# level by construction (block text is always stripped).
+GOLDEN_DOCS = [
+    "Temperature: 98.6F\n    Blood Pressure: 120/80 mmHg\n    Oxygen: 98%\n"
+    "    Heart Rate: 72 BPM\n    Weight: 150.5 lbs\n    Height: 5'10\"\n"
+    "    Blood Glucose: 120 mg/dL\n    Respiratory Rate: 16 RR\n"
+    "    Pain Scale: 7/10",
+    "Temperature: 105F\n    Blood Pressure: 150/95 mmHg\n    Oxygen: 65%\n"
+    "    Heart Rate: 35 BPM\n    Weight: 450 lbs\n    Height: 25 cm\n"
+    "    Blood Glucose: 45 mg/dL\n    Respiratory Rate: 6 RR\n"
+    "    Pain Scale: 11/10",
+]
+
+_VOCAB = (
+    "the quick brown fox jumps over a lazy dog while data flows through "
+    "spark partitions and content blocks carry the main text of each page "
+    "readers want boilerplate stripped and values extracted with care"
+).split()
+
+_EPOCH = datetime(2024, 1, 1)
+_KNUTH = 2654435761  # multiplicative hash constant
+
+
+def _h(i: int, salt: int = 0) -> int:
+    return ((i + salt * 1_000_003) * _KNUTH) % (1 << 32)
+
+
+def _filler(i: int, k: int) -> str:
+    n_words = 8 + _h(i, 10 + k) % 40
+    return " ".join(
+        _VOCAB[_h(i, 100 + 57 * k + j) % len(_VOCAB)] for j in range(n_words)
+    )
+
+
+def build_page(i: int) -> tuple[str, datetime, bytes, str, str]:
+    """One deterministic page: (url, warc_ts, html, oracle_text, lang)."""
+    hv = _h(i)
+    host = (
+        f"hot{hv % 3}.example"
+        if hv % 100 < 20
+        else f"host{_h(i, 1) % 5000}.example"
+    )
+    url = f"https://{host}/page/{i}"
+    lang = ("de", "fr")[hv % 2] if hv % 100 >= 95 else "en"
+
+    content: list[str] = [_filler(i, k) for k in range(1 + _h(i, 2) % 3)]
+    if i % 7 == 0:
+        content.insert(
+            1 % (len(content) + 1), GOLDEN_SNIPPETS[(i // 7) % len(GOLDEN_SNIPPETS)]
+        )
+    if i % 53 == 0:
+        content.append(GOLDEN_DOCS[(i // 53) % len(GOLDEN_DOCS)])
+
+    nav = " ".join(
+        f'<a href="/s/{j}">{_VOCAB[_h(i, 200 + j) % len(_VOCAB)]}</a>'
+        for j in range(6)
+    )
+    footer = " ".join(f'<a href="/f/{j}">link{j}</a>' for j in range(5))
+    body = "\n".join(
+        f"<{'p' if _h(i, 300 + k) % 3 else 'div'}>{_html.escape(c)}</"
+        f"{'p' if _h(i, 300 + k) % 3 else 'div'}>"
+        for k, c in enumerate(content)
+    )
+    page = (
+        f"<html><head><title>Page {i}</title>"
+        f"<style>body {{ margin:0 }}</style>"
+        f"<script>var x = {i}; if (x > 1) {{ x += 1 }}</script></head>"
+        f"<body><!-- generated fixture {i} --><nav>{nav}</nav>\n"
+        f"{body}\n<footer>{footer}</footer></body></html>"
+    )
+    oracle = "\n".join(content)
+    return url, _EPOCH + timedelta(seconds=i), page.encode("utf-8"), oracle, lang
+
+
+def synth_pages(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic pages table of ``n_rows`` rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [build_page(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    rng = spark.range(n_rows, numPartitions=partitions)
+    return rng.mapInPandas(gen, PAGES_SCHEMA)
