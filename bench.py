@@ -1,0 +1,131 @@
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "extraction_docs_per_sec": ...}.
+
+The flagship extraction measurement uses a synthesized deterministic
+pages corpus (FIXTURES.md §1 — no external data) sized by
+``$SPARK_GRAFT_BENCH_PAGES`` (default 20000), run through the full
+tokenize → score → strip → span-extract pipeline to a noop sink (full
+materialization, no driver collect).
+
+Scaling-efficiency evidence (north_rule N vs 4N executors, sandbox proxy
+local[8] vs local[32]) is produced by tools/bench_scaling.py and recorded
+in BENCH.md — not here, to keep the driver's per-round bench single-config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def materialize(df) -> None:
+    """Force full evaluation without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from narowi_ocr_spark.config import get_spark
+    from narowi_ocr_spark.plans.pipeline import extract_pages
+    from narowi_ocr_spark.sources.pages import synth_pages
+    from narowi_ocr_spark.sources.tables import load_table
+    from narowi_ocr_spark.operators.dedup import (
+        exact_dedup,
+        lsh_candidate_pairs,
+        simhash_near_pairs,
+    )
+    from narowi_ocr_spark.operators.similarity import brute_force_topk, bucketed_topk
+    from narowi_ocr_spark.functions.readings import extract_readings
+    from narowi_ocr_spark.functions.textstats import quality_score, lang_id
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    spark = get_spark(
+        app_name="narowi-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # -- flagship: full html extraction pipeline over synthetic pages ------
+    pages = synth_pages(spark, n_pages, partitions=cpus * 2)
+    # warm-up (JIT + Python worker pool), small slice
+    materialize(extract_pages(synth_pages(spark, 2000, partitions=cpus)))
+    bench("extract_pipeline", lambda: materialize(extract_pages(pages)))
+    extraction_docs_per_sec = round(n_pages / timings["extract_pipeline"], 1)
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", entrymod._aug_expr().alias("aug"))
+
+    bench(
+        "readings_kernel",
+        lambda: materialize(
+            aug.select("doc_id", F.explode(extract_readings("aug")).alias("r"))
+        ),
+    )
+    bench(
+        "text_quality",
+        lambda: materialize(
+            docs.select(
+                "doc_id", quality_score("text").alias("q"), lang_id("text").alias("l")
+            )
+        ),
+    )
+
+    corpus = entrymod._dup_corpus(docs)
+    bench("exact_dedup", lambda: materialize(exact_dedup(corpus)))
+    bench("minhash_lsh_pairs", lambda: materialize(lsh_candidate_pairs(corpus)))
+    bench("simhash_pairs", lambda: materialize(simhash_near_pairs(corpus)))
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    qv = vecs.where(F.col("vec_id") < 16)
+    bench("ann_brute_topk", lambda: materialize(brute_force_topk(vecs, qv, k=10)))
+    bench("ann_bucketed_topk", lambda: materialize(bucketed_topk(vecs, qv, k=10)))
+
+    qs = entrymod.queries()
+    bench("tpch_q1", lambda: materialize(qs["tpch_q1"](spark, sf_dir)))
+    bench("events_hourly", lambda: materialize(qs["events_hourly"](spark, sf_dir)))
+    bench(
+        "events_sessions", lambda: materialize(qs["events_sessions"](spark, sf_dir))
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock total (extraction pipeline + "
+                "kernels + dedup + ANN + analytics)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "bench_pages": n_pages,
+                "cpus": cpus,
+                "extraction_docs_per_sec": extraction_docs_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -23,11 +23,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+import re as _re
+
 from narowi_ocr_spark.schema import NUMBERS_SCHEMA
 from narowi_ocr_spark.functions.patterns import (
     NUMBER_UNIT_RANGES,
     compiled_number_patterns,
 )
+
+_HAS_DIGIT = _re.compile(r"\d").search
 
 # Category iteration order == dict insertion order in the pattern table,
 # matching the reference's dict iteration (number_extractor.py:90).
@@ -38,6 +42,10 @@ def extract_numbers_py(text: str, confidence: float) -> list[dict]:
     if text is None:
         return []
     normalized = text.replace("\r\n", "\n").replace("\r", "\n")
+    # Every numeric pattern requires digits; digit-free documents (most
+    # web text) short-circuit — semantics-preserving fast path.
+    if not _HAS_DIGIT(normalized):
+        return []
     spans: list[dict] = []
     for category, patterns in compiled_number_patterns().items():
         for pattern in patterns:

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
-from narowi_ocr_spark.schema import BLOCKS_SCHEMA
+from narowi_ocr_spark.schema import BLOCKS_SCHEMA, SCORED_BLOCKS_SCHEMA
 
 # ---------------------------------------------------------------- tokenizer
 
@@ -95,6 +95,45 @@ def tokenize_html(html_col: Column | str) -> Column:
     """array<struct<block_idx,tag,text,text_len,link_len,word_count>>."""
     col = F.col(html_col) if isinstance(html_col, str) else html_col
     return _tokenize_udf(col)
+
+
+def _score_block_py(b: dict) -> dict:
+    """Python mirror of block_score_expr/is_content_expr — same IEEE
+    arithmetic, HALF_UP rounding to match Spark's F.round."""
+    import math
+
+    ld = float(b["link_len"]) / max(float(b["text_len"]), 1.0)
+    raw = 0.7 * (1.0 - ld) + 0.3 * min(float(b["text_len"]) / LENGTH_SATURATION, 1.0)
+    score = 100.0 * min(max(raw, 0.0), 1.0)
+    b["score"] = math.floor(score * 10000.0 + 0.5) / 10000.0
+    b["is_content"] = (
+        ld < MAX_LINK_DENSITY
+        and b["text_len"] >= MIN_TEXT_LEN
+        and b["tag"] in CONTENT_TAGS
+    )
+    return b
+
+
+def tokenize_and_score_py(payload: bytes | str | None) -> list[dict]:
+    return [_score_block_py(b) for b in tokenize_html_py(payload)]
+
+
+@pandas_udf(SCORED_BLOCKS_SCHEMA)
+def _tokenize_score_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for s in batches:
+        yield s.map(tokenize_and_score_py)
+
+
+def tokenize_scored(html_col: Column | str) -> Column:
+    """Fused tokenize + score in ONE Arrow stage (SURVEY.md §2 P9: one
+    Python hop per document). Identical output to
+    ``score_blocks(tokenize_html(c))``, but downstream consumers reference
+    the UDF's output attribute — cheap for Catalyst — instead of a
+    higher-order expression that CollapseProject would re-inline into
+    every one of the ~5 downstream references (measured ~3× pipeline
+    slowdown)."""
+    col = F.col(html_col) if isinstance(html_col, str) else html_col
+    return _tokenize_score_udf(col)
 
 
 # ------------------------------------------------------- scoring (native)

@@ -1,0 +1,330 @@
+"""Deduplication operators for large-scale corpus curation: exact
+(hash-groupBy), MinHash + LSH banding, SimHash, and n-gram Jaccard
+verification.
+
+All of these are pure Catalyst expression trees — no Python executes at
+runtime, every hash is derived from ``md5`` so the DuckDB oracles in
+``__spark_entry__.py`` can reproduce values bit-for-bit (production-scale
+users can switch the hash family to ``xxhash64`` for ~3× cheaper hashing;
+the dataflow shape is identical).
+
+Scale notes (the part that matters at 100 TB):
+  - exact dedup is one shuffle on a 32-byte digest — the payload column is
+    dropped before the shuffle and re-joined only if needed;
+  - MinHash signatures are computed per row with higher-order array
+    functions (narrow, no shuffle); only the tiny (doc_id, band_idx, band
+    hash) triples shuffle for the LSH bucket join — never text;
+  - candidate pairs come from an equi-join on (band_idx, band_hash), which
+    AQE splits if a degenerate bucket (all-identical docs) skews;
+  - Jaccard verification joins shingle ARRAYS only for candidate pairs —
+    a tiny fraction of the corpus — never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from narowi_ocr_spark.functions.textstats import fingerprint, words
+
+# MinHash geometry: NUM_PERM permutations folded into NUM_BANDS bands of
+# ROWS_PER_BAND rows (b·r = NUM_PERM). With b=8, r=2 the LSH S-curve has
+# its 50% capture threshold at (1/b)^(1/r) ≈ 0.35 Jaccard.
+NUM_PERM = 16
+ROWS_PER_BAND = 2
+NUM_BANDS = NUM_PERM // ROWS_PER_BAND
+
+SIMHASH_BITS = 16
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ------------------------------------------------------------- shingling
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (lowercased), the MinHash input set.
+    Empty/short docs yield a single shingle of the whole text so every
+    document has a non-empty set (stable signatures)."""
+    w = words(F.lower(_col(text)))
+    k = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.when(k >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.array_join(w, " "))
+    )
+
+
+# ----------------------------------------------------------- exact dedup
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the minimum-id representative of every exact-content group.
+    One shuffle on the 32-byte md5 digest; text never shuffles."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------- MinHash
+
+def minhash_signature(text: Column | str, num_perm: int = NUM_PERM) -> Column:
+    """array<string> of ``num_perm`` MinHash values: permutation *p* is the
+    lexicographic min of ``md5('<p>:' || shingle)`` over the shingle set.
+    Pure higher-order expressions — narrow, shuffle-free, oracle-exact.
+
+    NOTE: when chaining further operators over the signature, go through
+    ``with_minhash_bands`` — it inserts projection boundaries so Catalyst
+    does not re-inline this (expensive) expression once per downstream
+    reference (CollapseProject keeps multi-referenced non-cheap
+    projections separate)."""
+    sh = shingles(text)
+    return _signature_from_shingles(sh, num_perm)
+
+
+def _perm_hash(p: int):
+    # NB: a closure, NOT a default-arg lambda — ``lambda s, p=p`` would be
+    # seen by PySpark as a binary (element, index) lambda and p would be
+    # bound to the array index column.
+    prefix = f"{p}:"
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
+def _signature_from_shingles(sh: Column, num_perm: int = NUM_PERM) -> Column:
+    return F.array(
+        *[F.array_min(F.transform(sh, _perm_hash(p))) for p in range(num_perm)]
+    )
+
+
+def with_minhash_bands(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = NUM_PERM, rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows via the explode → hash → partial-agg
+    dataflow:
+
+        explode(shingles)                 narrow, 1→|shingles| rows
+        → md5 per permutation            16 codegen'd JVM hashes per row
+        → groupBy(id).agg(min ×16)       ONE shuffle; map-side combine
+                                          reduces to ≤1 row per doc per
+                                          input partition before it
+        → band digests + posexplode      narrow
+
+    This deliberately avoids the all-in-one higher-order-function
+    expression (array_min∘transform per permutation): HOF lambdas don't
+    participate in whole-stage codegen and Catalyst's CollapseProject
+    re-inlines the signature array into each of its 16 downstream
+    element_at references — measured >100× slower on sf0.01. The shuffle
+    here moves only (id, 16×32-hex) rows — never text."""
+    sh_rows = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col)).alias("s")
+    )
+    hashed = sh_rows.select(
+        "id",
+        *[
+            F.md5(F.concat(F.lit(f"{p}:"), F.col("s"))).alias(f"h{p}")
+            for p in range(num_perm)
+        ],
+    )
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{p}").alias(f"h{p}") for p in range(num_perm)]
+    )
+    num_bands = num_perm // rows_per_band
+    bands = sig.select(
+        "id",
+        F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                )
+                for b in range(num_bands)
+            ]
+        ).alias("bands"),
+    )
+    return bands.select("id", F.posexplode("bands").alias("band_idx", "band_hash"))
+
+
+def band_hashes(signature: Column | str, num_bands: int = NUM_BANDS,
+                rows_per_band: int = ROWS_PER_BAND) -> Column:
+    """Fold the signature into ``num_bands`` band digests
+    (md5 of the concatenated band rows)."""
+    sig = _col(signature)
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at(sig, b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct candidate near-duplicate pairs (id_a < id_b) that share at
+    least one MinHash band bucket.
+
+    Dataflow: per-row signatures (narrow) → explode to (id, band_idx,
+    band_hash) triples → self-equi-join on the band key. Only ~48 bytes
+    per (doc, band) cross the shuffle. A pathological bucket (the same
+    boilerplate on millions of urls) is exactly the skew AQE's skew-join
+    splitting handles; for known-degenerate corpora run exact_dedup first.
+    """
+    bands = with_minhash_bands(df, text_col, id_col)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs; keeps pairs ≥ threshold.
+    Shingle arrays are joined only to the candidate pairs (broadcast-sized
+    in practice), never all-pairs."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("sh", "sh_a"), pairs.id_a == sh.id)
+        .drop("id")
+        .join(
+            sh.select(F.col("id"), F.col("sh").alias("sh_b")),
+            F.col("id_b") == F.col("id"),
+        )
+        .drop("id")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """``bits``-bit SimHash over the distinct word set (long column).
+
+    Bit *b* of word *w* is the parity of the first hex digit of
+    ``md5(w || ':' || b)`` (digit ≥ '8' → 1). The per-document bit is the
+    sign of the ±1 vote sum — all computed with ``aggregate`` over the
+    words array: narrow, shuffle-free, and byte-reproducible in the
+    DuckDB oracle. Production fast path: swap md5 for xxhash64.
+
+    For hot paths use ``with_simhash`` — it stages the word-set projection
+    so the tokenize expression runs once per row, not once per bit.
+    """
+    w = F.array_distinct(words(F.lower(_col(text))))
+    return _simhash_from_words(w, bits)
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, h) with a projection boundary between word-set extraction and
+    the per-bit vote sums (the word split would otherwise be re-inlined
+    into each of the ``bits`` vote expressions)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(words(F.lower(F.col(text_col)))).alias("w"),
+    ).select("id", _simhash_from_words(F.col("w"), bits).alias("h"))
+
+
+def _simhash_from_words(w: Column, bits: int = SIMHASH_BITS) -> Column:
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(w, F.lit(0), _vote_fn(b))
+        out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def _vote_fn(b: int):
+    suffix = f":{b}"
+
+    def vote(acc: Column, t: Column) -> Column:
+        return acc + F.when(
+            F.substring(F.md5(F.concat(t, F.lit(suffix))), 1, 1).isin(*"89abcdef"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+
+    return vote
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two long hash columns (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance. Candidate generation
+    uses the two 8-bit halves as blocking keys (a pair within hamming ≤ 3
+    of a 16-bit hash must agree on at least one half — pigeonhole), so the
+    join is an equi-join on a small key, never a cross join."""
+    h = with_simhash(df, text_col, id_col)
+    halves = h.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("part"), (F.col("h") % 256).alias("key")),
+                F.struct(
+                    F.lit(1).alias("part"),
+                    F.floor(F.col("h") / 256).cast("long").alias("key"),
+                ),
+            )
+        ).alias("blk"),
+    ).select("id", "h", "blk.part", "blk.key")
+    a, b = halves.alias("a"), halves.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.h"), F.col("b.h")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

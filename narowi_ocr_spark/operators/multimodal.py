@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: image/audio/video payloads as opaque
+``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` stages.
+
+The decode step itself is a STUB (the sandbox has no image/audio codecs):
+``decode_stub`` derives deterministic fake features from the raw bytes.
+Everything around it — schema, batch shape, partition behavior, the
+Arrow-batched UDF signature — is real and tested; swapping in a real
+codec (PIL / torchaudio / pyav) changes only the function body.
+
+Scale notes: payload columns are fat, so
+  - metadata extraction keeps only (id, metadata) — payloads are dropped
+    before any shuffle;
+  - Arrow batch size must be bounded by bytes, not rows
+    (config.ARROW_BATCH_ROWS); a 10 MB image at 2048 rows/batch would be
+    a 20 GB batch — callers repartition by size first at real scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("byte_len", T.IntegerType(), False),
+        T.StructField("content_md5", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("decode_status", T.StringType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("byte_offset", T.IntegerType(), False),
+        T.StructField("sample_byte", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_stub(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic fake decode: (width, height, status). A real codec
+    (PIL.Image.open etc.) drops in here; nothing else changes."""
+    # NotImplementedError would be raised by a real-codec build without
+    # the codec installed; the stub keeps the pipeline runnable + testable.
+    n = len(payload)
+    return n % 640, (n * 7) % 480, "stub"
+
+
+def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dev helper: materialize a binary payload column from text (UTF-8).
+    In production the payload arrives as a real binary column."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def extract_media_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """binary payload → typed metadata row, one Arrow-batched stage.
+    Output carries no payload bytes — safe to shuffle/aggregate."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                w, h, status = decode_stub(b)
+                rows.append(
+                    (int(i), len(b), hashlib.md5(b).hexdigest(), w, h, status)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "byte_len", "content_md5",
+                    "width", "height", "decode_status",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, MEDIA_META_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    stride: int = 64,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: emit one row per
+    sampled byte offset (a real build decodes a frame per offset). 1→N
+    expansion happens inside the Arrow batch, not via explode of a
+    materialized array — the payload is read once and dropped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                offsets = range(0, len(b), stride)
+                for fi, off in enumerate(offsets):
+                    if fi >= max_frames:
+                        break
+                    rows.append((int(i), fi, off, b[off]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "byte_offset", "sample_byte"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (``array<float>``):
+brute-force cosine top-k as the exact baseline, and a sign-LSH
+(random-hyperplane) bucketed variant as the scale path.
+
+Everything is native Catalyst (zip_with / aggregate higher-order
+functions) so the arithmetic is reproducible in the DuckDB oracles and
+stays JVM-side. The hyperplanes are deterministic ±1 Rademacher vectors
+derived from md5 parity at module import, embedded as literal arrays —
+identical constants appear in the oracle SQL.
+
+Scale notes:
+  - brute-force is O(|Q|·N): correct usage broadcasts the small query set
+    against the big corpus (narrow after broadcast — no shuffle of the
+    corpus side);
+  - sign-LSH reduces the candidate set to one bucket (or a multi-probe
+    neighborhood); the bucket id is 8 native dot products per row, narrow;
+  - at 100 TB the bucketed table is written partitioned by ``bucket`` so
+    probes prune partitions at scan time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_PLANES = 8
+DIM = 64
+
+
+def _rademacher(plane: int, dim: int) -> list[int]:
+    """Deterministic ±1 weight vector for one hyperplane: the parity of
+    the first hex digit of md5('<plane>:<dim>')."""
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane}:{d}".encode()).hexdigest()
+        out.append(1 if h[0] in "89abcdef" else -1)
+    return out
+
+
+HYPERPLANES: list[list[int]] = [_rademacher(p, DIM) for p in range(NUM_PLANES)]
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate — sequential fold, so the float
+    result is bit-identical to the oracle's list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus.
+
+    ``queries`` (small — broadcast) × ``vectors`` (the 100 TB side) →
+    per-query ranking. The corpus side never shuffles: broadcast join +
+    window over query_id groups (each group is |corpus| rows, ranked with
+    partial top-k pushdown via the window's rank filter under AQE).
+    Cosine is rounded to 4 decimals before ranking, with id tie-break,
+    for cross-engine determinism.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def lsh_bucket(vec: Column | str) -> Column:
+    """Sign-LSH bucket id: bit *p* is 1 iff ⟨vec, hyperplane_p⟩ > 0."""
+    v = _col(vec)
+    out = F.lit(0)
+    for p, plane in enumerate(HYPERPLANES):
+        w = F.array(*[F.lit(float(x)) for x in plane])
+        out = out + F.when(dot(v, w) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return out
+
+
+def bucketed_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rank only candidates in the query's LSH bucket.
+    The corpus is bucketed once (narrow, 8 dot products/row); the join is
+    an equi-join on ``bucket`` — at scale a partition-pruned scan of the
+    pre-bucketed table instead of a full pass."""
+    from pyspark.sql.window import Window
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        lsh_bucket(vec_col).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket(vec_col).alias("bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(q), on="bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -44,6 +44,18 @@ BLOCK_STRUCT = T.StructType(
 )
 BLOCKS_SCHEMA = T.ArrayType(BLOCK_STRUCT)
 
+# Block struct enriched with the R3/R4 score + classification fields —
+# produced either natively (operators/blocks.score_blocks) or inside the
+# fused tokenizer Arrow batch (tokenize_scored), identical values.
+SCORED_BLOCK_STRUCT = T.StructType(
+    list(BLOCK_STRUCT.fields)
+    + [
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("is_content", T.BooleanType(), True),
+    ]
+)
+SCORED_BLOCKS_SCHEMA = T.ArrayType(SCORED_BLOCK_STRUCT)
+
 # ------------------------------------------------------------- reading span
 READING_STRUCT = T.StructType(
     [

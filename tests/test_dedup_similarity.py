@@ -1,0 +1,115 @@
+"""Dedup + similarity operator tests (SURVEY.md §2 training-data ops)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from narowi_ocr_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+)
+from narowi_ocr_spark.operators.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    lsh_bucket,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base),                      # exact dup of 0
+        Row(doc_id=2, text=base + " with a tiny tail"),  # near dup of 0
+        Row(doc_id=3, text="completely different words about spark shuffles"),
+        Row(doc_id=4, text="another unrelated document mentioning partitions"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(corpus):
+    out = {r["fp"]: r for r in exact_dedup(corpus).collect()}
+    assert len(out) == 4  # 0/1 collapse
+    counts = sorted(r["n_copies"] for r in out.values())
+    assert counts == [1, 1, 1, 2]
+    dup = [r for r in out.values() if r["n_copies"] == 2][0]
+    assert dup["keep_id"] == 0
+
+
+def test_minhash_identical_signatures(corpus):
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in corpus.select("doc_id", minhash_signature("text").alias("sig")).collect()
+    }
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+    # near dup shares most permutation minima
+    shared = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert shared >= 10
+
+
+def test_lsh_pairs_and_jaccard(corpus):
+    pairs = lsh_candidate_pairs(corpus)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert (0, 2) in got or (1, 2) in got
+    assert all(a < b for a, b in got)
+
+    j = jaccard_pairs(corpus, pairs, threshold=0.5)
+    jmap = {(r["id_a"], r["id_b"]): r["jaccard"] for r in j.collect()}
+    assert jmap[(0, 1)] == 1.0
+    near = [v for k, v in jmap.items() if 2 in k]
+    assert near and all(0.5 <= v < 1.0 for v in near)
+
+
+def test_simhash_near_pairs(corpus):
+    hashes = {
+        r["doc_id"]: r["h"]
+        for r in corpus.select("doc_id", simhash("text").alias("h")).collect()
+    }
+    assert hashes[0] == hashes[1]
+    assert 0 <= hashes[0] < (1 << 16)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(corpus).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="two words")])
+    sh = df.select(shingles("text").alias("s")).first()["s"]
+    assert sh == ["two words"]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0]),
+        Row(vec_id=4, embedding=[-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_brute_force_topk(vectors):
+    q = vectors.where(F.col("vec_id") == 0)
+    out = brute_force_topk(vectors, q, k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+    assert out[0]["cos_sim"] <= 1.0
+
+
+def test_bucketed_topk_subset_of_bucket(vectors):
+    q = vectors.where(F.col("vec_id") == 0)
+    out = bucketed_topk(vectors, q, k=5).collect()
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in vectors.select("vec_id", lsh_bucket("embedding").alias("bucket")).collect()
+    }
+    for r in out:
+        assert buckets[r["neighbor_id"]] == buckets[0]

@@ -1,0 +1,36 @@
+"""Multimodal binary-column plumbing tests (stubbed decode, real Arrow
+batch dataflow)."""
+
+import hashlib
+
+from pyspark.sql import Row
+
+from narowi_ocr_spark.operators.multimodal import (
+    attach_binary,
+    decode_stub,
+    extract_media_meta,
+    sample_frames,
+)
+
+
+def test_extract_media_meta(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="hello world"), Row(doc_id=2, text="x" * 200)]
+    )
+    out = {r["doc_id"]: r for r in extract_media_meta(attach_binary(df)).collect()}
+    assert out[1]["byte_len"] == 11
+    assert out[1]["content_md5"] == hashlib.md5(b"hello world").hexdigest()
+    w, h, status = decode_stub(b"hello world")
+    assert (out[1]["width"], out[1]["height"], out[1]["decode_status"]) == (w, h, status)
+    assert out[2]["byte_len"] == 200
+
+
+def test_sample_frames(spark):
+    df = spark.createDataFrame([Row(doc_id=7, text="ab" * 100)])  # 200 bytes
+    rows = sample_frames(attach_binary(df), stride=64, max_frames=8).collect()
+    offs = sorted(r["byte_offset"] for r in rows)
+    assert offs == [0, 64, 128, 192]
+    for r in rows:
+        expected = b"ab" * 100
+        assert r["sample_byte"] == expected[r["byte_offset"]]
+        assert r["frame_idx"] == r["byte_offset"] // 64

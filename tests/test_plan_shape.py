@@ -1,0 +1,51 @@
+"""Physical-plan invariants (SURVEY.md §4): the extraction pipeline is
+shuffle-free, prunes the html payload early, and scans push filters."""
+
+from pyspark.sql import functions as F
+
+from narowi_ocr_spark.plans.pipeline import extract_pages
+from narowi_ocr_spark.sources.pages import synth_pages
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pipeline_has_no_shuffle(spark):
+    pages = synth_pages(spark, 50, partitions=2)
+    plan = _physical_plan(extract_pages(pages))
+    assert "Exchange" not in plan, f"unexpected shuffle in:\n{plan}"
+
+
+def test_html_dropped_after_tokenize(spark):
+    pages = synth_pages(spark, 50, partitions=2)
+    out = extract_pages(pages)
+    assert "html" not in out.columns
+    # the optimized plan must not carry html past the tokenizer stage:
+    # everything above ArrowEvalPython(tokenize) operates on blocks only
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    above_tokenizer = plan.split("_tokenize_score_udf")[0]
+    assert "html" not in above_tokenizer, above_tokenizer
+
+
+def test_parquet_filter_pushdown(spark, tmp_path):
+    path = str(tmp_path / "pages")
+    synth_pages(spark, 100, partitions=2).write.parquet(path)
+    df = spark.read.parquet(path).where(F.col("lang") == "en").select("url", "lang")
+    plan = _physical_plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan.replace(
+        "`", ""
+    ), plan
+    assert "ReadSchema" in plan
+    assert "html" not in plan.split("ReadSchema:")[1].splitlines()[0], (
+        "column pruning failed: html read for a url/lang projection"
+    )
+
+
+def test_whole_stage_codegen_covers_native_stages(spark):
+    pages = synth_pages(spark, 50, partitions=2)
+    plan = _physical_plan(extract_pages(pages))
+    # "*(n)" is the WholeStageCodegen marker in the plan-tree string
+    assert "*(" in plan, plan
+    # the two Python stages are the only Arrow boundaries
+    assert plan.count("ArrowEvalPython") <= 2, plan
