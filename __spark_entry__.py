@@ -357,6 +357,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extract_main_text"] = extract_main_text
 
+    def _wrapped_blocks(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        wrapped = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit(NAV_HTML), _escape_html(F.col("text")), F.lit(FOOTER_HTML)
+            ).alias("html"),
+        )
+        return wrapped.select(
+            "doc_id", score_blocks(tokenize_html("html")).alias("blocks")
+        )
+
+    def block_scores(spark, sf_dir):
+        from narowi_ocr_spark.operators.blocks import rank_blocks
+
+        ranked = rank_blocks(_wrapped_blocks(spark, sf_dir), "blocks", key="doc_id")
+        return ranked.select(
+            "doc_id",
+            F.col("block.block_idx").alias("block_idx"),
+            F.col("block.tag").alias("tag"),
+            F.col("block.text_len").alias("text_len"),
+            F.col("block.link_len").alias("link_len"),
+            F.col("block.score").alias("score"),
+            F.col("block.is_content").alias("is_content"),
+            "rank",
+        )
+
+    q["block_scores"] = block_scores
+
+    def tokens_detailed(spark, sf_dir):
+        from narowi_ocr_spark.operators.tokens import detailed_tokens
+
+        return detailed_tokens(_wrapped_blocks(spark, sf_dir), "blocks", key="doc_id")
+
+    q["tokens_detailed"] = tokens_detailed
+
+    def digit_issues(spark, sf_dir):
+        from narowi_ocr_spark.operators.tokens import digit_confidence_issues
+
+        docs = _docs(spark, sf_dir)
+        tokens = (
+            docs.select(
+                "doc_id",
+                F.posexplode(F.split(_aug_expr(), r"\s+")).alias(
+                    "word_idx", "token"
+                ),
+            )
+            .where(F.length("token") > 0)
+            .withColumn(
+                "confidence",
+                (F.lit(60) + (F.col("word_idx") * 13) % 40).cast("double"),
+            )
+        )
+        return digit_confidence_issues(tokens)
+
+    q["digit_issues"] = digit_issues
+
     # ---------------- K5-K7 reading kernel + A1-A4 ---------------------
     def _readings_df(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -733,6 +790,87 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, 3 AS n_blocks, 1 AS n_content,
                {_STRIP_SQL} AS extracted_text
         FROM documents
+    """
+
+    # R1-R5 block scoring over the 3-block wrapped page (nav/p/footer):
+    # the numeric score formula re-derived in SQL from known block stats.
+    from narowi_ocr_spark.operators.blocks import CONTENT_TAGS
+
+    tags_sql = ", ".join(f"'{t}'" for t in CONTENT_TAGS)
+
+    def score_sql(tl: str, ll: str) -> str:
+        ld = f"(CAST({ll} AS DOUBLE) / greatest(CAST({tl} AS DOUBLE), 1.0))"
+        return (
+            f"round(100.0 * least(greatest(0.7 * (1.0 - {ld}) "
+            f"+ 0.3 * least(CAST({tl} AS DOUBLE) / 200.0, 1.0), 0.0), 1.0), 4)"
+        )
+
+    def is_content_sql(tl: str, ll: str, tag: str) -> str:
+        ld = f"(CAST({ll} AS DOUBLE) / greatest(CAST({tl} AS DOUBLE), 1.0))"
+        return (
+            f"({ld} < 0.3333333333333333 AND {tl} >= 1 AND {tag} IN ({tags_sql}))"
+        )
+
+    blocks_cte = """
+        blk(doc_id, block_idx, tag, btext, text_len, link_len) AS (
+          SELECT doc_id, 0, 'nav', 'home about', 10, 9 FROM documents
+          UNION ALL SELECT doc_id, 1, 'p', text, length(text), 0 FROM documents
+          UNION ALL SELECT doc_id, 2, 'footer', 'contact', 7, 7 FROM documents)
+    """
+
+    o["block_scores"] = f"""
+        WITH {blocks_cte},
+        s AS (
+          SELECT doc_id, block_idx, tag, text_len, link_len,
+                 {score_sql('text_len', 'link_len')} AS score,
+                 {is_content_sql('text_len', 'link_len', 'tag')} AS is_content
+          FROM blk)
+        SELECT doc_id, block_idx, tag, text_len, link_len, score, is_content,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, block_idx ASC) AS INT) AS rank
+        FROM s
+    """
+
+    o["tokens_detailed"] = f"""
+        WITH {blocks_cte},
+        s AS (SELECT doc_id, block_idx, btext,
+                     {score_sql('text_len', 'link_len')} AS confidence
+              FROM blk),
+        w AS (
+          SELECT doc_id, block_idx, 0 AS line_idx, confidence,
+                 CAST(generate_subscripts(
+                        regexp_split_to_array(btext, '\\s+'), 1) - 1 AS INT
+                 ) AS word_idx,
+                 unnest(regexp_split_to_array(btext, '\\s+')) AS token
+          FROM s)
+        SELECT * FROM w WHERE length(token) > 0
+    """
+
+    o["digit_issues"] = f"""
+        WITH aug AS (SELECT doc_id, {_aug_sql()} AS aug FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CAST(generate_subscripts(
+                        regexp_split_to_array(aug, '\\s+'), 1) - 1 AS INT
+                 ) AS word_idx,
+                 unnest(regexp_split_to_array(aug, '\\s+')) AS token
+          FROM aug),
+        wc AS (
+          SELECT *, CAST(60 + (word_idx * 13) % 40 AS DOUBLE) AS confidence
+          FROM w WHERE length(token) > 0),
+        ch AS (
+          SELECT wc.*,
+                 CAST(generate_subscripts(split(token, ''), 1) - 1 AS INT
+                 ) AS char_index_in_word,
+                 unnest(split(token, '')) AS original_char
+          FROM wc)
+        SELECT doc_id, word_idx, token, confidence, char_index_in_word,
+               original_char,
+               printf('Low confidence digit ''%s'' (%.1f < %.1f)',
+                      original_char, confidence, 85.0) AS message,
+               'digit_confusion' AS context_type
+        FROM ch
+        WHERE original_char IN ('3', '5') AND confidence < 85.0
     """
 
     o["readings_spans"] = f"""

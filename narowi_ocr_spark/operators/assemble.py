@@ -51,3 +51,27 @@ def text_with_confidence(scored_blocks: Column | str) -> Column:
         main_text(b).alias("extracted_text"),
         mean_content_score(b).alias("confidence"),
     )
+
+
+def best_of_configs(*candidates: Column) -> Column:
+    """T7: multi-config best-of (the reference tries several PSM modes
+    and keeps the max-confidence result,
+    tests/test_ocr_real_world.py:104-115). Each candidate is a
+    (extracted_text, confidence) struct from ``text_with_confidence``;
+    returns struct<confidence, config_idx, extracted_text> of the winner
+    — F.greatest compares structs lexicographically, so confidence
+    decides, with config order as the deterministic tie-break."""
+    keyed = [
+        F.struct(
+            c["confidence"].alias("confidence"),
+            F.lit(-i).alias("neg_config_idx"),  # earlier config wins ties
+            c["extracted_text"].alias("extracted_text"),
+        )
+        for i, c in enumerate(candidates)
+    ]
+    best = F.greatest(*keyed) if len(keyed) > 1 else keyed[0]
+    return F.struct(
+        best["confidence"].alias("confidence"),
+        (-best["neg_config_idx"]).alias("config_idx"),
+        best["extracted_text"].alias("extracted_text"),
+    )

@@ -50,6 +50,17 @@ _BLOCK_OPEN_RE = re.compile(
 _ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]*>")
 
+_Q4 = __import__("decimal").Decimal("0.0001")
+_HALF_UP = __import__("decimal").ROUND_HALF_UP
+_Decimal = __import__("decimal").Decimal
+
+
+def round_half_up_4(x: float) -> float:
+    """Bit-exact mirror of Spark's F.round(x, 4): Java rounds the
+    double's shortest decimal representation with BigDecimal HALF_UP;
+    Python's repr() produces the same shortest repr."""
+    return float(_Decimal(repr(x)).quantize(_Q4, rounding=_HALF_UP))
+
 
 def _block_text(fragment: str) -> str:
     return _html.unescape(_TAG_RE.sub("", fragment)).strip()
@@ -99,13 +110,13 @@ def tokenize_html(html_col: Column | str) -> Column:
 
 def _score_block_py(b: dict) -> dict:
     """Python mirror of block_score_expr/is_content_expr — same IEEE
-    arithmetic, HALF_UP rounding to match Spark's F.round."""
-    import math
-
+    arithmetic; rounding via round_half_up_4 (bit-exact vs Spark's
+    F.round, which is BigDecimal HALF_UP on the double's shortest
+    decimal repr)."""
     ld = float(b["link_len"]) / max(float(b["text_len"]), 1.0)
     raw = 0.7 * (1.0 - ld) + 0.3 * min(float(b["text_len"]) / LENGTH_SATURATION, 1.0)
     score = 100.0 * min(max(raw, 0.0), 1.0)
-    b["score"] = math.floor(score * 10000.0 + 0.5) / 10000.0
+    b["score"] = round_half_up_4(score)
     b["is_content"] = (
         ld < MAX_LINK_DENSITY
         and b["text_len"] >= MIN_TEXT_LEN

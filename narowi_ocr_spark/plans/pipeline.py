@@ -21,53 +21,131 @@ Plan-shape invariants (verified by tests/test_plan_shape.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
-from narowi_ocr_spark.functions.readings import extract_readings
+from narowi_ocr_spark.functions.readings import extract_readings, extract_readings_py
 from narowi_ocr_spark.operators.assemble import main_text, mean_content_score
-from narowi_ocr_spark.operators.blocks import tokenize_scored
+from narowi_ocr_spark.operators.blocks import (
+    round_half_up_4,
+    tokenize_and_score_py,
+    tokenize_scored,
+)
 from narowi_ocr_spark.operators.results import with_status
+from narowi_ocr_spark.schema import READINGS_SCHEMA
+
+# Output of the fused per-document kernel.
+EXTRACT_STRUCT = T.StructType(
+    [
+        T.StructField("extracted_text", T.StringType(), True),
+        T.StructField("confidence", T.DoubleType(), True),
+        T.StructField("readings", READINGS_SCHEMA, True),
+    ]
+)
 
 
-def extract_pages(pages: DataFrame, keep_blocks: bool = False) -> DataFrame:
+def extract_page_py(payload: bytes | str | None) -> tuple[str, float, list[dict]]:
+    """The whole per-document chain (tokenize → score → classify →
+    assemble → reading-span extraction) as one pure-Python call, executed
+    only inside Arrow batches. Byte-identical to composing the individual
+    operators (asserted by tests/test_pipeline_fused.py)."""
+    blocks = tokenize_and_score_py(payload)
+    text = "\n".join(b["text"] for b in blocks if b["is_content"]).strip()
+    nonempty = [b for b in blocks if b["text"]]
+    if nonempty:
+        # fold order + rounding mirror the JVM mean_content_score exactly
+        acc = 0.0
+        for b in nonempty:
+            acc += b["score"]
+        confidence = round_half_up_4(acc / float(len(nonempty)))
+    else:
+        confidence = 0.0
+    return text, confidence, extract_readings_py(text)
+
+
+@pandas_udf(EXTRACT_STRUCT)
+def _extract_page_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    for s in batches:
+        rows = [extract_page_py(p) for p in s]
+        yield pd.DataFrame(
+            rows, columns=["extracted_text", "confidence", "readings"]
+        )
+
+
+# P2: cap pathological page sizes before tokenization (the analogue of
+# resize_image, reference image_processor.py:44-62 — bound work per doc,
+# keep the prefix). 2 MB keeps any sane page intact.
+MAX_HTML_BYTES = 2 * 1024 * 1024
+
+
+def cap_html(html: Column, limit: int = MAX_HTML_BYTES) -> Column:
+    return F.when(
+        F.length(html) > limit, F.substring(html, 1, limit)
+    ).otherwise(html)
+
+
+def extract_pages(
+    pages: DataFrame,
+    keep_blocks: bool = False,
+    max_html_bytes: int | None = MAX_HTML_BYTES,
+) -> DataFrame:
     """pages → per-url result rows
     (url, warc_ts, status, readings, confidence, error_message,
     extracted_text).
 
-    Tokenize + score run FUSED in one Arrow stage (tokenize_scored): the
-    scored block array is then a plain attribute for Catalyst, so the
-    ~5 downstream consumers (text, confidence, readings input, status)
-    don't re-inline the scoring expression tree (CollapseProject would —
-    measured ~3× slower with the native-scoring variant)."""
+    Default path: ONE fused Arrow stage per document. The earlier
+    two-stage shape (tokenize UDF → JVM assembly → readings UDF) moved
+    every block text across the JVM↔Python boundary three times (blocks
+    out, assembled text back in, spans out) and ran two Python worker
+    pools; fusing cut the boundary traffic to html-in/result-out and
+    roughly halved wall-clock at 40k pages. ``keep_blocks=True`` switches
+    to the two-stage variant, which materializes the scored block array
+    for debugging/inspection queries."""
     nonempty = pages.where(
         F.col("html").isNotNull() & (F.length("html") > 0)  # P1
     )
-    blocks = nonempty.select(
+    if max_html_bytes:
+        nonempty = nonempty.withColumn("html", cap_html(F.col("html"), max_html_bytes))
+    if keep_blocks:
+        blocks = nonempty.select(
+            "url", "warc_ts", tokenize_scored("html").alias("blocks")
+        )
+        assembled = blocks.select(
+            "url",
+            "warc_ts",
+            "blocks",
+            main_text("blocks").alias("extracted_text"),
+            mean_content_score("blocks").alias("confidence"),
+        )
+        readings = assembled.withColumn(
+            "readings", extract_readings("extracted_text")
+        )
+        out = with_status(readings)
+        return out.select(
+            "url", "warc_ts", "status", "readings", "confidence",
+            "error_message", "extracted_text", "blocks",
+        )
+
+    res = nonempty.select(
         "url",
         "warc_ts",
-        tokenize_scored("html").alias("blocks"),
-        # html intentionally dropped here — column pruning is structural,
-        # not left to chance (SURVEY.md §4 column-pruning row).
-    )
-    assembled = blocks.select(
+        _extract_page_udf("html").alias("res"),
+        # html dropped at this (single) Python boundary — column pruning
+        # is structural, not left to chance (SURVEY.md §4).
+    ).select(
         "url",
         "warc_ts",
-        *( ["blocks"] if keep_blocks else [] ),
-        main_text("blocks").alias("extracted_text"),
-        mean_content_score("blocks").alias("confidence"),
+        F.col("res.extracted_text").alias("extracted_text"),
+        F.col("res.confidence").alias("confidence"),
+        F.col("res.readings").alias("readings"),
     )
-    readings = assembled.withColumn(
-        "readings", extract_readings("extracted_text")
-    )
-    out = with_status(readings)
+    out = with_status(res)
     return out.select(
-        "url",
-        "warc_ts",
-        "status",
-        "readings",
-        "confidence",
-        "error_message",
-        "extracted_text",
-        *( ["blocks"] if keep_blocks else [] ),
+        "url", "warc_ts", "status", "readings", "confidence",
+        "error_message", "extracted_text",
     )

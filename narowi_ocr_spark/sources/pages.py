@@ -70,7 +70,7 @@ def _h(i: int, salt: int = 0) -> int:
 
 
 def _filler(i: int, k: int) -> str:
-    n_words = 8 + _h(i, 10 + k) % 40
+    n_words = 20 + _h(i, 10 + k) % 60
     return " ".join(
         _VOCAB[_h(i, 100 + 57 * k + j) % len(_VOCAB)] for j in range(n_words)
     )
@@ -87,7 +87,7 @@ def build_page(i: int) -> tuple[str, datetime, bytes, str, str]:
     url = f"https://{host}/page/{i}"
     lang = ("de", "fr")[hv % 2] if hv % 100 >= 95 else "en"
 
-    content: list[str] = [_filler(i, k) for k in range(1 + _h(i, 2) % 3)]
+    content: list[str] = [_filler(i, k) for k in range(5 + _h(i, 2) % 10)]
     if i % 7 == 0:
         content.insert(
             1 % (len(content) + 1), GOLDEN_SNIPPETS[(i // 7) % len(GOLDEN_SNIPPETS)]

@@ -20,25 +20,64 @@ from pyspark.sql import functions as F
 TABLE_FORMAT = os.environ.get("NAROWI_TABLE_FORMAT", "parquet")
 
 
-def url_bucket(url: Column | str, n_buckets: int, n_salts: int = 8) -> Column:
-    """Salted url-hash bucket: xxhash64(url) spreads urls of one host
-    across buckets, and the extra salt term splits even a single
-    pathological key across ``n_salts`` buckets — host-level skew cannot
-    concentrate a partition (north_rule skew requirement)."""
+def url_host(url: Column | str) -> Column:
+    """Host component of a url — the key under which Common-Crawl-style
+    corpora are skewed (a few hot hosts own a large share of pages)."""
     u = F.col(url) if isinstance(url, str) else url
-    h = F.xxhash64(u)
-    salt = F.pmod(F.xxhash64(u, F.lit("salt")), F.lit(n_salts))
-    return F.pmod(h + salt, F.lit(n_buckets))
+    return F.regexp_extract(u, r"^[a-zA-Z]+://([^/]+)", 1)
 
 
-def salted_repartition(df: DataFrame, key: str, n_partitions: int) -> DataFrame:
-    """Repartition by salted key-hash bucket."""
-    return df.repartition(n_partitions, url_bucket(key, n_partitions))
+def salted_host_key(url: Column | str, n_salts: int = 8) -> Column:
+    """Host key with a per-url salt suffix: a hot host's pages spread
+    over ``n_salts`` distinct partition keys instead of landing on one
+    reducer (north_rule skew requirement). Host-level operations then
+    aggregate the ≤ n_salts sub-groups in a cheap second step."""
+    u = F.col(url) if isinstance(url, str) else url
+    salt = F.pmod(F.xxhash64(u), F.lit(n_salts))
+    return F.concat(url_host(u), F.lit("#"), salt.cast("string"))
+
+
+def salted_repartition(
+    df: DataFrame, key: str, n_partitions: int, n_salts: int = 8
+) -> DataFrame:
+    """Repartition by the salted host key (vs. raw host, under which hot
+    hosts concentrate whole partitions — see BENCH.md histogram)."""
+    return df.repartition(n_partitions, salted_host_key(key, n_salts))
 
 
 def write_results(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S3/S4: persist result rows (parquet locally, Iceberg on cluster)."""
     df.write.format(TABLE_FORMAT).mode(mode).save(path)
+
+
+CSV_HEADER = (
+    "Image Path", "Timestamp", "Status", "Reading Type",
+    "Value", "Unit", "Is Valid", "Confidence",
+)
+
+
+def export_csv(results: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6: the reference's fixed 8-column CSV export
+    (data_processor.py:198-221 — 'Image Path, Timestamp, Status, Reading
+    Type, Value, Unit, Is Valid, Confidence'; one row per (doc, reading),
+    docs with no readings emit nothing — inner explode)."""
+    flat = results.select(
+        F.col("url").alias(CSV_HEADER[0]),
+        F.col("warc_ts").cast("string").alias(CSV_HEADER[1]),
+        F.col("status").alias(CSV_HEADER[2]),
+        F.explode("readings").alias("r"),
+        F.col("confidence").alias("_conf"),
+    ).select(
+        CSV_HEADER[0],
+        CSV_HEADER[1],
+        CSV_HEADER[2],
+        F.col("r.type").alias(CSV_HEADER[3]),
+        F.col("r.value").alias(CSV_HEADER[4]),
+        F.col("r.unit").alias(CSV_HEADER[5]),
+        F.col("r.is_valid").alias(CSV_HEADER[6]),
+        F.col("_conf").alias(CSV_HEADER[7]),
+    )
+    flat.write.option("header", True).mode(mode).csv(path)
 
 
 def partition_histogram(df: DataFrame) -> DataFrame:

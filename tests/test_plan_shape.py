@@ -21,11 +21,11 @@ def test_html_dropped_after_tokenize(spark):
     pages = synth_pages(spark, 50, partitions=2)
     out = extract_pages(pages)
     assert "html" not in out.columns
-    # the optimized plan must not carry html past the tokenizer stage:
-    # everything above ArrowEvalPython(tokenize) operates on blocks only
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
-    above_tokenizer = plan.split("_tokenize_score_udf")[0]
-    assert "html" not in above_tokenizer, above_tokenizer
+    # the physical plan must not carry html past the (single) Python
+    # stage: everything above ArrowEvalPython operates on results only
+    plan = _physical_plan(out)
+    above_udf = plan.split("ArrowEvalPython")[0]
+    assert "html" not in above_udf, above_udf
 
 
 def test_parquet_filter_pushdown(spark, tmp_path):

@@ -1,0 +1,68 @@
+"""T6 detailed tokens, K10 digit-confidence validation, S6 CSV export."""
+
+import csv
+import glob
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from narowi_ocr_spark.operators.blocks import score_blocks, tokenize_html
+from narowi_ocr_spark.operators.tokens import (
+    detailed_tokens,
+    digit_confidence_issues,
+    temperature_range_issue,
+)
+from narowi_ocr_spark.plans.pipeline import extract_pages
+from narowi_ocr_spark.sources.pages import synth_pages
+from narowi_ocr_spark.sources.sink import CSV_HEADER, export_csv
+
+
+def test_detailed_tokens_hierarchy(spark):
+    html = "<p>alpha beta</p><p>one\ntwo three</p>"
+    df = spark.createDataFrame([Row(url="u", html=html)])
+    blocks = df.select("url", score_blocks(tokenize_html("html")).alias("blocks"))
+    rows = detailed_tokens(blocks).collect()
+    got = {(r["block_idx"], r["line_idx"], r["word_idx"]): r["token"] for r in rows}
+    assert got[(0, 0, 0)] == "alpha"
+    assert got[(0, 0, 1)] == "beta"
+    assert got[(1, 0, 0)] == "one"
+    assert got[(1, 1, 0)] == "two"
+    assert got[(1, 1, 1)] == "three"
+    assert all(r["confidence"] > 0 for r in rows)
+
+
+def test_digit_confidence_issues(spark):
+    tokens = spark.createDataFrame(
+        [
+            Row(doc_id=1, word_idx=0, token="35.9", confidence=80.0),
+            Row(doc_id=1, word_idx=1, token="35.9", confidence=90.0),  # conf ok
+            Row(doc_id=1, word_idx=2, token="467", confidence=10.0),   # no 3/5
+        ]
+    )
+    issues = digit_confidence_issues(tokens).collect()
+    flagged = {(r["word_idx"], r["char_index_in_word"], r["original_char"]) for r in issues}
+    assert flagged == {(0, 0, "3"), (0, 1, "5")}
+    msg = [r["message"] for r in issues if r["char_index_in_word"] == 0][0]
+    assert msg == "Low confidence digit '3' (80.0 < 85.0)"
+
+
+def test_temperature_range_issue(spark):
+    df = spark.createDataFrame(
+        [Row(v=120.0, u="F"), Row(v=98.6, u="F"), Row(v=120.0, u="C")]
+    )
+    out = df.select(temperature_range_issue(F.col("v"), F.col("u")).alias("m")).collect()
+    assert out[0]["m"] is not None and "outside plausible range" in out[0]["m"]
+    assert out[1]["m"] is None
+    assert out[2]["m"] is None  # only the Fahrenheit context flags
+
+
+def test_export_csv_header_and_shape(spark, tmp_path):
+    results = extract_pages(synth_pages(spark, 120, partitions=2))
+    out = str(tmp_path / "csv")
+    export_csv(results.coalesce(1), out)
+    f = glob.glob(out + "/*.csv")[0]
+    with open(f, newline="") as fh:
+        rows = list(csv.reader(fh))
+    assert tuple(rows[0]) == CSV_HEADER
+    n_readings = results.select(F.sum(F.size("readings"))).first()[0]
+    assert len(rows) - 1 == n_readings  # inner explode: no row for empty docs
