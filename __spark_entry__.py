@@ -60,6 +60,7 @@ from narowi_ocr_spark.operators.similarity import (
     HYPERPLANES,
     brute_force_topk,
     bucketed_topk,
+    embedding_near_dup_pairs,
     lsh_bucket,
 )
 from narowi_ocr_spark.plans.pipeline import extract_pages
@@ -618,6 +619,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_ann_bucketed"] = emb_ann_bucketed
 
+    def emb_near_dups(spark, sf_dir):
+        vecs = load_table(spark, sf_dir, "embeddings")
+        return embedding_near_dup_pairs(vecs, threshold=0.3)
+
+    q["emb_near_dups"] = emb_near_dups
+
     # ---------------- multimodal plumbing ------------------------------
     def multimodal_meta(spark, sf_dir):
         docs = attach_binary(_docs(spark, sf_dir))
@@ -775,6 +782,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["stream_extract"] = stream_extract
+
+    def sessions_stateful(spark, sf_dir):
+        """Custom stateful streaming operator (applyInPandasWithState):
+        gap-based sessionization with per-user state + event-time timeout.
+        Deterministic despite streaming: a sentinel 'flush' event per user
+        2 days past the corpus closes every real session by gap inside the
+        run; sentinel sessions are filtered out afterwards."""
+        import datetime
+
+        from narowi_ocr_spark.streaming.stateful import sessionize_stream
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+        flush_ts = ev.agg(F.max("ts")).first()[0] + datetime.timedelta(days=2)
+        sentinels = (
+            ev.select("user_id")
+            .distinct()
+            .select(
+                "user_id",
+                F.lit(flush_ts).cast("timestamp").alias("ts"),
+                F.lit(0.0).alias("value"),
+            )
+        )
+        src = tempfile.mkdtemp(prefix="narowi_sess_src_")
+        ev.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        name = "sessions_stateful_" + uuid.uuid4().hex[:8]
+        sq = (
+            sessionize_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="narowi_sess_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return (
+            spark.table(name)
+            .where(F.col("session_start") < F.lit(flush_ts))
+            .select("user_id", "session_start", "session_end", "n_events")
+        )
+
+    q["sessions_stateful"] = sessions_stateful
 
     return q
 
@@ -1104,6 +1163,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3
     """
 
+    o["emb_near_dups"] = f"""
+        WITH b AS (SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings)
+        SELECT a.vec_id AS id_a, v.vec_id AS id_b,
+               {_cos_sql('a.embedding', 'v.embedding')} AS cos_sim
+        FROM b a JOIN b v ON a.bucket = v.bucket AND a.vec_id < v.vec_id
+        WHERE {_cos_sql('a.embedding', 'v.embedding')} >= 0.3
+    """
+
     o["multimodal_meta"] = """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS INT) AS byte_len,
@@ -1141,6 +1208,25 @@ def oracle_sql() -> dict[str, str]:
           FROM flagged)
         SELECT user_id, session_idx, count(*) AS n_events, min(ts) AS session_start
         FROM sess GROUP BY user_id, session_idx
+    """
+
+    # sessions_stateful: same 30-min-gap sessions, but the Spark side is
+    # the applyInPandasWithState streaming operator (µs-exact gap check →
+    # epoch_us here, vs events_sessions' second-truncated variant).
+    o["sessions_stateful"] = """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          FROM flagged)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
     """
 
     o["events_json"] = """

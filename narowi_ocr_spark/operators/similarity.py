@@ -116,6 +116,39 @@ def lsh_bucket(vec: Column | str) -> Column:
     return out
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup counterpart of
+    ANN search): candidate pairs come from a sign-LSH bucket self-join —
+    never the O(N²) cross product — and survive iff cosine ≥ threshold.
+    Canonical id_a < id_b ordering.
+
+    At 100 TB the table is written partitioned by ``bucket`` so the
+    self-join is partition-local (co-located scan, no full shuffle of the
+    corpus); buckets are balanced by construction (random hyperplanes),
+    so no skew handling is needed beyond AQE."""
+    b = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(vec_col).alias("bucket"),
+    )
+    return (
+        b.alias("a")
+        .join(b.alias("b"), on="bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def bucketed_topk(
     vectors: DataFrame,
     queries: DataFrame,

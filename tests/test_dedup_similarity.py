@@ -113,3 +113,12 @@ def test_bucketed_topk_subset_of_bucket(vectors):
     }
     for r in out:
         assert buckets[r["neighbor_id"]] == buckets[0]
+
+
+def test_embedding_near_dup_pairs(vectors):
+    from narowi_ocr_spark.operators.similarity import embedding_near_dup_pairs
+
+    out = embedding_near_dup_pairs(vectors, threshold=0.9).collect()
+    # only (0,1) are near-duplicates (cos ≈ 0.994); canonical id_a < id_b
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+    assert out[0].cos_sim == pytest.approx(0.9939, abs=1e-4)

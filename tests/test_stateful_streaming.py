@@ -1,0 +1,137 @@
+"""Stateful streaming sessionization (applyInPandasWithState) vs its
+native batch twin, plus the watermarked windowed rollup."""
+
+from __future__ import annotations
+
+import datetime
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from narowi_ocr_spark.streaming.stateful import (
+    SESSION_GAP_MIN,
+    sessionize_batch,
+    sessionize_stream,
+    windowed_counts_stream,
+)
+
+T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _mk_events(spark):
+    """Two users; user 1 has two sessions split by a 45-min gap, user 2
+    one session; plus a far-future flush event per user so every real
+    session closes inside one availableNow run."""
+    rows = [
+        # user 1, session A: 3 events within 10 min
+        (1, T0, 1.0),
+        (1, T0 + datetime.timedelta(minutes=5), 2.0),
+        (1, T0 + datetime.timedelta(minutes=10), 3.0),
+        # gap 45 min > 30 → session B
+        (1, T0 + datetime.timedelta(minutes=55), 4.0),
+        (1, T0 + datetime.timedelta(minutes=60), 5.0),
+        # user 2: single session, exactly-30-min gap does NOT split
+        (2, T0, 10.0),
+        (2, T0 + datetime.timedelta(minutes=30), 20.0),
+    ]
+    flush = T0 + datetime.timedelta(days=2)
+    rows += [(1, flush, 0.0), (2, flush, 0.0)]
+    df = spark.createDataFrame(
+        rows, schema="user_id long, ts timestamp, value double"
+    )
+    return df, flush
+
+
+def _run_stream(spark, src_dir, tmp_path):
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src_dir)
+    name = "t_sess_" + uuid.uuid4().hex[:8]
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+def test_stateful_sessions_match_batch_twin(spark, tmp_path):
+    events, flush = _mk_events(spark)
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.parquet(src)
+
+    out = _run_stream(spark, src, tmp_path)
+    real = out.where(F.col("session_start") < F.lit(flush))
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in real.collect()
+    )
+    assert got == [
+        (1, T0, T0 + datetime.timedelta(minutes=10), 3, 6.0),
+        (1, T0 + datetime.timedelta(minutes=55),
+         T0 + datetime.timedelta(minutes=60), 2, 9.0),
+        (2, T0, T0 + datetime.timedelta(minutes=30), 2, 30.0),
+    ]
+
+    # batch twin on the real events agrees exactly
+    twin = sessionize_batch(
+        events.where(F.col("ts") < F.lit(flush))
+    )
+    twin_rows = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in twin.collect()
+    )
+    assert twin_rows == got
+
+
+def test_gap_constant_is_strict(spark, tmp_path):
+    """A gap of exactly SESSION_GAP_MIN does not split (strict >)."""
+    t1 = T0 + datetime.timedelta(minutes=SESSION_GAP_MIN)
+    flush = T0 + datetime.timedelta(days=2)
+    df = spark.createDataFrame(
+        [(7, T0, 1.0), (7, t1, 1.0), (7, flush, 0.0)],
+        schema="user_id long, ts timestamp, value double",
+    )
+    src = str(tmp_path / "src2")
+    df.coalesce(1).write.parquet(src)
+    out = _run_stream(spark, src, tmp_path)
+    real = out.where(F.col("session_start") < F.lit(flush)).collect()
+    assert len(real) == 1 and real[0].n_events == 2
+
+
+def test_windowed_counts_stream(spark, tmp_path):
+    events, flush = _mk_events(spark)
+    src = str(tmp_path / "srcw")
+    events.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src)
+    withtype = stream.withColumn("event_type", F.lit("click"))
+    name = "t_win_" + uuid.uuid4().hex[:8]
+    q = (
+        windowed_counts_stream(withtype)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckptw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r.window_start, r.n): r.total_value
+        for r in spark.table(name).collect()
+    }
+    # hour 12:00 → 6 events (user1 at :00/:05/:10/:55, user2 at :00/:30);
+    # hour 13:00 → 1 (user1 at :60). The flush-hour window is withheld:
+    # the watermark never passes it, which is the late-data semantics
+    # append mode promises.
+    assert rows == {
+        (T0.replace(minute=0), 6): 40.0,
+        (T0.replace(minute=0) + datetime.timedelta(hours=1), 1): 5.0,
+    }
