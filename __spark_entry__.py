@@ -638,6 +638,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frame_samples"] = frame_samples
 
+    def media_features(spark, sf_dir):
+        from narowi_ocr_spark.operators.multimodal import extract_features
+
+        docs = attach_binary(_docs(spark, sf_dir))
+        return extract_features(docs).select(
+            "doc_id", F.posexplode("features").alias("dim", "feature")
+        )
+
+    q["media_features"] = media_features
+
+    def media_resized(spark, sf_dir):
+        from narowi_ocr_spark.operators.multimodal import resize_media
+
+        docs = attach_binary(_docs(spark, sf_dir))
+        return resize_media(docs, max_bytes=256).select(
+            "doc_id", "byte_len", F.md5("payload").alias("content_md5")
+        )
+
+    q["media_resized"] = media_resized
+
     # ---------------- events / windows / sessions ----------------------
     def events_hourly(spark, sf_dir):
         ev = load_table(spark, sf_dir, "events")
@@ -1186,6 +1206,21 @@ def oracle_sql() -> dict[str, str]:
                ascii(substr(text, i * 64 + 1, 1)) AS sample_byte
         FROM documents, range(0, 8) r(i)
         WHERE i * 64 < octet_length(encode(text))
+    """
+
+    o["media_features"] = """
+        SELECT doc_id, CAST(i AS INT) AS dim,
+               CAST(ascii(substr(md5(text), i + 1, 1)) AS FLOAT) AS feature
+        FROM documents, range(0, 16) r(i)
+    """
+
+    # documents are pure ASCII (verified: text == encode(text) for all
+    # rows), so byte-prefix truncation == character-prefix truncation
+    o["media_resized"] = """
+        SELECT doc_id,
+               CAST(least(octet_length(encode(text)), 256) AS INT) AS byte_len,
+               md5(left(text, 256)) AS content_md5
+        FROM documents
     """
 
     o["events_hourly"] = """

@@ -88,6 +88,71 @@ def extract_media_meta(
     return df.select(id_col, payload_col).mapInPandas(run, MEDIA_META_SCHEMA)
 
 
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType(), False), False),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("byte_len", T.IntegerType(), False),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """binary payload → fixed-dim float feature vector (the
+    embedding-producer stage that feeds operators/similarity.py). The
+    featurizer is a deterministic stub — each dim is the ASCII code of one
+    md5-hex digit of the payload — standing in for a real image/audio
+    encoder; the Arrow batch shape, schema, and payload-dropping are the
+    real plumbing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                h = hashlib.md5(bytes(payload)).hexdigest()
+                ids.append(int(i))
+                feats.append([float(ord(h[k])) for k in range(FEATURE_DIM)])
+            yield pd.DataFrame({"doc_id": ids, "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resize_media(
+    df: DataFrame,
+    max_bytes: int = 4096,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """payload → size-capped payload (a real build re-encodes at a target
+    resolution; the stub keeps the byte prefix). Unlike the metadata ops
+    this one RETURNS a binary column — the pattern for
+    transform-and-rewrite media pipelines, where the output is written
+    straight back out partitioned by size, never shuffled wide."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)[:max_bytes]
+                rows.append((int(i), b, len(b)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "byte_len"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     stride: int = 64,

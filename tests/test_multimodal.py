@@ -34,3 +34,35 @@ def test_sample_frames(spark):
         expected = b"ab" * 100
         assert r["sample_byte"] == expected[r["byte_offset"]]
         assert r["frame_idx"] == r["byte_offset"] // 64
+
+
+def test_extract_features_shape(spark):
+    from narowi_ocr_spark.operators.multimodal import (
+        FEATURE_DIM,
+        attach_binary,
+        extract_features,
+    )
+    from pyspark.sql import Row
+
+    docs = attach_binary(
+        spark.createDataFrame([Row(doc_id=1, text="hello"), Row(doc_id=2, text="hello")])
+    )
+    rows = extract_features(docs).collect()
+    assert all(len(r.features) == FEATURE_DIM for r in rows)
+    # deterministic: identical payloads → identical features
+    assert rows[0].features == rows[1].features
+    assert all(48.0 <= f <= 102.0 for f in rows[0].features)  # hex-digit ascii
+
+
+def test_resize_media_caps_payload(spark):
+    from narowi_ocr_spark.operators.multimodal import attach_binary, resize_media
+    from pyspark.sql import Row
+
+    docs = attach_binary(
+        spark.createDataFrame(
+            [Row(doc_id=1, text="x" * 500), Row(doc_id=2, text="short")]
+        )
+    )
+    out = {r.doc_id: r for r in resize_media(docs, max_bytes=100).collect()}
+    assert out[1].byte_len == 100 and bytes(out[1].payload) == b"x" * 100
+    assert out[2].byte_len == 5 and bytes(out[2].payload) == b"short"
