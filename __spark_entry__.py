@@ -260,9 +260,13 @@ def _shingles_sql(words: str = _WORDS_SQL, n: int = 3) -> str:
 
 
 def _minhash_sql(num_perm: int = 16) -> str:
-    """sig list CTE fragment over `corpus` (expects sh column)."""
+    """sig list CTE fragment over `corpus` (expects sh column).
+    Mirrors dedup._perm_hash: permutation p = 8-hex-char slice p%4 of
+    md5('<p//4>:' || shingle) — one digest serves four permutations."""
     sigs = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{p}:' || s)))" for p in range(num_perm)
+        f"list_min(list_transform(sh, s -> "
+        f"substr(md5('{p // 4}:' || s), {(p % 4) * 8 + 1}, 8)))"
+        for p in range(num_perm)
     )
     return f"[{sigs}]"
 
@@ -278,16 +282,18 @@ def _bands_sql(num_bands: int = 8, rows_per_band: int = 2) -> list[str]:
 
 
 def _simhash_sql(bits: int = 16) -> str:
-    words = f"list_distinct({_WORDS_SQL})"
+    """Mirrors dedup.simhash: bit b's vote for word w is the parity of
+    hex digit b+1 of md5(w) — one digest per word carries all votes."""
+    hw = f"list_transform(list_distinct({_WORDS_SQL}), t -> md5(t))"
     terms = []
     for b in range(bits):
         vote = (
-            f"list_sum(list_transform({words}, t -> CASE WHEN "
-            f"substr(md5(t || ':{b}'), 1, 1) IN "
+            f"list_sum(list_transform(hw, h -> CASE WHEN "
+            f"substr(h, {b + 1}, 1) IN "
             "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END))"
         )
         terms.append(f"CASE WHEN {vote} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END")
-    return "(" + " + ".join(terms) + ")"
+    return f"(SELECT (" + " + ".join(terms) + f") FROM (SELECT {hw} AS hw) _hw)"
 
 
 def _plane_sql(plane: list[int]) -> str:
@@ -725,6 +731,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tpch_q1"] = tpch_q1
+
+    def tpch_q6(spark, sf_dir):
+        """Pure filter + aggregate — every predicate reaches the parquet
+        scan (PushedFilters), the agg is a single partial+final pair."""
+        li = load_table(spark, sf_dir, "lineitem")
+        d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        return (
+            li.where(
+                (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("l_discount").between(0.05, 0.07))
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(
+                F.sum(d("l_extendedprice") * d("l_discount"))
+                .cast("double")
+                .alias("revenue"),
+                F.count("*").alias("n_lines"),
+            )
+        )
+
+    q["tpch_q6"] = tpch_q6
+
+    def revenue_by_nation(spark, sf_dir):
+        """q5-style star join: fact lineitem against three broadcast dims
+        (supplier → nation → region), grouped by nation. The dims are
+        tiny and broadcast — the fact table never shuffles for the join,
+        only for the final small groupBy."""
+        li = load_table(spark, sf_dir, "lineitem")
+        sup = load_table(spark, sf_dir, "supplier")
+        nat = load_table(spark, sf_dir, "nation")
+        reg = load_table(spark, sf_dir, "region")
+        d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        dims = (
+            sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .where(F.col("r_name") == "ASIA")
+            .select("s_suppkey", "n_name")
+        )
+        return (
+            li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+            .groupBy("n_name")
+            .agg(
+                F.sum(
+                    d("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - d("l_discount"))
+                )
+                .cast("double")
+                .alias("revenue"),
+                F.count("*").alias("n_lines"),
+            )
+        )
+
+    q["revenue_by_nation"] = revenue_by_nation
 
     def top_orders_by_revenue(spark, sf_dir):
         cust = load_table(spark, sf_dir, "customer")
@@ -1280,6 +1340,30 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["tpch_q6"] = """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """
+
+    o["revenue_by_nation"] = """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
     """
 
     o["top_orders_by_revenue"] = """

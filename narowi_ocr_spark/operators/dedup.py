@@ -86,12 +86,22 @@ def minhash_signature(text: Column | str, num_perm: int = NUM_PERM) -> Column:
     return _signature_from_shingles(sh, num_perm)
 
 
+# Permutation p draws its value from md5 call group p//4: one 128-bit md5
+# digest yields FOUR independent 32-bit (8-hex-char) permutation values.
+# 4× fewer hash invocations than one-md5-per-permutation — at 100 TB the
+# hash kernel IS the dedup cost, so this is the knob that matters.
+PERMS_PER_DIGEST = 4
+
+
 def _perm_hash(p: int):
     # NB: a closure, NOT a default-arg lambda — ``lambda s, p=p`` would be
     # seen by PySpark as a binary (element, index) lambda and p would be
     # bound to the array index column.
-    prefix = f"{p}:"
-    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    prefix = f"{p // PERMS_PER_DIGEST}:"
+    start = (p % PERMS_PER_DIGEST) * 8 + 1
+    return lambda s: F.substring(
+        F.md5(F.concat(F.lit(prefix), s)), start, 8
+    )
 
 
 def _signature_from_shingles(sh: Column, num_perm: int = NUM_PERM) -> Column:
@@ -123,10 +133,22 @@ def with_minhash_bands(
     sh_rows = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col)).alias("s")
     )
-    hashed = sh_rows.select(
+    n_digests = (num_perm + PERMS_PER_DIGEST - 1) // PERMS_PER_DIGEST
+    digests = sh_rows.select(
         "id",
         *[
-            F.md5(F.concat(F.lit(f"{p}:"), F.col("s"))).alias(f"h{p}")
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("s"))).alias(f"m{g}")
+            for g in range(n_digests)
+        ],
+    )
+    hashed = digests.select(
+        "id",
+        *[
+            F.substring(
+                F.col(f"m{p // PERMS_PER_DIGEST}"),
+                (p % PERMS_PER_DIGEST) * 8 + 1,
+                8,
+            ).alias(f"h{p}")
             for p in range(num_perm)
         ],
     )
@@ -240,45 +262,52 @@ def jaccard_pairs(
 def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
     """``bits``-bit SimHash over the distinct word set (long column).
 
-    Bit *b* of word *w* is the parity of the first hex digit of
-    ``md5(w || ':' || b)`` (digit ≥ '8' → 1). The per-document bit is the
+    ONE md5 per word: bit *b* of word *w* is the parity of hex digit
+    *b*+1 of ``md5(w)`` (digit ≥ '8' → 1) — the 32 hex digits of a single
+    digest carry all ≤32 independent bit votes, so the hash kernel runs
+    once per word, not once per (word, bit). The per-document bit is the
     sign of the ±1 vote sum — all computed with ``aggregate`` over the
-    words array: narrow, shuffle-free, and byte-reproducible in the
-    DuckDB oracle. Production fast path: swap md5 for xxhash64.
+    hashed-word array: narrow, shuffle-free, and byte-reproducible in the
+    DuckDB oracle.
 
-    For hot paths use ``with_simhash`` — it stages the word-set projection
-    so the tokenize expression runs once per row, not once per bit.
+    For hot paths use ``with_simhash`` — it stages the md5-per-word
+    projection so the tokenize+hash expression runs once per row, not
+    re-inlined once per bit.
     """
-    w = F.array_distinct(words(F.lower(_col(text))))
-    return _simhash_from_words(w, bits)
+    hw = F.transform(
+        F.array_distinct(words(F.lower(_col(text)))), lambda t: F.md5(t)
+    )
+    return _simhash_from_hashes(hw, bits)
 
 
 def with_simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """(id, h) with a projection boundary between word-set extraction and
-    the per-bit vote sums (the word split would otherwise be re-inlined
+    """(id, h) with a projection boundary between word-hash extraction and
+    the per-bit vote sums (the split+md5 would otherwise be re-inlined
     into each of the ``bits`` vote expressions)."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(words(F.lower(F.col(text_col)))).alias("w"),
-    ).select("id", _simhash_from_words(F.col("w"), bits).alias("h"))
+        F.transform(
+            F.array_distinct(words(F.lower(F.col(text_col)))),
+            lambda t: F.md5(t),
+        ).alias("hw"),
+    ).select("id", _simhash_from_hashes(F.col("hw"), bits).alias("h"))
 
 
-def _simhash_from_words(w: Column, bits: int = SIMHASH_BITS) -> Column:
+def _simhash_from_hashes(hw: Column, bits: int = SIMHASH_BITS) -> Column:
+    assert bits <= 32, "one md5 digest carries at most 32 hex-digit votes"
     out = F.lit(0).cast("long")
     for b in range(bits):
-        vote = F.aggregate(w, F.lit(0), _vote_fn(b))
+        vote = F.aggregate(hw, F.lit(0), _vote_fn(b))
         out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
     return out
 
 
 def _vote_fn(b: int):
-    suffix = f":{b}"
-
-    def vote(acc: Column, t: Column) -> Column:
+    def vote(acc: Column, h: Column) -> Column:
         return acc + F.when(
-            F.substring(F.md5(F.concat(t, F.lit(suffix))), 1, 1).isin(*"89abcdef"),
+            F.substring(h, b + 1, 1).isin(*"89abcdef"),
             F.lit(1),
         ).otherwise(F.lit(-1))
 
