@@ -554,6 +554,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_id"] = lang_id_q
 
+    def curation_pipeline(spark, sf_dir):
+        """End-to-end corpus curation: lang-ID gate → quality gate →
+        exact dedup (keep min-id representative). The composition the
+        individual operators exist for; one narrow scoring pass, one
+        shuffle (the dedup groupBy-equivalent window on the fingerprint)."""
+        from narowi_ocr_spark.functions.textstats import (
+            fingerprint as fp_fn,
+            token_count,
+        )
+
+        corpus = _dup_corpus(_docs(spark, sf_dir))
+        scored = corpus.select(
+            "doc_id",
+            lang_id("text").alias("lang_pred"),
+            quality_score("text").alias("q"),
+            fp_fn("text").alias("fp"),
+            token_count("text").alias("n_tokens"),
+        ).where((F.col("lang_pred") == "en") & (F.col("q") >= 0.5))
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "lang_pred", "q", "n_tokens")
+        )
+
+    q["curation_pipeline"] = curation_pipeline
+
     def quality_scores(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         return docs.select("doc_id", quality_score("text").alias("q"))
@@ -624,6 +651,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bucketed_topk(vecs, queries_df, k=3)
 
     q["emb_ann_bucketed"] = emb_ann_bucketed
+
+    def emb_ivf_topk(spark, sf_dir):
+        from narowi_ocr_spark.operators.similarity import ivf_topk
+
+        vecs = load_table(spark, sf_dir, "embeddings")
+        cents = vecs.where(F.col("vec_id") < 8)
+        queries_df = vecs.where(F.col("vec_id") < 16)
+        return ivf_topk(vecs, queries_df, cents, k=3)
+
+    q["emb_ivf_topk"] = emb_ivf_topk
 
     def emb_near_dups(spark, sf_dir):
         vecs = load_table(spark, sf_dir, "embeddings")
@@ -1152,6 +1189,33 @@ def oracle_sql() -> dict[str, str]:
         FROM corpus GROUP BY md5(text)
     """
 
+    o["curation_pipeline"] = f"""
+        WITH {_DUP_CORPUS_SQL},
+        st AS (
+          SELECT doc_id,
+                 CASE WHEN greatest({hits['en']}, {hits['de']}, {hits['fr']}) = 0 THEN 'und'
+                      WHEN {hits['en']} = greatest({hits['en']}, {hits['de']}, {hits['fr']}) THEN 'en'
+                      WHEN {hits['de']} = greatest({hits['en']}, {hits['de']}, {hits['fr']}) THEN 'de'
+                      ELSE 'fr' END AS lang_pred,
+                 round(0.4 * least(CAST({_stop_hits_sql('en')} AS DOUBLE)
+                         / greatest(CASE WHEN length({trimmed}) = 0 THEN CAST(0 AS DOUBLE)
+                             ELSE CAST(len(regexp_split_to_array({trimmed}, '\\s+')) AS DOUBLE) END, 1.0), 1.0)
+                     + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                         / greatest(CAST(length(text) AS DOUBLE), 1.0))
+                     + 0.3 * least(CASE WHEN length({trimmed}) = 0 THEN CAST(0 AS DOUBLE)
+                             ELSE CAST(len(regexp_split_to_array({trimmed}, '\\s+')) AS DOUBLE) END / 100.0, 1.0),
+                     4) AS q,
+                 md5(text) AS fp,
+                 CASE WHEN length({trimmed}) = 0 THEN 0
+                      ELSE len(regexp_split_to_array({trimmed}, '\\s+')) END AS n_tokens
+          FROM corpus),
+        filt AS (SELECT * FROM st WHERE lang_pred = 'en' AND q >= 0.5),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM filt)
+        SELECT doc_id, lang_pred, q, n_tokens FROM ranked WHERE rn = 1
+    """
+
     band_exprs = _bands_sql()
     band_union = "\nUNION ALL\n".join(
         f"SELECT id, {b} AS band_idx, {expr} AS band_hash FROM sigs"
@@ -1235,6 +1299,28 @@ def oracle_sql() -> dict[str, str]:
                  {_cos_sql('q.embedding', 'v.embedding')} AS cos_sim
           FROM b q JOIN b v ON q.bucket = v.bucket AND q.vec_id <> v.vec_id
           WHERE q.vec_id < 20),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3
+    """
+
+    o["emb_ivf_topk"] = f"""
+        WITH cent AS (
+          SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        assign AS (
+          SELECT v.vec_id, v.embedding, c.cell,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_cos_sql('v.embedding', 'c.cvec')} DESC, c.cell ASC) AS rn
+          FROM embeddings v CROSS JOIN cent c),
+        cells AS (SELECT vec_id, embedding, cell FROM assign WHERE rn = 1),
+        scored AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                 {_cos_sql('q.embedding', 'v.embedding')} AS cos_sim
+          FROM cells q JOIN cells v ON q.cell = v.cell AND q.vec_id <> v.vec_id
+          WHERE q.vec_id < 16),
         ranked AS (
           SELECT query_id, neighbor_id, cos_sim,
                  CAST(row_number() OVER (PARTITION BY query_id

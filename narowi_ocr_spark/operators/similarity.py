@@ -116,6 +116,78 @@ def lsh_bucket(vec: Column | str) -> Column:
     return out
 
 
+def ivf_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its
+    max-cosine centroid cell (ties broken by lower cell id).
+    ``centroids`` is small (K rows) and broadcast; assignment is a
+    broadcast cross join + one window per vector — narrow on the corpus
+    side. At 100 TB the assigned table is written partitioned by ``cell``
+    so probes scan only their cells. Centroid choice is pluggable
+    (k-means on a sample offline); any deterministic K vectors work for
+    the dataflow."""
+    from pyspark.sql.window import Window
+
+    c = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+    )
+    scored = vectors.crossJoin(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "cell",
+        F.round(cosine(F.col(vec_col), F.col("cvec")), 4).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: rank only candidates in the query's
+    cell (n_probe=1; union more cells for higher recall). Complements
+    ``bucketed_topk`` — IVF cells follow the data distribution where
+    sign-LSH buckets are data-independent."""
+    from pyspark.sql.window import Window
+
+    cells = ivf_cells(vectors, centroids, id_col, vec_col)
+    q = ivf_cells(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        "cell",
+    )
+    scored = (
+        cells.join(F.broadcast(q), on="cell")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col(vec_col)), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.5,

@@ -122,3 +122,18 @@ def test_embedding_near_dup_pairs(vectors):
     # only (0,1) are near-duplicates (cos ≈ 0.994); canonical id_a < id_b
     assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
     assert out[0].cos_sim == pytest.approx(0.9939, abs=1e-4)
+
+
+def test_ivf_topk_probes_own_cell(vectors):
+    from narowi_ocr_spark.operators.similarity import ivf_cells, ivf_topk
+
+    cents = vectors.where(F.col("vec_id") < 2)
+    cells = {r.vec_id: r.cell for r in ivf_cells(vectors, cents).collect()}
+    # v0→c0 (cos 1), v1→c1 (cos 1), v2→c1 (0.11 > 0), v3→tie→lower cell 0,
+    # v4→c1 (-0.99 > -1)
+    assert cells == {0: 0, 1: 1, 2: 1, 3: 0, 4: 1}
+
+    q = vectors.where(F.col("vec_id") == 0)
+    out = ivf_topk(vectors, q, cents, k=3).collect()
+    # n_probe=1: only cell-0 co-residents are candidates → just v3
+    assert [(r.neighbor_id, r.cos_sim) for r in out] == [(3, 0.0)]
