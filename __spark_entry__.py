@@ -591,6 +591,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf_dir)
         return docs.select("doc_id", fingerprint("text").alias("fp"))
 
+    def rolling_fingerprints(spark, sf_dir):
+        from narowi_ocr_spark.functions.textstats import rolling_fingerprint
+
+        docs = _docs(spark, sf_dir)
+        return docs.select("doc_id", rolling_fingerprint("text").alias("rfp"))
+
+    q["rolling_fingerprints"] = rolling_fingerprints
+
     q["fingerprints"] = fingerprints
 
     # ---------------- dedup family -------------------------------------
@@ -1182,6 +1190,15 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["fingerprints"] = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+    o["rolling_fingerprints"] = """
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                   list_transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % 2147483647) AS rfp
+        FROM documents
+    """
 
     o["exact_dedup"] = f"""
         WITH {_DUP_CORPUS_SQL}

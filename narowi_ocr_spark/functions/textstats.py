@@ -81,6 +81,30 @@ def quality_score(text: Column | str) -> Column:
     return F.round(score, 4)
 
 
+ROLL_BASE = 31
+ROLL_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
+ROLL_SEED = 7
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash (Rabin-Karp family) of the whole document:
+    h = fold(seed, codepoints, (acc, c) -> (acc·31 + c) mod 2³¹−1).
+    Unlike the md5 ``fingerprint`` this is incrementally updatable — the
+    building block for content-defined chunking / shift-resistant
+    near-dup detection. Native aggregate HOF: narrow, codegen-adjacent,
+    and bit-identical in the DuckDB oracle (list_reduce)."""
+    t = F.col(text) if isinstance(text, str) else text
+    codes = F.transform(
+        F.filter(F.split(t, ""), lambda c: F.length(c) > 0),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(ROLL_SEED).cast("long"),
+        lambda acc, c: (acc * ROLL_BASE + c) % ROLL_MOD,
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic content fingerprint (md5 hex) for exact-dup grouping;
     identical function exists in the DuckDB oracle."""

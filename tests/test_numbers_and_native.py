@@ -108,3 +108,29 @@ def test_validate_temperature_format_native(spark):
             assert row.v.error_reason == reason, text
         if corr:
             assert row.v.suggested_correction == corr, text
+
+
+def test_rolling_fingerprint(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.functions.textstats import (
+        ROLL_BASE,
+        ROLL_MOD,
+        ROLL_SEED,
+        rolling_fingerprint,
+    )
+
+    def py_roll(s):
+        acc = ROLL_SEED
+        for ch in s:
+            acc = (acc * ROLL_BASE + ord(ch)) % ROLL_MOD
+        return acc
+
+    rows = [Row(i=0, t="abc"), Row(i=1, t=""), Row(i=2, t="the quick brown fox")]
+    out = {
+        r.i: r.rfp
+        for r in spark.createDataFrame(rows)
+        .select("i", rolling_fingerprint("t").alias("rfp"))
+        .collect()
+    }
+    assert out == {0: py_roll("abc"), 1: ROLL_SEED, 2: py_roll("the quick brown fox")}
