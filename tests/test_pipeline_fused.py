@@ -24,7 +24,8 @@ def test_fused_equals_modular(spark):
 def test_fused_single_python_stage(spark):
     pages = synth_pages(spark, 50, partitions=2)
     plan = extract_pages(pages)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("MapInArrow") == 1, plan
+    assert plan.count("ArrowEvalPython") == 0, plan
     assert "Exchange" not in plan
 
 

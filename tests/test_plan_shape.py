@@ -22,9 +22,10 @@ def test_html_dropped_after_tokenize(spark):
     out = extract_pages(pages)
     assert "html" not in out.columns
     # the physical plan must not carry html past the (single) Python
-    # stage: everything above ArrowEvalPython operates on results only
+    # stage: everything above the MapInArrow extraction node operates on
+    # results only
     plan = _physical_plan(out)
-    above_udf = plan.split("ArrowEvalPython")[0]
+    above_udf = plan.split("MapInArrow")[0]
     assert "html" not in above_udf, above_udf
 
 
@@ -47,5 +48,7 @@ def test_whole_stage_codegen_covers_native_stages(spark):
     plan = _physical_plan(extract_pages(pages))
     # "*(n)" is the WholeStageCodegen marker in the plan-tree string
     assert "*(" in plan, plan
-    # the two Python stages are the only Arrow boundaries
-    assert plan.count("ArrowEvalPython") <= 2, plan
+    # ONE extraction Arrow boundary (the synth-pages generator adds its
+    # own MapInPandas source node, which a parquet scan wouldn't have)
+    assert plan.count("MapInArrow") == 1, plan
+    assert plan.count("ArrowEvalPython") == 0, plan
