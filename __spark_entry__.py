@@ -1183,9 +1183,9 @@ def oracle_sql() -> dict[str, str]:
                  CAST({_stop_hits_sql('en')} AS DOUBLE) AS stops
           FROM documents)
         SELECT doc_id,
-               round(0.4 * least(stops / greatest(n_words, 1.0), 1.0)
+               floor((0.4 * least(stops / greatest(n_words, 1.0), 1.0)
                    + 0.3 * (alpha_chars / greatest(n_chars, 1.0))
-                   + 0.3 * least(n_words / 100.0, 1.0), 4) AS q
+                   + 0.3 * least(n_words / 100.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS q
         FROM s
     """
 
@@ -1214,14 +1214,14 @@ def oracle_sql() -> dict[str, str]:
                       WHEN {hits['en']} = greatest({hits['en']}, {hits['de']}, {hits['fr']}) THEN 'en'
                       WHEN {hits['de']} = greatest({hits['en']}, {hits['de']}, {hits['fr']}) THEN 'de'
                       ELSE 'fr' END AS lang_pred,
-                 round(0.4 * least(CAST({_stop_hits_sql('en')} AS DOUBLE)
+                 floor((0.4 * least(CAST({_stop_hits_sql('en')} AS DOUBLE)
                          / greatest(CASE WHEN length({trimmed}) = 0 THEN CAST(0 AS DOUBLE)
                              ELSE CAST(len(regexp_split_to_array({trimmed}, '\\s+')) AS DOUBLE) END, 1.0), 1.0)
                      + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                          / greatest(CAST(length(text) AS DOUBLE), 1.0))
                      + 0.3 * least(CASE WHEN length({trimmed}) = 0 THEN CAST(0 AS DOUBLE)
-                             ELSE CAST(len(regexp_split_to_array({trimmed}, '\\s+')) AS DOUBLE) END / 100.0, 1.0),
-                     4) AS q,
+                             ELSE CAST(len(regexp_split_to_array({trimmed}, '\\s+')) AS DOUBLE) END / 100.0, 1.0)
+                     ) * 10000.0 + 0.5) / 10000.0 AS q,
                  md5(text) AS fp,
                  CASE WHEN length({trimmed}) = 0 THEN 0
                       ELSE len(regexp_split_to_array({trimmed}, '\\s+')) END AS n_tokens

@@ -78,7 +78,12 @@ def quality_score(text: Column | str) -> Column:
         + 0.3 * (alpha_chars / safe_chars)
         + 0.3 * F.least(n_words / F.lit(100.0), F.lit(1.0))
     )
-    return F.round(score, 4)
+    # floor(x·10⁴ + 0.5)/10⁴ instead of F.round: Spark rounds the
+    # SHORTEST DECIMAL REPR half-up (BigDecimal) while other engines
+    # round the raw binary double, so x.xxxx5 boundaries diverge; the
+    # floor form is pure IEEE arithmetic — bit-identical everywhere
+    # given the same double input (5 of 5000 sf0.1 docs hit a boundary).
+    return F.floor(score * 10000.0 + 0.5) / 10000.0
 
 
 ROLL_BASE = 31
