@@ -308,10 +308,18 @@ def _bucket_sql(vec: str = "embedding") -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _round4_sql(expr: str) -> str:
+    """Mirror of functions.native.round4: floor(x·10⁴+0.5)/10⁴ — pure
+    IEEE ops, bit-identical across engines (DuckDB round() rounds the
+    raw binary double; Spark F.round rounds its shortest decimal repr —
+    they disagree on x.xxxx5 boundaries)."""
+    return f"(floor(({expr}) * 10000.0 + 0.5) / 10000.0)"
+
+
 def _cos_sql(a: str, b: str) -> str:
-    return (
-        f"round(list_dot_product({a}, {b}) / "
-        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+    return _round4_sql(
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
     )
 
 
@@ -984,9 +992,9 @@ def oracle_sql() -> dict[str, str]:
 
     def score_sql(tl: str, ll: str) -> str:
         ld = f"(CAST({ll} AS DOUBLE) / greatest(CAST({tl} AS DOUBLE), 1.0))"
-        return (
-            f"round(100.0 * least(greatest(0.7 * (1.0 - {ld}) "
-            f"+ 0.3 * least(CAST({tl} AS DOUBLE) / 200.0, 1.0), 0.0), 1.0), 4)"
+        return _round4_sql(
+            f"100.0 * least(greatest(0.7 * (1.0 - {ld}) "
+            f"+ 0.3 * least(CAST({tl} AS DOUBLE) / 200.0, 1.0), 0.0), 1.0)"
         )
 
     def is_content_sql(tl: str, ll: str, tag: str) -> str:
@@ -1266,13 +1274,13 @@ def oracle_sql() -> dict[str, str]:
           FROM bands a JOIN bands b
             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id)
         SELECT p.id_a, p.id_b,
-               round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                   / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) AS jaccard
+               {_round4_sql("CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+                            " / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)")} AS jaccard
         FROM pairs p
         JOIN sh_docs sa ON sa.id = p.id_a
         JOIN sh_docs sb ON sb.id = p.id_b
-        WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                  / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) >= 0.5
+        WHERE {_round4_sql("CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+                           " / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)")} >= 0.5
     """
 
     o["simhash"] = f"SELECT doc_id, {_simhash_sql()} AS h FROM documents"

@@ -14,6 +14,25 @@ from narowi_ocr_spark.functions.patterns import (
     READING_RANGES,
 )
 
+
+def round4(col: Column) -> Column:
+    """4-decimal rounding as pure IEEE arithmetic:
+    floor(x·10⁴ + 0.5)/10⁴. Used instead of ``F.round`` on every
+    oracle-compared value: Spark's F.round applies BigDecimal HALF_UP to
+    the double's SHORTEST DECIMAL REPR while DuckDB (and most engines)
+    round the raw binary double, so x.xxxx5 boundaries diverge between
+    engines; the floor form is bit-identical everywhere given identical
+    double inputs (a boundary hit in practice: 5/5000 quality scores at
+    sf0.1)."""
+    return F.floor(col * 10000.0 + 0.5) / 10000.0
+
+
+def round4_py(x: float) -> float:
+    """Python mirror of ``round4`` — same IEEE ops, bit-identical."""
+    import math
+
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
+
 # Accepted formats of validate_temperature_format
 # (reference pattern_matcher.py:300-305). Java and Python regex agree on
 # these constructs; applied after whitespace strip so the \s* tails are inert.

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from narowi_ocr_spark.functions.native import round4
+
 
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
@@ -40,7 +42,7 @@ def mean_content_score(scored_blocks: Column | str) -> Column:
         nonempty, F.lit(0.0), lambda acc, b: acc + b["score"]
     )
     n = F.size(nonempty)
-    return F.when(n > 0, F.round(total / n.cast("double"), 4)).otherwise(F.lit(0.0))
+    return F.when(n > 0, round4(total / n.cast("double"))).otherwise(F.lit(0.0))
 
 
 def text_with_confidence(scored_blocks: Column | str) -> Column:

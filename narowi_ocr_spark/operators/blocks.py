@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
+from narowi_ocr_spark.functions.native import round4, round4_py
 from narowi_ocr_spark.schema import BLOCKS_SCHEMA, SCORED_BLOCKS_SCHEMA
 
 # ---------------------------------------------------------------- tokenizer
@@ -49,17 +50,6 @@ _BLOCK_OPEN_RE = re.compile(
 
 _ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]*>")
-
-_Q4 = __import__("decimal").Decimal("0.0001")
-_HALF_UP = __import__("decimal").ROUND_HALF_UP
-_Decimal = __import__("decimal").Decimal
-
-
-def round_half_up_4(x: float) -> float:
-    """Bit-exact mirror of Spark's F.round(x, 4): Java rounds the
-    double's shortest decimal representation with BigDecimal HALF_UP;
-    Python's repr() produces the same shortest repr."""
-    return float(_Decimal(repr(x)).quantize(_Q4, rounding=_HALF_UP))
 
 
 def _block_text(fragment: str) -> str:
@@ -110,13 +100,12 @@ def tokenize_html(html_col: Column | str) -> Column:
 
 def _score_block_py(b: dict) -> dict:
     """Python mirror of block_score_expr/is_content_expr — same IEEE
-    arithmetic; rounding via round_half_up_4 (bit-exact vs Spark's
-    F.round, which is BigDecimal HALF_UP on the double's shortest
-    decimal repr)."""
+    arithmetic; rounding via round4_py (IEEE-exact floor form, identical
+    to the JVM round4 expression and the DuckDB oracles)."""
     ld = float(b["link_len"]) / max(float(b["text_len"]), 1.0)
     raw = 0.7 * (1.0 - ld) + 0.3 * min(float(b["text_len"]) / LENGTH_SATURATION, 1.0)
     score = 100.0 * min(max(raw, 0.0), 1.0)
-    b["score"] = round_half_up_4(score)
+    b["score"] = round4_py(score)
     b["is_content"] = (
         ld < MAX_LINK_DENSITY
         and b["text_len"] >= MIN_TEXT_LEN
@@ -174,7 +163,7 @@ def block_score_expr(b: Column) -> Column:
         b["text_len"].cast("double") / F.lit(LENGTH_SATURATION), F.lit(1.0)
     )
     raw = 0.7 * (F.lit(1.0) - ld) + 0.3 * length_factor
-    return F.round(100.0 * F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0)), 4)
+    return round4(100.0 * F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0)))
 
 
 def is_content_expr(b: Column) -> Column:

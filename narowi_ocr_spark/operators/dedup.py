@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from narowi_ocr_spark.functions.native import round4
 from narowi_ocr_spark.functions.textstats import fingerprint, words
 
 # MinHash geometry: NUM_PERM permutations folded into NUM_BANDS bands of
@@ -251,7 +252,7 @@ def jaccard_pairs(
         j.select(
             "id_a",
             "id_b",
-            F.round(inter / union, 4).alias("jaccard"),
+            round4(inter / union).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

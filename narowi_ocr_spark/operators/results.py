@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from narowi_ocr_spark.functions.native import round4
+
 from narowi_ocr_spark.schema import READING_TYPE_NAMES
 
 STATUS_SUCCESS = "success"
@@ -67,7 +69,7 @@ def batch_summary(df: DataFrame, confidence_col: str = "confidence") -> DataFram
         ),
         F.sum("n_readings").alias("total_readings"),
         F.sum("n_valid").alias("valid_readings"),
-        F.round(F.avg(confidence_col), 4).alias("average_confidence"),
+        round4(F.avg(confidence_col)).alias("average_confidence"),
     )
 
 

@@ -25,6 +25,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from narowi_ocr_spark.functions.native import round4
+
 NUM_PLANES = 8
 DIM = 64
 
@@ -93,7 +95,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("cos_sim"),
+            round4(cosine(F.col("qvec"), F.col("nvec"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -139,7 +141,7 @@ def ivf_cells(
         id_col,
         vec_col,
         "cell",
-        F.round(cosine(F.col(vec_col), F.col("cvec")), 4).alias("csim"),
+        round4(cosine(F.col(vec_col), F.col("cvec"))).alias("csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell"))
     return (
@@ -175,7 +177,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qvec"), F.col(vec_col)), 4).alias("cos_sim"),
+            round4(cosine(F.col("qvec"), F.col(vec_col))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -215,7 +217,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+            round4(cosine(F.col("a.v"), F.col("b.v"))).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -250,7 +252,7 @@ def bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("cos_sim"),
+            round4(cosine(F.col("qvec"), F.col("nvec"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

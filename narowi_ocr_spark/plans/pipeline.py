@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 from narowi_ocr_spark.functions.readings import extract_readings, extract_readings_py
 from narowi_ocr_spark.operators.assemble import main_text, mean_content_score
 from narowi_ocr_spark.operators.blocks import (
-    round_half_up_4,
+    round4_py,
     tokenize_and_score_py,
     tokenize_scored,
 )
@@ -50,7 +50,7 @@ def extract_page_py(payload: bytes | str | None) -> tuple[str, float, list[dict]
         acc = 0.0
         for b in nonempty:
             acc += b["score"]
-        confidence = round_half_up_4(acc / float(len(nonempty)))
+        confidence = round4_py(acc / float(len(nonempty)))
     else:
         confidence = 0.0
     return text, confidence, extract_readings_py(text)

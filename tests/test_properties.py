@@ -12,7 +12,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from narowi_ocr_spark.functions.readings import extract_readings_py
-from narowi_ocr_spark.operators.blocks import round_half_up_4, tokenize_and_score_py
+from narowi_ocr_spark.operators.blocks import round4_py, tokenize_and_score_py
 from narowi_ocr_spark.plans.pipeline import extract_page_py
 
 # Text fragments that plausibly contain readings + pure noise.
@@ -91,8 +91,8 @@ def test_extract_page_confidence_bounds(payload):
 
 @given(st.floats(min_value=0.0, max_value=100.0, allow_nan=False))
 @settings(max_examples=500, deadline=None)
-def test_round_half_up_4_matches_decimal_contract(x):
-    """round_half_up_4 is idempotent, within 5e-5 of x, and 4-decimal."""
-    r = round_half_up_4(x)
+def test_round4_contract(x):
+    """round4_py is idempotent, within 5e-5 of x, and 4-decimal."""
+    r = round4_py(x)
     assert abs(r - x) <= 5e-5 + 1e-12
-    assert round_half_up_4(r) == r
+    assert round4_py(r) == r
