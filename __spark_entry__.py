@@ -281,10 +281,14 @@ def _bands_sql(num_bands: int = 8, rows_per_band: int = 2) -> list[str]:
     return out
 
 
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_sql(bits: int = 64) -> str:
     """Mirrors dedup.simhash: bit b's vote for word w is the parity of
-    hex digit b+1 of md5(w) — one digest per word carries all votes."""
-    hw = f"list_transform(list_distinct({_WORDS_SQL}), t -> md5(t))"
+    hex digit b+1 of md5(w) ‖ md5('1:' || w) — two digests per word carry
+    all 64 votes. Bit 63 contributes the signed two's-complement value."""
+    hw = (
+        f"list_transform(list_distinct({_WORDS_SQL}), "
+        "t -> md5(t) || md5('1:' || t))"
+    )
     terms = []
     for b in range(bits):
         vote = (
@@ -292,7 +296,8 @@ def _simhash_sql(bits: int = 16) -> str:
             f"substr(h, {b + 1}, 1) IN "
             "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END))"
         )
-        terms.append(f"CASE WHEN {vote} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END")
+        bit_val = str((1 << b) if b < 63 else "(-9223372036854775807 - 1)")
+        terms.append(f"CASE WHEN {vote} > 0 THEN CAST({bit_val} AS BIGINT) ELSE 0 END")
     return f"(SELECT (" + " + ".join(terms) + f") FROM (SELECT {hw} AS hw) _hw)"
 
 
@@ -1285,13 +1290,15 @@ def oracle_sql() -> dict[str, str]:
 
     o["simhash"] = f"SELECT doc_id, {_simhash_sql()} AS h FROM documents"
 
+    band_rows = "\n          UNION ALL\n".join(
+        f"          SELECT id, h, {i} AS part, (h >> {16 * i}) & 65535 AS key FROM h"
+        for i in range(4)
+    )
     o["simhash_pairs"] = f"""
         WITH {_DUP_CORPUS_SQL},
         h AS (SELECT doc_id AS id, {_simhash_sql()} AS h FROM corpus),
         blk AS (
-          SELECT id, h, 0 AS part, h % 256 AS key FROM h
-          UNION ALL
-          SELECT id, h, 1 AS part, h // 256 AS key FROM h)
+{band_rows})
         SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                bit_count(xor(a.h, b.h)) AS hamming
         FROM blk a JOIN blk b

@@ -35,7 +35,8 @@ NUM_PERM = 16
 ROWS_PER_BAND = 2
 NUM_BANDS = NUM_PERM // ROWS_PER_BAND
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4×16-bit blocking keys: pigeonhole covers hamming ≤ 3
 
 
 def _col(c: Column | str) -> Column:
@@ -260,23 +261,28 @@ def jaccard_pairs(
 
 # --------------------------------------------------------------- SimHash
 
+def _word_hash(t: Column) -> Column:
+    """64 hex digits of bit votes per word: md5(w) ‖ md5('1:'+w).
+    TWO md5 calls per word carry all 64 independent bit parities — still
+    O(1) hash invocations per word, never one per (word, bit)."""
+    return F.concat(F.md5(t), F.md5(F.concat(F.lit("1:"), t)))
+
+
 def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
     """``bits``-bit SimHash over the distinct word set (long column).
 
-    ONE md5 per word: bit *b* of word *w* is the parity of hex digit
-    *b*+1 of ``md5(w)`` (digit ≥ '8' → 1) — the 32 hex digits of a single
-    digest carry all ≤32 independent bit votes, so the hash kernel runs
-    once per word, not once per (word, bit). The per-document bit is the
-    sign of the ±1 vote sum — all computed with ``aggregate`` over the
-    hashed-word array: narrow, shuffle-free, and byte-reproducible in the
-    DuckDB oracle.
+    TWO md5 per word (see ``_word_hash``): bit *b* of word *w* is the
+    parity of hex digit *b*+1 of the 64-digit concatenated digest
+    (digit ≥ '8' → 1). The per-document bit is the sign of the ±1 vote
+    sum — all computed with ``aggregate`` over the hashed-word array:
+    narrow, shuffle-free, and byte-reproducible in the DuckDB oracle.
 
-    For hot paths use ``with_simhash`` — it stages the md5-per-word
+    For hot paths use ``with_simhash`` — it stages the hash-per-word
     projection so the tokenize+hash expression runs once per row, not
     re-inlined once per bit.
     """
     hw = F.transform(
-        F.array_distinct(words(F.lower(_col(text)))), lambda t: F.md5(t)
+        F.array_distinct(words(F.lower(_col(text)))), _word_hash
     )
     return _simhash_from_hashes(hw, bits)
 
@@ -291,17 +297,25 @@ def with_simhash(
         F.col(id_col).alias("id"),
         F.transform(
             F.array_distinct(words(F.lower(F.col(text_col)))),
-            lambda t: F.md5(t),
+            _word_hash,
         ).alias("hw"),
     ).select("id", _simhash_from_hashes(F.col("hw"), bits).alias("h"))
 
 
+def _bit_value(b: int) -> int:
+    """Signed-long value of bit ``b`` (bit 63 is the two's-complement
+    sign bit, so its contribution is negative)."""
+    return (1 << b) if b < 63 else -(1 << 63)
+
+
 def _simhash_from_hashes(hw: Column, bits: int = SIMHASH_BITS) -> Column:
-    assert bits <= 32, "one md5 digest carries at most 32 hex-digit votes"
+    assert bits <= 64, "the concatenated digests carry 64 hex-digit votes"
     out = F.lit(0).cast("long")
     for b in range(bits):
         vote = F.aggregate(hw, F.lit(0), _vote_fn(b))
-        out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        out = out + F.when(vote > 0, F.lit(_bit_value(b))).otherwise(F.lit(0)).cast(
+            "long"
+        )
     return out
 
 
@@ -320,25 +334,48 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_band_key(h: Column, band: int) -> Column:
+    """16-bit blocking key ``band`` of a 64-bit SimHash: bits
+    [16·band, 16·band+16). The mask makes the arithmetic shift's
+    sign-fill irrelevant."""
+    shifted = F.shiftright(h, 16 * band) if band else h
+    return shifted.bitwiseAND(F.lit(65535)).cast("long")
+
+
 def simhash_near_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance. Candidate generation
-    uses the two 8-bit halves as blocking keys (a pair within hamming ≤ 3
-    of a 16-bit hash must agree on at least one half — pigeonhole), so the
-    join is an equi-join on a small key, never a cross join."""
+    uses the four 16-bit bands of the 64-bit hash as blocking keys: a
+    pair within hamming ≤ 3 differs in at most 3 of the 4 bands, so by
+    pigeonhole it agrees exactly on at least one band — the join is an
+    equi-join on a small (band, key) pair, never a cross join. With
+    2¹⁶ values per band the expected bucket occupancy stays tiny even at
+    10⁹ docs (vs the 256-bucket 8-bit-half scheme this replaced, whose
+    self-join degraded toward O(N²/256)).
+
+    The d+1-band guarantee requires ``max_hamming`` ≤ 3; larger radii
+    would need more/finer bands (recall would silently drop otherwise).
+    """
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the {SIMHASH_BANDS}-band "
+            f"pigeonhole guarantee (≤ {SIMHASH_BANDS - 1})"
+        )
     h = with_simhash(df, text_col, id_col)
     halves = h.select(
         "id",
         "h",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("part"), (F.col("h") % 256).alias("key")),
-                F.struct(
-                    F.lit(1).alias("part"),
-                    F.floor(F.col("h") / 256).cast("long").alias("key"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(i).alias("part"),
+                        simhash_band_key(F.col("h"), i).alias("key"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
             )
         ).alias("blk"),
     ).select("id", "h", "blk.part", "blk.key")

@@ -74,9 +74,22 @@ def test_simhash_near_pairs(corpus):
         for r in corpus.select("doc_id", simhash("text").alias("h")).collect()
     }
     assert hashes[0] == hashes[1]
-    assert 0 <= hashes[0] < (1 << 16)
+    assert -(1 << 63) <= hashes[0] < (1 << 63)  # full 64-bit signed range
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(corpus).collect()}
     assert pairs.get((0, 1)) == 0
+    # exhaustive recall check of the 4×16-bit band blocking: every pair
+    # within hamming ≤ 3 must be captured (pigeonhole on d+1=4 bands)
+    import itertools
+
+    exhaustive = {
+        (a, b): bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        for a, b in itertools.combinations(sorted(hashes), 2)
+    }
+    expected = {k: d for k, d in exhaustive.items() if d <= 3}
+    assert pairs == expected
+
+    with pytest.raises(ValueError):
+        simhash_near_pairs(corpus, max_hamming=4)
 
 
 def test_shingles_short_doc(spark):
