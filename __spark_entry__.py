@@ -32,14 +32,7 @@ from narowi_ocr_spark.functions.native import validate_temperature_format
 from narowi_ocr_spark.functions.numbers import extract_numbers
 from narowi_ocr_spark.functions.patterns import NUMBER_PATTERNS
 from narowi_ocr_spark.functions.readings import extract_readings
-from narowi_ocr_spark.functions.textstats import (
-    STOPWORDS,
-    fingerprint,
-    lang_id,
-    quality_score,
-    subword_token_estimate,
-    token_count,
-)
+from narowi_ocr_spark.functions.textstats import STOPWORDS, fingerprint
 from narowi_ocr_spark.operators.assemble import main_text, mean_content_score
 from narowi_ocr_spark.operators.blocks import score_blocks, tokenize_html
 from narowi_ocr_spark.operators.dedup import (
@@ -551,19 +544,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["temperature_format"] = temperature_format
 
     # ---------------- text analysis ------------------------------------
+    # All four go through with_text_stats: ONE tokenize+dedup pass feeds
+    # every stat (the scalar functions would re-run the split per
+    # reference after CollapseProject). Values are identical.
+    from narowi_ocr_spark.functions.textstats import with_text_stats
+
     def token_counts(spark, sf_dir):
-        docs = _docs(spark, sf_dir)
-        return docs.select(
-            "doc_id",
-            token_count("text").alias("n_tokens"),
-            subword_token_estimate("text").alias("n_subword"),
+        return with_text_stats(_docs(spark, sf_dir)).select(
+            "doc_id", "n_tokens", "n_subword"
         )
 
     q["token_counts"] = token_counts
 
     def lang_id_q(spark, sf_dir):
-        docs = _docs(spark, sf_dir)
-        return docs.select("doc_id", lang_id("text").alias("lang_pred"))
+        return with_text_stats(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
 
     q["lang_id"] = lang_id_q
 
@@ -572,19 +566,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact dedup (keep min-id representative). The composition the
         individual operators exist for; one narrow scoring pass, one
         shuffle (the dedup groupBy-equivalent window on the fingerprint)."""
-        from narowi_ocr_spark.functions.textstats import (
-            fingerprint as fp_fn,
-            token_count,
-        )
+        from narowi_ocr_spark.functions.textstats import fingerprint as fp_fn
 
         corpus = _dup_corpus(_docs(spark, sf_dir))
-        scored = corpus.select(
-            "doc_id",
-            lang_id("text").alias("lang_pred"),
-            quality_score("text").alias("q"),
-            fp_fn("text").alias("fp"),
-            token_count("text").alias("n_tokens"),
-        ).where((F.col("lang_pred") == "en") & (F.col("q") >= 0.5))
+        scored = (
+            with_text_stats(corpus)
+            .withColumn("fp", fp_fn("text"))
+            .where((F.col("lang_pred") == "en") & (F.col("q") >= 0.5))
+        )
         w = Window.partitionBy("fp").orderBy("doc_id")
         return (
             scored.withColumn("rn", F.row_number().over(w))
@@ -595,8 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curation_pipeline"] = curation_pipeline
 
     def quality_scores(spark, sf_dir):
-        docs = _docs(spark, sf_dir)
-        return docs.select("doc_id", quality_score("text").alias("q"))
+        return with_text_stats(_docs(spark, sf_dir)).select("doc_id", "q")
 
     q["quality_scores"] = quality_scores
 

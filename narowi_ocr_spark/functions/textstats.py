@@ -9,7 +9,7 @@ inside whole-stage codegen at 100 TB scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword inventories. Deliberately small: the point is
@@ -86,28 +86,106 @@ def quality_score(text: Column | str) -> Column:
     return F.floor(score * 10000.0 + 0.5) / 10000.0
 
 
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``n_tokens``, ``n_subword``, ``lang_pred`` and ``q`` (quality
+    score) in ONE tokenization pass.
+
+    The scalar functions above each inline their own ``words()`` split,
+    so composing them re-runs the regexp-trim + split once per reference
+    after CollapseProject (quality_score alone runs it 3×). This stages
+    the token array — and its distinct set — behind projection
+    boundaries (CollapseProject keeps multi-referenced non-cheap
+    projections separate), so the split and the dedup each run once per
+    row no matter how many stats consume them. Values are bit-identical
+    to the scalar functions (asserted by tests/test_textstats_staged.py)."""
+    t = F.col(text_col)
+    staged = df.withColumn("_toks", words(F.lower(t))).withColumn(
+        "_dtoks", F.array_distinct(F.col("_toks"))
+    )
+    hits = {
+        lg: F.size(
+            F.array_intersect(
+                F.col("_dtoks"), F.array(*[F.lit(w) for w in STOPWORDS[lg]])
+            )
+        )
+        for lg in STOPWORDS
+    }
+    for lg, h in hits.items():
+        staged = staged.withColumn(f"_hits_{lg}", h)
+    best = F.greatest(*[F.col(f"_hits_{lg}") for lg in STOPWORDS])
+    lang_expr: Column = F.lit("und")
+    for lg in reversed(list(STOPWORDS)):  # earlier langs win ties
+        lang_expr = F.when(F.col(f"_hits_{lg}") == best, F.lit(lg)).otherwise(
+            lang_expr
+        )
+    # size() is case-invariant, so size(_toks) == token_count(text)
+    n_words = F.size("_toks").cast("double")
+    n_chars = F.length(t).cast("double")
+    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+    stops = F.col("_hits_en").cast("double")
+    score = (
+        0.4 * F.least(stops / F.greatest(n_words, F.lit(1.0)), F.lit(1.0))
+        + 0.3 * (alpha_chars / F.greatest(n_chars, F.lit(1.0)))
+        + 0.3 * F.least(n_words / F.lit(100.0), F.lit(1.0))
+    )
+    return (
+        staged.withColumn("n_tokens", F.size("_toks"))
+        .withColumn("n_subword", subword_token_estimate(t))
+        .withColumn("lang_pred", F.when(best == 0, F.lit("und")).otherwise(lang_expr))
+        .withColumn("q", F.floor(score * 10000.0 + 0.5) / 10000.0)
+        .drop("_toks", "_dtoks", *[f"_hits_{lg}" for lg in STOPWORDS])
+    )
+
+
 ROLL_BASE = 31
 ROLL_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
 ROLL_SEED = 7
+ROLL_CHUNK = 4096  # chars folded per transient array (bounds allocation)
 
 
-def rolling_fingerprint(text: Column | str) -> Column:
+def rolling_fingerprint(text: Column | str, chunk: int = ROLL_CHUNK) -> Column:
     """Polynomial rolling hash (Rabin-Karp family) of the whole document:
     h = fold(seed, codepoints, (acc, c) -> (acc·31 + c) mod 2³¹−1).
     Unlike the md5 ``fingerprint`` this is incrementally updatable — the
     building block for content-defined chunking / shift-resistant
-    near-dup detection. Native aggregate HOF: narrow, codegen-adjacent,
-    and bit-identical in the DuckDB oracle (list_reduce)."""
+    near-dup detection.
+
+    Evaluated CHUNKED: the text is cut into ``chunk``-char slices and
+    each slice folds to (h_slice, 31^len_slice mod p); slices combine as
+    acc' = (acc · 31^len + h_slice) mod p. A multi-MB document therefore
+    never materializes an O(doc-length) per-char array in the JVM — the
+    transient allocation is O(chunk). All products stay < 2⁶² (both
+    factors < 2³¹), so the long arithmetic never overflows. The value is
+    bit-identical to the single-pass fold (and to the DuckDB
+    list_reduce oracle)."""
     t = F.col(text) if isinstance(text, str) else text
-    codes = F.transform(
-        F.filter(F.split(t, ""), lambda c: F.length(c) > 0),
-        lambda c: F.ascii(c).cast("long"),
+    n_chunks = F.ceil(F.length(t) / F.lit(chunk)).cast("int")
+    # sequence(1, 0) would yield the DESCENDING [1, 0] — guard empty docs
+    idxs = F.when(n_chunks >= 1, F.sequence(F.lit(1), n_chunks)).otherwise(
+        F.array().cast("array<int>")
     )
-    return F.aggregate(
-        codes,
-        F.lit(ROLL_SEED).cast("long"),
-        lambda acc, c: (acc * ROLL_BASE + c) % ROLL_MOD,
+    chunks = F.transform(
+        idxs, lambda i: F.substring(t, (i - F.lit(1)) * chunk + F.lit(1), F.lit(chunk))
     )
+
+    def _fold_chunk(acc: Column, c: Column) -> Column:
+        codes = F.transform(
+            F.filter(F.split(c, ""), lambda ch: F.length(ch) > 0),
+            lambda ch: F.ascii(ch).cast("long"),
+        )
+        part = F.aggregate(
+            codes,
+            F.struct(
+                F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")
+            ),
+            lambda a, code: F.struct(
+                ((a["h"] * ROLL_BASE + code) % ROLL_MOD).alias("h"),
+                ((a["p"] * ROLL_BASE) % ROLL_MOD).alias("p"),
+            ),
+        )
+        return (acc * part["p"] + part["h"]) % ROLL_MOD
+
+    return F.aggregate(chunks, F.lit(ROLL_SEED).cast("long"), _fold_chunk)
 
 
 def fingerprint(text: Column | str) -> Column:

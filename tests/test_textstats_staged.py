@@ -1,0 +1,77 @@
+"""Equivalence tests for the staged/chunked text-stat evaluation paths:
+`with_text_stats` must be value-identical to the scalar column functions,
+and the chunked `rolling_fingerprint` must be invariant to chunk size
+(both against each other and against a pure-Python reference fold)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from narowi_ocr_spark.functions.textstats import (
+    ROLL_BASE,
+    ROLL_MOD,
+    ROLL_SEED,
+    lang_id,
+    quality_score,
+    rolling_fingerprint,
+    subword_token_estimate,
+    token_count,
+    with_text_stats,
+)
+
+TEXTS = [
+    "the quick brown fox is on the hill for the day",
+    "der hund ist nicht mit der katze und den anderen",
+    "le chat est dans la maison pour les vacances",
+    "",
+    "   ",
+    "one",
+    "Zahlen 42 und zeichen!? the of to in is that for with on",
+    "x" * 9000,  # multi-chunk for the rolling hash
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(TEXTS)]
+    )
+
+
+def test_with_text_stats_matches_scalar_functions(spark):
+    df = _df(spark)
+    staged = {
+        r["doc_id"]: r
+        for r in with_text_stats(df)
+        .select("doc_id", "n_tokens", "n_subword", "lang_pred", "q")
+        .collect()
+    }
+    scalar = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            subword_token_estimate("text").alias("n_subword"),
+            lang_id("text").alias("lang_pred"),
+            quality_score("text").alias("q"),
+        ).collect()
+    }
+    for i in staged:
+        assert staged[i].asDict() == scalar[i].asDict()
+
+
+def _roll_py(text: str) -> int:
+    h = ROLL_SEED
+    for ch in text:
+        h = (h * ROLL_BASE + ord(ch)) % ROLL_MOD
+    return h
+
+
+def test_rolling_fingerprint_chunk_invariant(spark):
+    df = _df(spark)
+    for chunk in (7, 4096):
+        got = {
+            r["doc_id"]: r["rfp"]
+            for r in df.select(
+                "doc_id", rolling_fingerprint("text", chunk=chunk).alias("rfp")
+            ).collect()
+        }
+        assert got == {i: _roll_py(t) for i, t in enumerate(TEXTS)}, chunk
