@@ -140,15 +140,16 @@ def sessionize_batch(events: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
+    # microsecond epoch, NOT cast('long') (second truncation): the
+    # stateful twin applies the strict >gap test at µs precision, and
+    # sub-second timestamps near the exact gap boundary must sessionize
+    # identically in both implementations.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     flagged = events.select(
         "user_id",
         "ts",
         "value",
-        F.when(
-            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
-            > SESSION_GAP_MIN * 60,
-            1,
-        )
+        F.when(us - F.lag(us).over(w) > _GAP_US, 1)
         .otherwise(0)
         .alias("new_session"),
     ).withColumn(

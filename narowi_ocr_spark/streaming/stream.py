@@ -10,10 +10,14 @@ with ``trigger(availableNow=True)``.
 
 Resumability (north_rule): the checkpoint location is the restart token —
 a killed job relaunched with the same checkpoint resumes from the last
-committed micro-batch and never re-emits completed batches. Per-batch
-lineage + metrics go to a JSON manifest via foreachBatch (on a cluster:
-an Iceberg metrics table next to the data; snapshot ids give per-partition
-lineage).
+committed micro-batch and never re-emits completed batches. End-to-end
+exactly-once holds because the sink is IDEMPOTENT per batch id (each
+micro-batch overwrites its own ``batch_id=<id>`` directory, so a crash
+between the parquet commit and the checkpoint commit just re-overwrites
+the same directory on relaunch — foreachBatch alone is only
+at-least-once). Per-batch lineage + metrics go to a JSON manifest via
+foreachBatch (on a cluster: an Iceberg metrics table next to the data;
+snapshot ids give per-partition lineage).
 """
 
 from __future__ import annotations
@@ -21,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -45,29 +50,51 @@ def run_extraction_stream(
     checkpoint_dir: str,
     manifest_path: str | None = None,
     timeout_s: int = 300,
+    transform: Callable[[DataFrame], DataFrame] = extract_pages,
 ) -> list[int]:
-    """Run the extraction pipeline over all currently-available input
-    (``availableNow``), exactly-once into ``out_dir``; returns the list of
-    batch ids processed THIS run (empty on a pure resume with no new data
-    — proof the checkpoint prevented re-processing)."""
+    """Run ``transform`` (default: the extraction pipeline) over all
+    currently-available input (``availableNow``), exactly-once into
+    ``out_dir``; returns the list of batch ids processed THIS run (empty
+    on a pure resume with no new data — proof the checkpoint prevented
+    re-processing).
+
+    Sink contract:
+      - idempotent per batch id: every micro-batch lands in its own
+        ``out_dir/batch_id=<id>`` directory with mode=overwrite, so a
+        re-delivered batch (crash after data commit, before checkpoint
+        commit) replaces rather than duplicates. Readers see batch_id as
+        a partition column — free per-batch lineage.
+      - single materialization: the batch is persisted across
+        write+count, so the manifest row count is served from the cache
+        instead of re-running the whole extraction per batch (asserted
+        by tests/test_streaming.py::test_manifest_single_materialization).
+    """
     pages = stream_pages(spark, src_dir)
-    results = extract_pages(pages)
+    results = transform(pages)
 
     batches_seen: list[int] = []
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batches_seen.append(batch_id)
-        batch_df.write.mode("append").parquet(out_dir)
         if manifest_path:
-            os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
-            entry = {
-                "batch_id": batch_id,
-                "rows": batch_df.count(),
-                "ts": time.time(),
-                "checkpoint": checkpoint_dir,
-            }
-            with open(manifest_path, "a") as f:
-                f.write(json.dumps(entry) + "\n")
+            batch_df.persist()
+        try:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
+            if manifest_path:
+                os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
+                entry = {
+                    "batch_id": batch_id,
+                    "rows": batch_df.count(),  # cached — no recompute
+                    "ts": time.time(),
+                    "checkpoint": checkpoint_dir,
+                }
+                with open(manifest_path, "a") as f:
+                    f.write(json.dumps(entry) + "\n")
+        finally:
+            if manifest_path:
+                batch_df.unpersist()
 
     q = (
         results.writeStream.foreachBatch(sink)

@@ -104,6 +104,27 @@ def test_gap_constant_is_strict(spark, tmp_path):
     assert len(real) == 1 and real[0].n_events == 2
 
 
+def test_batch_twin_microsecond_boundary(spark):
+    """sessionize_batch applies the strict >gap test at MICROSECOND
+    precision like the stateful twin: a gap of 30 min + 500 ms splits
+    (second truncation would see exactly 1800 s and keep one session)."""
+    t_half = T0 + datetime.timedelta(minutes=SESSION_GAP_MIN, milliseconds=500)
+    df = spark.createDataFrame(
+        [(9, T0, 1.0), (9, t_half, 1.0)],
+        schema="user_id long, ts timestamp, value double",
+    )
+    out = sessionize_batch(df).collect()
+    assert len(out) == 2
+
+    # exact-gap boundary still does NOT split
+    t_exact = T0 + datetime.timedelta(minutes=SESSION_GAP_MIN)
+    df2 = spark.createDataFrame(
+        [(9, T0, 1.0), (9, t_exact, 1.0)],
+        schema="user_id long, ts timestamp, value double",
+    )
+    assert len(sessionize_batch(df2).collect()) == 1
+
+
 def test_windowed_counts_stream(spark, tmp_path):
     events, flush = _mk_events(spark)
     src = str(tmp_path / "srcw")

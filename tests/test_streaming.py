@@ -36,3 +36,47 @@ def test_available_now_and_resume(spark, tmp_path):
     assert os.path.exists(manifest)
     entries = [json.loads(line) for line in open(manifest)]
     assert sum(e["rows"] for e in entries) == 80
+
+    # per-batch lineage: every batch landed in its own batch_id=<id>
+    # partition directory (the idempotent-sink contract)
+    batch_dirs = {d for d in os.listdir(out) if d.startswith("batch_id=")}
+    assert len(batch_dirs) == len({e["batch_id"] for e in entries})
+
+
+def test_manifest_single_materialization(spark, tmp_path):
+    """The manifest count must be served from the persisted batch, not by
+    re-running the transform (foreachBatch write + count used to compute
+    every micro-batch twice). A marker file is dropped per task
+    invocation of the transform; with the cache in place the marker
+    count equals ONE materialization's task count."""
+    import glob
+    import uuid
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    manifest = str(tmp_path / "manifest.jsonl")
+    marker_dir = tmp_path / "markers"
+    marker_dir.mkdir()
+
+    synth_pages(spark, 40, partitions=2).write.parquet(src)
+    n_files = len(glob.glob(os.path.join(src, "part-*.parquet")))
+    assert n_files == 2
+
+    mdir = str(marker_dir)
+
+    def tagged_transform(pages):
+        def tag(batches):
+            with open(os.path.join(mdir, uuid.uuid4().hex), "w"):
+                pass
+            yield from batches
+
+        return pages.mapInArrow(tag, pages.schema)
+
+    run_extraction_stream(
+        spark, src, out, ckpt, manifest, timeout_s=120,
+        transform=tagged_transform,
+    )
+    rows = sum(e["rows"] for e in map(json.loads, open(manifest)))
+    assert rows == 40
+    assert len(os.listdir(mdir)) == n_files  # 2× would mean double-compute
