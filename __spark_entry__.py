@@ -448,6 +448,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["readings_spans"] = readings_spans
 
+    def readings_spans_fast(spark, sf_dir):
+        """K6 native fast path (functions/fastpath.py): the same spans as
+        readings_spans with zero Python — Java regex + HOF dedup fold in
+        one narrow projection. Shares the reference-derived golden
+        oracle, so a hash match proves fast == byte-identical on these
+        inputs (broader equivalence: tests/test_fastpath.py fuzz)."""
+        from narowi_ocr_spark.functions.fastpath import extract_readings_fast
+
+        docs = _docs(spark, sf_dir)
+        aug = docs.select("doc_id", _aug_expr().alias("aug"))
+        r = aug.select("doc_id", extract_readings_fast("aug").alias("readings"))
+        return r.select(
+            "doc_id", F.posexplode("readings").alias("span_idx", "r")
+        ).select(
+            "doc_id",
+            "span_idx",
+            F.col("r.type").alias("type"),
+            F.col("r.value").alias("value"),
+            F.col("r.unit").alias("unit"),
+            F.col("r.is_valid").alias("is_valid"),
+        )
+
+    q["readings_spans_fast"] = readings_spans_fast
+
     def batch_status(spark, sf_dir):
         return with_status(_readings_df(spark, sf_dir)).select(
             "doc_id", "n_readings", "n_valid", "status", "error_message"
@@ -523,6 +547,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["number_spans"] = number_spans
+
+    def number_spans_fast(spark, sf_dir):
+        """K2 native fast path — same spans, all-JVM (shares the
+        independent DuckDB-regex oracle with number_spans)."""
+        from narowi_ocr_spark.functions.fastpath import extract_numbers_fast
+
+        docs = _docs(spark, sf_dir)
+        aug = docs.select("doc_id", _aug_expr().alias("aug"))
+        n = aug.select(
+            "doc_id",
+            F.explode(extract_numbers_fast("aug", F.lit(NUM_CONFIDENCE))).alias("s"),
+        )
+        return n.select(
+            "doc_id",
+            F.col("s.value").alias("value"),
+            F.col("s.unit").alias("unit"),
+            F.col("s.confidence").alias("confidence"),
+            F.col("s.raw_text").alias("raw_text"),
+        )
+
+    q["number_spans_fast"] = number_spans_fast
+
+    def weight_spans(spark, sf_dir):
+        """K9 intended semantics (the reference's extract_weight crashes
+        on every match — group(2) of 1-group patterns; this is the
+        documented non-contract native variant, COVERAGE.md K9)."""
+        from narowi_ocr_spark.functions.fastpath import extract_weight_spans
+
+        docs = _docs(spark, sf_dir)
+        aug = docs.select("doc_id", _aug_expr().alias("aug"))
+        w = aug.select(
+            "doc_id",
+            F.explode(extract_weight_spans("aug", F.lit(NUM_CONFIDENCE))).alias("s"),
+        )
+        return w.select(
+            "doc_id",
+            F.col("s.value").alias("value"),
+            F.col("s.unit").alias("unit"),
+            F.col("s.raw_text").alias("raw_text"),
+            F.col("s.conf").alias("conf"),
+        )
+
+    q["weight_spans"] = weight_spans
 
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
@@ -1064,6 +1131,9 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         JOIN golden g ON CAST(d.doc_id % {K_SNIPPETS} AS INT) = g.idx
     """
+    # The fast path must reproduce the byte-identical kernel's output on
+    # these inputs exactly — same reference-derived golden oracle.
+    o["readings_spans_fast"] = o["readings_spans"]
 
     o["batch_status"] = f"""
         WITH {_golden_cte()}, {_status_cte()}
@@ -1136,6 +1206,38 @@ def oracle_sql() -> dict[str, str]:
         f"WITH aug_docs AS (SELECT doc_id, {_aug_sql()} AS aug FROM documents)\n"
         + "\nUNION ALL\n".join(branches)
     )
+    o["number_spans_fast"] = o["number_spans"]
+
+    # K9 intended-semantics weight spans: independent DuckDB regex
+    # re-execution with the first-occurrence raw_text dedup (pattern
+    # order → match order), mirroring fastpath.extract_weight_spans.
+    from narowi_ocr_spark.functions.patterns import READING_PATTERNS
+
+    w_branches = []
+    for p_idx, (pat, _flags) in enumerate(READING_PATTERNS["WEIGHT"]):
+        p = pat.replace("'", "''")
+        w_branches.append(f"""
+          SELECT doc_id, {p_idx} AS p_idx,
+                 CAST(generate_subscripts(
+                        regexp_extract_all(aug, '(?i){p}', 0), 1) AS INT) AS occ,
+                 unnest(regexp_extract_all(aug, '(?i){p}', 0)) AS raw,
+                 unnest(regexp_extract_all(aug, '(?i){p}', 1)) AS g1
+          FROM aug_docs""")
+    w_unit = (
+        "lower(regexp_extract(raw, "
+        "'(?i)(lbs?|pounds?|lb\\.|kg|kilos?|kilograms?)', 1))"
+    )
+    o["weight_spans"] = f"""
+        WITH aug_docs AS (SELECT doc_id, {_aug_sql()} AS aug FROM documents),
+        hits AS ({' UNION ALL '.join(w_branches)}),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id, raw
+                      ORDER BY p_idx, occ) AS rn
+          FROM hits)
+        SELECT doc_id, CAST(g1 AS DOUBLE) AS value, {w_unit} AS unit,
+               raw AS raw_text, CAST({NUM_CONFIDENCE} AS DOUBLE) AS conf
+        FROM ranked WHERE rn = 1
+    """
 
     fmt_rows = ",\n    ".join(
         f"({i}, {_sq(raw)}, {str(v).upper()}, CAST({adj} AS DOUBLE), "

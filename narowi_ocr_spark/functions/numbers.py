@@ -99,8 +99,18 @@ def _extract_numbers_udf(
         )
 
 
-def extract_numbers(text: Column | str, confidence: Column | float) -> Column:
-    """array<struct<value,unit,confidence,raw_text>> of numeric spans."""
+def extract_numbers(
+    text: Column | str, confidence: Column | float, byte_identical: bool = True
+) -> Column:
+    """array<struct<value,unit,confidence,raw_text>> of numeric spans.
+
+    ``byte_identical=False`` switches to the all-JVM fast path
+    (functions/fastpath.py): Java regex, no Arrow boundary — same
+    no-dedup/two-span-BP semantics without the Python ``re`` contract."""
+    if not byte_identical:
+        from narowi_ocr_spark.functions.fastpath import extract_numbers_fast
+
+        return extract_numbers_fast(text, confidence)
     tcol = F.col(text) if isinstance(text, str) else text
     ccol = F.lit(confidence) if isinstance(confidence, (int, float)) else confidence
     return _extract_numbers_udf(tcol, ccol.cast("double"))
