@@ -406,6 +406,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tokens_detailed"] = tokens_detailed
 
+    def text_with_conf(spark, sf_dir):
+        """T5: the (extracted_text, confidence) pair computed in one pass
+        (the reference double-invokes OCR; ocr_engine.py:97-111)."""
+        from narowi_ocr_spark.operators.assemble import text_with_confidence
+
+        blocks = _wrapped_blocks(spark, sf_dir)
+        staged = blocks.select(
+            "doc_id", text_with_confidence("blocks").alias("tc")
+        )
+        return staged.select(
+            "doc_id",
+            F.col("tc.extracted_text").alias("extracted_text"),
+            F.col("tc.confidence").alias("confidence"),
+        )
+
+    q["text_with_confidence"] = text_with_conf
+
+    def best_of_configs_q(spark, sf_dir):
+        """T7: multi-config best-of (the reference tries several PSM
+        modes and keeps the max-confidence result,
+        tests/test_ocr_real_world.py:104-115). Config 0 = the full
+        boilerplate-wrapped page; config 1 = a minimal <p>-only page."""
+        from narowi_ocr_spark.operators.assemble import (
+            best_of_configs,
+            text_with_confidence,
+        )
+
+        docs = _docs(spark, sf_dir)
+        esc = _escape_html(F.col("text"))
+        wrapped = docs.select(
+            "doc_id",
+            score_blocks(
+                tokenize_html(
+                    F.concat(F.lit(NAV_HTML), esc, F.lit(FOOTER_HTML))
+                )
+            ).alias("b0"),
+            score_blocks(
+                tokenize_html(F.concat(F.lit("<p>"), esc, F.lit("</p>")))
+            ).alias("b1"),
+        )
+        staged = wrapped.select(
+            "doc_id",
+            best_of_configs(
+                text_with_confidence("b0"), text_with_confidence("b1")
+            ).alias("best"),
+        )
+        return staged.select(
+            "doc_id",
+            F.col("best.confidence").alias("confidence"),
+            F.col("best.config_idx").alias("config_idx"),
+            F.col("best.extracted_text").alias("extracted_text"),
+        )
+
+    q["best_of_configs"] = best_of_configs_q
+
     def digit_issues(spark, sf_dir):
         from narowi_ocr_spark.operators.tokens import digit_confidence_issues
 
@@ -590,6 +645,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["weight_spans"] = weight_spans
+
+    def number_validation(spark, sf_dir):
+        """K4: native per-unit range validation over the K2 spans
+        (reference number_extractor.py:146-170; unknown units validate
+        true)."""
+        from narowi_ocr_spark.functions.numbers import validate_number_span
+
+        docs = _docs(spark, sf_dir)
+        aug = docs.select("doc_id", _aug_expr().alias("aug"))
+        n = aug.select(
+            "doc_id",
+            F.explode(extract_numbers("aug", F.lit(NUM_CONFIDENCE))).alias("s"),
+        )
+        return n.select(
+            "doc_id",
+            F.col("s.value").alias("value"),
+            F.col("s.unit").alias("unit"),
+            validate_number_span(F.col("s.value"), F.col("s.unit")).alias(
+                "in_range"
+            ),
+        )
+
+    q["number_validation"] = number_validation
+
+    def capped_pages(spark, sf_dir):
+        """P2: byte-cap oversized pages before tokenization (the
+        resize_image analogue, reference image_processor.py:44-62 —
+        bound work per doc, keep the prefix)."""
+        from narowi_ocr_spark.plans.pipeline import cap_html
+
+        docs = _docs(spark, sf_dir)
+        html = F.encode(
+            F.concat(
+                F.lit(NAV_HTML), _escape_html(F.col("text")), F.lit(FOOTER_HTML)
+            ),
+            "utf-8",
+        )
+        capped = cap_html(html, limit=256)
+        return docs.select(
+            "doc_id",
+            F.length(capped).cast("int").alias("byte_len"),
+            F.md5(capped).alias("content_md5"),
+        )
+
+    q["capped_pages"] = capped_pages
+
+    def extraction_modes(spark, sf_dir):
+        """T2: per-doc-type extraction modes (reference PSM switching,
+        ocr_engine.py:24-49) — native when(doc_type...) dispatch drives
+        both the byte cap and the content-classifier thresholds, all in
+        one plan with zero mode branching."""
+        from narowi_ocr_spark.plans.pipeline import cap_html, mode_config
+
+        docs = _docs(spark, sf_dir)
+        doc_type = (
+            F.when(F.col("doc_id") % 3 == 0, F.lit("article"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("listing"))
+            .otherwise(F.lit("feed"))
+        )
+        html = F.concat(
+            F.lit(NAV_HTML), _escape_html(F.col("text")), F.lit(FOOTER_HTML)
+        )
+        typed = docs.select(
+            "doc_id",
+            doc_type.alias("doc_type"),
+            html.alias("html"),
+            mode_config(doc_type).alias("mode"),
+        )
+        scored = typed.select(
+            "doc_id",
+            "doc_type",
+            F.col("mode.max_html_bytes").alias("max_html_bytes"),
+            F.col("mode.min_text_len").alias("min_text_len"),
+            F.col("mode.max_link_density").alias("max_link_density"),
+            F.length(cap_html(F.col("html"), F.col("mode.max_html_bytes")))
+            .cast("int")
+            .alias("byte_len"),
+            F.size(
+                F.filter(
+                    score_blocks(
+                        tokenize_html("html"),
+                        max_link_density=F.col("mode.max_link_density"),
+                        min_text_len=F.col("mode.min_text_len"),
+                    ),
+                    lambda b: b["is_content"],
+                )
+            ).alias("n_content"),
+        )
+        return scored
+
+    q["extraction_modes"] = extraction_modes
 
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
@@ -1118,11 +1264,94 @@ def oracle_sql() -> dict[str, str]:
           FROM wc)
         SELECT doc_id, word_idx, token, confidence, char_index_in_word,
                original_char,
-               printf('Low confidence digit ''%s'' (%.1f < %.1f)',
-                      original_char, confidence, 85.0) AS message,
-               'digit_confusion' AS context_type
+               printf('Low confidence for digit ''%s'' in word ''%s''',
+                      original_char, token) AS message,
+               'confidence_check' AS context_type
         FROM ch
         WHERE original_char IN ('3', '5') AND confidence < 85.0
+    """
+
+    # T5: per-doc (text, confidence) — confidence re-derived in SQL with
+    # the same fold order as mean_content_score (((0+s_nav)+s_p)+s_foot)
+    _conf_sql = (
+        f"CASE WHEN n > 0 THEN "
+        f"{_round4_sql('((s_nav + s_p) + s_foot) / 3.0')} "
+        f"ELSE {_round4_sql('(s_nav + s_foot) / 2.0')} END"
+    )
+    _scores_cte = f"""
+        s AS (
+          SELECT doc_id, {_STRIP_SQL} AS extracted_text, length(text) AS n,
+                 {score_sql('10', '9')} AS s_nav,
+                 {score_sql('length(text)', '0')} AS s_p,
+                 {score_sql('7', '7')} AS s_foot
+          FROM documents)
+    """
+    o["text_with_confidence"] = f"""
+        WITH {_scores_cte}
+        SELECT doc_id, extracted_text, {_conf_sql} AS confidence
+        FROM s
+    """
+
+    # T7: config 0 = wrapped page (3 blocks), config 1 = <p>-only page
+    # (confidence = its single block's score); ties keep config 0
+    o["best_of_configs"] = f"""
+        WITH {_scores_cte},
+        c AS (
+          SELECT doc_id, extracted_text,
+                 {_conf_sql} AS c0,
+                 CASE WHEN n > 0 THEN {_round4_sql('s_p')}
+                      ELSE CAST(0.0 AS DOUBLE) END AS c1
+          FROM s)
+        SELECT doc_id,
+               CASE WHEN c1 > c0 THEN c1 ELSE c0 END AS confidence,
+               CASE WHEN c1 > c0 THEN 1 ELSE 0 END AS config_idx,
+               extracted_text
+        FROM c
+    """
+
+    # P2: byte cap at 256 (documents are pure ASCII, so char ops == byte
+    # ops; verified in the media_resized oracle note)
+    _full_page = f"({_sq(NAV_HTML)} || {_ESCAPE_SQL} || {_sq(FOOTER_HTML)})"
+    o["capped_pages"] = f"""
+        SELECT doc_id,
+               CAST(least(length({_full_page}), 256) AS INT) AS byte_len,
+               md5(CASE WHEN length({_full_page}) > 256
+                        THEN left({_full_page}, 256)
+                        ELSE {_full_page} END) AS content_md5
+        FROM documents
+    """
+
+    # T2: mode dispatch re-derived in SQL. Only the p block can classify
+    # as content (nav/footer tags are excluded, p's link density is 0),
+    # so n_content is 1 iff the text meets the mode's min length.
+    from narowi_ocr_spark.plans.pipeline import EXTRACTION_MODES
+
+    _mode_order = ["article", "listing", "feed"]  # doc_id % 3 order
+
+    def _mode_case(field: str, sql_type: str) -> str:
+        whens = " ".join(
+            f"WHEN {i} THEN CAST({EXTRACTION_MODES[t][field]!r} AS {sql_type})"
+            for i, t in enumerate(_mode_order)
+        )
+        return f"CASE CAST(doc_id % 3 AS INT) {whens} END"
+
+    o["extraction_modes"] = f"""
+        WITH m AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 3 AS INT)
+                      WHEN 0 THEN 'article' WHEN 1 THEN 'listing'
+                      ELSE 'feed' END AS doc_type,
+                 {_mode_case('max_html_bytes', 'INT')} AS max_html_bytes,
+                 {_mode_case('min_text_len', 'INT')} AS min_text_len,
+                 {_mode_case('max_link_density', 'DOUBLE')} AS max_link_density,
+                 length({_full_page}) AS full_len,
+                 length(text) AS text_len
+          FROM documents)
+        SELECT doc_id, doc_type, max_html_bytes, min_text_len,
+               max_link_density,
+               CAST(least(full_len, max_html_bytes) AS INT) AS byte_len,
+               CASE WHEN text_len >= min_text_len THEN 1 ELSE 0 END AS n_content
+        FROM m
     """
 
     o["readings_spans"] = f"""
@@ -1207,6 +1436,21 @@ def oracle_sql() -> dict[str, str]:
         + "\nUNION ALL\n".join(branches)
     )
     o["number_spans_fast"] = o["number_spans"]
+
+    # K4: per-unit range validation over the K2 spans; unknown units
+    # validate true (reference number_extractor.py:167-170)
+    from narowi_ocr_spark.functions.patterns import NUMBER_UNIT_RANGES
+
+    _range_whens = " ".join(
+        f"WHEN '{u}' THEN value BETWEEN {lo} AND {hi}"
+        for u, (lo, hi) in NUMBER_UNIT_RANGES.items()
+    )
+    o["number_validation"] = (
+        f"WITH aug_docs AS (SELECT doc_id, {_aug_sql()} AS aug FROM documents),\n"
+        f"spans AS (\n" + "\nUNION ALL\n".join(branches) + ")\n"
+        f"SELECT doc_id, value, unit, "
+        f"CASE unit {_range_whens} ELSE TRUE END AS in_range FROM spans"
+    )
 
     # K9 intended-semantics weight spans: independent DuckDB regex
     # re-execution with the first-occurrence raw_text dedup (pattern

@@ -104,6 +104,14 @@ def main() -> None:
             aug.select("doc_id", F.explode(extract_readings("aug")).alias("r"))
         ),
     )
+    from narowi_ocr_spark.functions.fastpath import extract_readings_fast
+
+    bench(
+        "readings_kernel_fast",
+        lambda: materialize(
+            aug.select("doc_id", F.explode(extract_readings_fast("aug")).alias("r"))
+        ),
+    )
     bench(
         "text_quality",
         lambda: materialize(
@@ -112,10 +120,34 @@ def main() -> None:
             )
         ),
     )
+    from narowi_ocr_spark.functions.textstats import with_text_stats
+
+    bench(
+        "text_stats_staged",
+        lambda: materialize(
+            with_text_stats(docs).select(
+                "doc_id", "n_tokens", "n_subword", "lang_pred", "q"
+            )
+        ),
+    )
 
     corpus = entrymod._dup_corpus(docs)
     bench("exact_dedup", lambda: materialize(exact_dedup(corpus)))
     bench("minhash_lsh_pairs", lambda: materialize(lsh_candidate_pairs(corpus)))
+    from narowi_ocr_spark.operators.dedup import (
+        PROD_NUM_PERM,
+        PROD_ROWS_PER_BAND,
+        with_minhash_bands,
+    )
+
+    bench(
+        "minhash_prod",
+        lambda: materialize(
+            with_minhash_bands(
+                corpus, num_perm=PROD_NUM_PERM, rows_per_band=PROD_ROWS_PER_BAND
+            )
+        ),
+    )
     bench("simhash_pairs", lambda: materialize(simhash_near_pairs(corpus)))
 
     vecs = load_table(spark, sf_dir, "embeddings").repartition(cpus)

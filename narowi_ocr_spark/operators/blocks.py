@@ -166,20 +166,41 @@ def block_score_expr(b: Column) -> Column:
     return round4(100.0 * F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0)))
 
 
-def is_content_expr(b: Column) -> Column:
+def is_content_expr(
+    b: Column,
+    max_link_density: float | Column = MAX_LINK_DENSITY,
+    min_text_len: int | Column = MIN_TEXT_LEN,
+) -> Column:
     """R4 analogue of _is_lcd_display's stat conjunction
     (roi_detector.py:141-146): low link density AND plausible length AND a
-    content-plausible tag."""
+    content-plausible tag. The thresholds accept Columns so per-doc-type
+    extraction modes (T2, plans/pipeline.py EXTRACTION_MODES) dispatch
+    inside the same expression — no per-mode plan branches."""
+    mld = (
+        F.lit(float(max_link_density))
+        if isinstance(max_link_density, (int, float))
+        else max_link_density
+    )
+    mtl = (
+        F.lit(int(min_text_len))
+        if isinstance(min_text_len, int)
+        else min_text_len
+    )
     return (
-        (_link_density(b) < F.lit(MAX_LINK_DENSITY))
-        & (b["text_len"] >= F.lit(MIN_TEXT_LEN))
+        (_link_density(b) < mld)
+        & (b["text_len"] >= mtl)
         & b["tag"].isin(CONTENT_TAGS)
     )
 
 
-def score_blocks(blocks: Column | str) -> Column:
+def score_blocks(
+    blocks: Column | str,
+    max_link_density: float | Column = MAX_LINK_DENSITY,
+    min_text_len: int | Column = MIN_TEXT_LEN,
+) -> Column:
     """Enrich each block struct with `score` and `is_content` — a single
-    higher-order transform, no explode, no shuffle."""
+    higher-order transform, no explode, no shuffle. Classifier thresholds
+    may be per-row Columns (T2 doc-type modes)."""
     col = F.col(blocks) if isinstance(blocks, str) else blocks
     return F.transform(
         col,
@@ -191,7 +212,9 @@ def score_blocks(blocks: Column | str) -> Column:
             b["link_len"].alias("link_len"),
             b["word_count"].alias("word_count"),
             block_score_expr(b).alias("score"),
-            is_content_expr(b).alias("is_content"),
+            is_content_expr(b, max_link_density, min_text_len).alias(
+                "is_content"
+            ),
         ),
     )
 

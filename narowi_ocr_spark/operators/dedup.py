@@ -30,10 +30,23 @@ from narowi_ocr_spark.functions.textstats import fingerprint, words
 
 # MinHash geometry: NUM_PERM permutations folded into NUM_BANDS bands of
 # ROWS_PER_BAND rows (b·r = NUM_PERM). With b=8, r=2 the LSH S-curve has
-# its 50% capture threshold at (1/b)^(1/r) ≈ 0.35 Jaccard.
+# its 50% capture threshold at (1/b)^(1/r) ≈ 0.35 Jaccard. This is the
+# DEV/ORACLE geometry — small enough that the DuckDB oracle re-derives
+# every hash, loose enough to exercise the verify stage.
 NUM_PERM = 16
 ROWS_PER_BAND = 2
 NUM_BANDS = NUM_PERM // ROWS_PER_BAND
+
+# PRODUCTION geometry (pass to with_minhash_bands/minhash_signature):
+# 128 permutations in 16 bands of 8 rows → 50% capture threshold
+# (1/16)^(1/8) ≈ 0.71 Jaccard with a much steeper S-curve — near-dups
+# above ~0.8 are captured w.p. >0.97 while ~0.5-similar pairs are almost
+# never candidates, which is what keeps the candidate join sparse at
+# 10⁹+ docs. Same dataflow, same digest-sharing (4 perms/md5 → 32 md5
+# per shingle); benched as `minhash_prod` in bench.py.
+PROD_NUM_PERM = 128
+PROD_ROWS_PER_BAND = 8
+PROD_NUM_BANDS = PROD_NUM_PERM // PROD_ROWS_PER_BAND
 
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 4×16-bit blocking keys: pigeonhole covers hamming ≤ 3

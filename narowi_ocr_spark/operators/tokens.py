@@ -10,10 +10,14 @@ block score here, never -1).
 K10 — the analogue of ``Validator.validate_digits_with_confidence``
 (reference src/processing/validator.py:15-61): per character of each
 token, flag '3'/'5' with confidence below LOW_CONFIDENCE_THRESHOLD_3_5
-(85.0, validator.py:13) as a confusion-risk issue; in the
-``temperature_fahrenheit`` context additionally flag out-of-range values
-(>110 or <90, validator.py:40-53). (The reference file has an unresolved
-merge conflict; semantics follow its main branch, '<' comparison.)
+(85.0, validator.py:13) as a confusion-risk issue — message and
+context_type strings match the reference verbatim ("Low confidence for
+digit 'X' in word 'Y'" / 'confidence_check', validator.py:34-35); in
+the ``temperature_fahrenheit`` context additionally flag any
+float-parseable word out of range (>110 or <90, validator.py:40-53 —
+ungated by unit) with "Potential out-of-range temperature: <word>F" /
+'range_check'. (The reference file has an unresolved merge conflict;
+semantics follow its main branch, '<' comparison.)
 
 Everything is native Catalyst — explode/posexplode + sequence/substring —
 so token-level processing stays inside whole-stage codegen and each op
@@ -65,7 +69,7 @@ def digit_confidence_issues(
     tokens: DataFrame,
     token_col: str = "token",
     conf_col: str = "confidence",
-    context_type: str | Column = "digit_confusion",
+    context_type: str | Column = "confidence_check",
 ) -> DataFrame:
     """K10: explode each token into characters (sequence + substring, so
     the same expression runs in the DuckDB oracle) and keep '3'/'5' chars
@@ -87,24 +91,24 @@ def digit_confidence_issues(
         (F.col("char_pos") - 1).alias("char_index_in_word"),
         F.col("ch").alias("original_char"),
         F.format_string(
-            "Low confidence digit '%s' (%.1f < %.1f)",
+            "Low confidence for digit '%s' in word '%s'",
             F.col("ch"),
-            F.col(conf_col).cast("double"),
-            F.lit(LOW_CONFIDENCE_THRESHOLD_3_5),
+            F.col(token_col),
         ).alias("message"),
         ctx.alias("context_type"),
     )
 
 
-def temperature_range_issue(value: Column, unit: Column) -> Column:
-    """K10 context branch: Fahrenheit reading out of plausible range
-    (reference validator.py:40-53). Returns the issue message or NULL."""
+def temperature_range_issue(token: Column) -> Column:
+    """K10 'temperature_fahrenheit' context branch (reference
+    validator.py:40-53): float-parse the word — ANY parseable word, not
+    just unit-tagged ones — and flag values >110 or <90 with the
+    reference's message / 'range_check' context. Returns the message or
+    NULL. (Parse-failure → NULL try_cast ≙ the reference's ValueError
+    pass; exotic spellings Python accepts but SQL casts reject, e.g.
+    'inf', differ — documented, not reachable from digit tokens.)"""
+    v = token.try_cast("double")
     return F.when(
-        (unit == F.lit("F")) & ((value > TEMP_F_HIGH) | (value < TEMP_F_LOW)),
-        F.format_string(
-            "Temperature %.1f°F outside plausible range [%.1f, %.1f]",
-            value,
-            F.lit(TEMP_F_LOW),
-            F.lit(TEMP_F_HIGH),
-        ),
+        v.isNotNull() & ((v > TEMP_F_HIGH) | (v < TEMP_F_LOW)),
+        F.format_string("Potential out-of-range temperature: %sF", token),
     ).otherwise(F.lit(None).cast("string"))

@@ -109,16 +109,66 @@ def _extract_arrow(batches):
 MAX_HTML_BYTES = 2 * 1024 * 1024
 
 
-def cap_html(html: Column, limit: int = MAX_HTML_BYTES) -> Column:
+def cap_html(html: Column, limit: int | Column = MAX_HTML_BYTES) -> Column:
+    lim = F.lit(limit) if isinstance(limit, int) else limit
     return F.when(
-        F.length(html) > limit, F.substring(html, 1, limit)
+        F.length(html) > lim, F.substring(html, F.lit(1), lim)
     ).otherwise(html)
+
+
+# T2: per-doc-type extraction modes — the analogue of the reference's
+# per-content-type PSM/config switching (ocr_engine.py:24-49: different
+# tesseract configs for lcd/digital/default). Each doc type carries its
+# own byte cap and content-classifier strictness; the dispatch is a
+# native when(doc_type...) CASE, so mode resolution happens inside the
+# scan projection with zero plan branching — one plan serves every mode
+# mix, which is what keeps this viable on a 10¹²-doc table where types
+# interleave arbitrarily within every partition.
+EXTRACTION_MODES: dict[str, dict] = {
+    # long-form pages: keep everything, permissive classifier
+    "article": {
+        "max_html_bytes": MAX_HTML_BYTES,
+        "min_text_len": 1,
+        "max_link_density": 1.0 / 3.0,
+    },
+    # link-farm/listing pages: smaller cap, demand real paragraphs
+    "listing": {
+        "max_html_bytes": 512 * 1024,
+        "min_text_len": 20,
+        "max_link_density": 0.5,
+    },
+    # feed/snippet pages: tight cap, short blocks allowed, strict links
+    "feed": {
+        "max_html_bytes": 64 * 1024,
+        "min_text_len": 5,
+        "max_link_density": 0.25,
+    },
+}
+DEFAULT_DOC_TYPE = "article"
+
+
+def mode_config(doc_type: Column) -> Column:
+    """struct<max_html_bytes,min_text_len,max_link_density> for the
+    row's doc type; unknown/null types fall back to 'article'."""
+
+    def as_struct(m: dict) -> Column:
+        return F.struct(
+            F.lit(int(m["max_html_bytes"])).alias("max_html_bytes"),
+            F.lit(int(m["min_text_len"])).alias("min_text_len"),
+            F.lit(float(m["max_link_density"])).alias("max_link_density"),
+        )
+
+    expr = as_struct(EXTRACTION_MODES[DEFAULT_DOC_TYPE])
+    for name, m in EXTRACTION_MODES.items():
+        expr = F.when(doc_type == F.lit(name), as_struct(m)).otherwise(expr)
+    return expr
 
 
 def extract_pages(
     pages: DataFrame,
     keep_blocks: bool = False,
     max_html_bytes: int | None = MAX_HTML_BYTES,
+    doc_type_col: str | None = None,
 ) -> DataFrame:
     """pages → per-url result rows
     (url, warc_ts, status, readings, confidence, error_message,
@@ -135,7 +185,16 @@ def extract_pages(
     nonempty = pages.where(
         F.col("html").isNotNull() & (F.length("html") > 0)  # P1
     )
-    if max_html_bytes:
+    if doc_type_col is not None:
+        # T2: per-row byte cap from the doc type's extraction mode
+        nonempty = nonempty.withColumn(
+            "html",
+            cap_html(
+                F.col("html"),
+                mode_config(F.col(doc_type_col))["max_html_bytes"],
+            ),
+        )
+    elif max_html_bytes:
         nonempty = nonempty.withColumn("html", cap_html(F.col("html"), max_html_bytes))
     if keep_blocks:
         blocks = nonempty.select(

@@ -19,6 +19,39 @@ def test_best_of_configs_picks_max_confidence(spark):
     assert best["config_idx"] == 1
 
 
+def test_extraction_mode_dispatch_caps_per_type(spark):
+    """T2: extract_pages(doc_type_col=...) applies each row's mode cap
+    via the native when(doc_type) dispatch — one plan, no branching."""
+    import datetime
+
+    from narowi_ocr_spark.plans.pipeline import EXTRACTION_MODES, mode_config
+
+    ts = datetime.datetime(2024, 1, 1)
+    big = b"<p>" + b"a" * 100_000 + b"</p>"
+    rows = [
+        ("article", ts, big, None, "en"),
+        ("feed", ts, big, None, "en"),
+        ("unknown-type", ts, big, None, "en"),  # falls back to article
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA).withColumn(
+        "doc_type", F.col("url")
+    )
+    out = extract_pages(pages, doc_type_col="doc_type")
+    lens = {r["url"]: len(r["extracted_text"]) for r in out.collect()}
+    feed_cap = EXTRACTION_MODES["feed"]["max_html_bytes"]
+    assert lens["article"] == 100_000          # under the 2 MB cap
+    assert lens["unknown-type"] == 100_000     # default mode
+    assert 0 < lens["feed"] <= feed_cap        # capped at 64 KiB
+
+    cfg = (
+        pages.select(mode_config(F.col("doc_type")).alias("m"))
+        .where(F.col("url") == "feed")
+        .first()["m"]
+    )
+    assert cfg["max_html_bytes"] == feed_cap
+    assert cfg["min_text_len"] == EXTRACTION_MODES["feed"]["min_text_len"]
+
+
 def test_cap_html_truncates_only_oversized(spark):
     import datetime
 

@@ -42,18 +42,23 @@ def test_digit_confidence_issues(spark):
     issues = digit_confidence_issues(tokens).collect()
     flagged = {(r["word_idx"], r["char_index_in_word"], r["original_char"]) for r in issues}
     assert flagged == {(0, 0, "3"), (0, 1, "5")}
+    # message + context_type match the reference Validator verbatim
+    # (validator.py:34-35)
     msg = [r["message"] for r in issues if r["char_index_in_word"] == 0][0]
-    assert msg == "Low confidence digit '3' (80.0 < 85.0)"
+    assert msg == "Low confidence for digit '3' in word '35.9'"
+    assert {r["context_type"] for r in issues} == {"confidence_check"}
 
 
 def test_temperature_range_issue(spark):
     df = spark.createDataFrame(
-        [Row(v=120.0, u="F"), Row(v=98.6, u="F"), Row(v=120.0, u="C")]
+        [Row(w="120.5"), Row(w="98.6"), Row(w="85"), Row(w="not-a-number")]
     )
-    out = df.select(temperature_range_issue(F.col("v"), F.col("u")).alias("m")).collect()
-    assert out[0]["m"] is not None and "outside plausible range" in out[0]["m"]
+    out = df.select(temperature_range_issue(F.col("w")).alias("m")).collect()
+    # reference semantics: ANY parseable word range-checks (ungated)
+    assert out[0]["m"] == "Potential out-of-range temperature: 120.5F"
     assert out[1]["m"] is None
-    assert out[2]["m"] is None  # only the Fahrenheit context flags
+    assert out[2]["m"] == "Potential out-of-range temperature: 85F"
+    assert out[3]["m"] is None  # ValueError → pass in the reference
 
 
 def test_export_csv_header_and_shape(spark, tmp_path):
