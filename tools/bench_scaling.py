@@ -72,6 +72,61 @@ spark.stop()
 """
 
 
+OPS_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from narowi_ocr_spark.config import get_spark
+from narowi_ocr_spark.operators.dedup import (
+    lsh_candidate_pairs, simhash_near_pairs)
+from narowi_ocr_spark.operators.similarity import bucketed_topk
+from narowi_ocr_spark.sources.tables import load_table
+from pyspark.sql import functions as F
+import __spark_entry__ as entrymod
+
+cpus = int(sys.argv[1]); sf_dir = sys.argv[2]
+spark = get_spark(app_name=f"ops-scale-{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=cpus,
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "8m"}})
+spark.sparkContext.setLogLevel("ERROR")
+docs = load_table(spark, sf_dir, "documents").repartition(cpus)
+corpus = entrymod._dup_corpus(docs)
+vecs = load_table(spark, sf_dir, "embeddings").repartition(cpus)
+qv = vecs.where(F.col("vec_id") < 16)
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+ops = {{
+    "lsh_pairs": lambda: noop(lsh_candidate_pairs(corpus)),
+    "simhash_pairs": lambda: noop(simhash_near_pairs(corpus)),
+    "emb_ann_bucketed": lambda: noop(bucketed_topk(vecs, qv, k=10)),
+}}
+out = {{}}
+for name, fn in ops.items():
+    fn(); fn()                       # warm-up ×2
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time(); fn(); best = min(best, time.time() - t0)
+    out[name] = round(best, 3)
+print(json.dumps({{"cpus": cpus, "ops": out}}))
+spark.stop()
+"""
+
+OPS_LADDER = (2, 8, 32)
+
+
+def run_ops_level(cpus: int, sf_dir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", OPS_CHILD.format(repo=REPO),
+         str(cpus), sf_dir],
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(lines[-1])
+
+
 def run_level(cpus: int, n_pages: int, path: str) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", CHILD.format(repo=REPO),
@@ -153,6 +208,29 @@ def main() -> None:
     burn = cpu_burn_scaling()
     skew = skew_histogram(path)
 
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ops_ladder = {c: run_ops_level(c, sf_dir)["ops"] for c in OPS_LADDER}
+    op_names = list(next(iter(ops_ladder.values())))
+    ops_rows = "\n".join(
+        f"| {name} | "
+        + " | ".join(str(ops_ladder[c][name]) for c in OPS_LADDER)
+        + f" | {round(ops_ladder[2][name] / (4 * ops_ladder[8][name]), 3)} |"
+        for name in op_names
+    )
+    ops_md = f"""
+## Dedup / ANN operator ladder (shuffle-bearing stages)
+
+Same protocol over the sf-dir tables ({sf_dir}; dup corpus = documents ∪
+exact ∪ near copies). These jobs DO shuffle (band-bucket joins, groupBy
+signatures), so they evidence the shuffle stages' scaling, complementing
+the shuffle-free extraction ladder above. Efficiency = t_2 / (4·t_8)
+(throughput form of the N→4N rule on the 2→8 pair).
+
+| op | local[2] s | local[8] s | local[32] s | 2→8 efficiency |
+|---|---|---|---|---|
+{ops_rows}
+"""
+
     rows = "\n".join(
         f"| local[{c}] | {ladder[c]['sec']} | {ladder[c]['docs_per_sec']} | "
         f"{round(ladder[c]['docs_per_sec']/c, 1)} |"
@@ -208,8 +286,8 @@ skew_ratio = max/mean partition rows (1.0 = perfectly even): raw host
 partitioning concentrates the hot hosts
 (ratio {skew['unsalted_by_host']['skew_ratio']}); salting flattens it to
 {skew['salted_host_key']['skew_ratio']}.
-
-Raw JSON: {json.dumps({'ladder': ladder, 'efficiency_2_8': eff, 'efficiency_8_32': eff_8_32})}
+{ops_md}
+Raw JSON: {json.dumps({'ladder': ladder, 'efficiency_2_8': eff, 'efficiency_8_32': eff_8_32, 'ops_ladder': ops_ladder})}
 Generated by tools/bench_scaling.py in {round(time.time() - t0, 1)} s.
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
