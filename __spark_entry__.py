@@ -482,6 +482,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["digit_issues"] = digit_issues
 
+    def word_confidence_issues_q(spark, sf_dir):
+        """K11 intended semantics (reference crashes: missing attribute,
+        pattern_matcher.py:317-326) — per-word low-confidence issues
+        with the reference's message format."""
+        from narowi_ocr_spark.operators.tokens import word_confidence_issues
+
+        docs = _docs(spark, sf_dir)
+        tokens = (
+            docs.select(
+                "doc_id",
+                F.posexplode(F.split(_aug_expr(), r"\s+")).alias(
+                    "word_idx", "token"
+                ),
+            )
+            .where(F.length("token") > 0)
+            .withColumn(
+                "confidence",
+                (F.lit(60) + (F.col("word_idx") * 13) % 40).cast("double"),
+            )
+        )
+        return word_confidence_issues(tokens)
+
+    q["word_confidence_issues"] = word_confidence_issues_q
+
     # ---------------- K5-K7 reading kernel + A1-A4 ---------------------
     def _readings_df(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -1269,6 +1293,24 @@ def oracle_sql() -> dict[str, str]:
                'confidence_check' AS context_type
         FROM ch
         WHERE original_char IN ('3', '5') AND confidence < 85.0
+    """
+
+    o["word_confidence_issues"] = f"""
+        WITH aug AS (SELECT doc_id, {_aug_sql()} AS aug FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CAST(generate_subscripts(
+                        regexp_split_to_array(aug, '\\s+'), 1) - 1 AS INT
+                 ) AS word_idx,
+                 unnest(regexp_split_to_array(aug, '\\s+')) AS token
+          FROM aug),
+        wc AS (
+          SELECT *, CAST(60 + (word_idx * 13) % 40 AS DOUBLE) AS confidence
+          FROM w WHERE length(token) > 0)
+        SELECT doc_id, word_idx, token, confidence,
+               printf('Low confidence (%.2f%%) for digits: %s',
+                      confidence, token) AS message
+        FROM wc WHERE confidence < 85.0
     """
 
     # T5: per-doc (text, confidence) — confidence re-derived in SQL with

@@ -99,6 +99,32 @@ def digit_confidence_issues(
     )
 
 
+def word_confidence_issues(
+    tokens: DataFrame,
+    token_col: str = "token",
+    conf_col: str = "confidence",
+) -> DataFrame:
+    """K11 INTENDED semantics — the reference's
+    ``PatternMatcher.validate_digits_with_confidence``
+    (pattern_matcher.py:317-326) crashes on every call (it references
+    ``self.LOW_CONFIDENCE_THRESHOLD_3_5``, which PatternMatcher lacks),
+    so there is no byte behavior to preserve; this implements what the
+    code plainly intends: one issue per word whose confidence is below
+    the 85.0 threshold, with the reference's exact message format
+    ("Low confidence (NN.NN%) for digits: <word>"). Deliberately NOT
+    replicating the AttributeError (SURVEY.md §7)."""
+    return tokens.where(
+        F.col(conf_col) < F.lit(LOW_CONFIDENCE_THRESHOLD_3_5)
+    ).select(
+        "*",
+        F.format_string(
+            "Low confidence (%.2f%%) for digits: %s",
+            F.col(conf_col).cast("double"),
+            F.col(token_col),
+        ).alias("message"),
+    )
+
+
 def temperature_range_issue(token: Column) -> Column:
     """K10 'temperature_fahrenheit' context branch (reference
     validator.py:40-53): float-parse the word — ANY parseable word, not

@@ -49,6 +49,26 @@ def test_digit_confidence_issues(spark):
     assert {r["context_type"] for r in issues} == {"confidence_check"}
 
 
+def test_word_confidence_issues_intended_semantics(spark):
+    """K11 intended semantics (the reference method crashes on a missing
+    attribute): flag words under the 85.0 threshold with the exact
+    message format the reference's f-string produces."""
+    from narowi_ocr_spark.operators.tokens import word_confidence_issues
+
+    tokens = spark.createDataFrame(
+        [
+            Row(doc_id=1, word_idx=0, token="35.9", confidence=80.0),
+            Row(doc_id=1, word_idx=1, token="120", confidence=90.0),
+            Row(doc_id=1, word_idx=2, token="ok", confidence=84.99),
+        ]
+    )
+    out = {r["word_idx"]: r["message"] for r in word_confidence_issues(tokens).collect()}
+    assert out == {
+        0: "Low confidence (80.00%) for digits: 35.9",
+        2: "Low confidence (84.99%) for digits: ok",
+    }
+
+
 def test_temperature_range_issue(spark):
     df = spark.createDataFrame(
         [Row(w="120.5"), Row(w="98.6"), Row(w="85"), Row(w="not-a-number")]
