@@ -252,6 +252,17 @@ def _shingles_sql(words: str = _WORDS_SQL, n: int = 3) -> str:
     )
 
 
+def _ngrams_sql(n: int, words: str = _WORDS_SQL) -> str:
+    """Non-distinct n-grams (textstats.ngrams mirror): empty below n
+    words."""
+    return (
+        f"CASE WHEN len({words}) >= {n} THEN "
+        f"list_transform(range(1, len({words}) - {n - 2}), "
+        f"i -> array_to_string(({words})[i:i+{n - 1}], ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
 def _minhash_sql(num_perm: int = 16) -> str:
     """sig list CTE fragment over `corpus` (expects sh column).
     Mirrors dedup._perm_hash: permutation p = 8-hex-char slice p%4 of
@@ -876,6 +887,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_near_pairs(corpus, max_hamming=3)
 
     q["simhash_pairs"] = simhash_pairs
+
+    def dedup_components(spark, sf_dir):
+        """Near-dup clusters: LSH candidate pairs → connected components
+        (iterative min-label propagation, one (id,long) shuffle per
+        round) → per-doc canonical component id. The step that turns
+        pairwise dedup output into keep/drop decisions."""
+        from narowi_ocr_spark.operators.components import connected_components
+
+        corpus = _dup_corpus(_docs(spark, sf_dir))
+        pairs = lsh_candidate_pairs(corpus)
+        nodes = corpus.select(F.col("doc_id").alias("id"))
+        return connected_components(pairs, nodes=nodes).select(
+            "id", F.col("comp").alias("component")
+        )
+
+    q["dedup_components"] = dedup_components
+
+    def repetition_stats(spark, sf_dir):
+        """Gopher-style within-document repetition signals (dup-n-gram
+        fractions, top-2-gram share, repetitive flag) — all native, no
+        explode/shuffle."""
+        from narowi_ocr_spark.functions.textstats import with_repetition_stats
+
+        return with_repetition_stats(_docs(spark, sf_dir)).select(
+            "doc_id",
+            "n_2grams",
+            "frac_dup_2gram",
+            "frac_dup_3gram",
+            "top_2gram_frac",
+            "is_repetitive",
+        )
+
+    q["repetition_stats"] = repetition_stats
+
+    def source_caps(spark, sf_dir):
+        """Per-source document quota (the C4/RefinedWeb-style per-domain
+        cap): keep the first 10 docs of every source by doc_id order."""
+        docs = _docs(spark, sf_dir)
+        w = Window.partitionBy("source").orderBy("doc_id")
+        return (
+            docs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10)
+            .select("doc_id", "source", "rn")
+        )
+
+    q["source_caps"] = source_caps
+
+    def curation_full(spark, sf_dir):
+        """The complete modern curation recipe over the dup corpus:
+        language gate → quality gate → repetition filter → exact dedup
+        (keep min id per content) → per-source cap. Two shuffles total
+        (the two windows); every gate is a narrow native projection."""
+        from narowi_ocr_spark.functions.textstats import (
+            fingerprint as fp_fn,
+            with_repetition_stats,
+            with_text_stats,
+        )
+
+        corpus = _dup_corpus(_docs(spark, sf_dir)).withColumn(
+            "src",
+            F.concat(
+                F.lit("s"), ((F.col("doc_id") % 100000) % 5).cast("string")
+            ),
+        )
+        gated = (
+            with_repetition_stats(with_text_stats(corpus))
+            .where(
+                (F.col("lang_pred") == "en")
+                & (F.col("q") >= 0.5)
+                & (~F.col("is_repetitive"))
+            )
+            .withColumn("fp", fp_fn("text"))
+        )
+        wd = Window.partitionBy("fp").orderBy("doc_id")
+        deduped = (
+            gated.withColumn("rn_fp", F.row_number().over(wd))
+            .where(F.col("rn_fp") == 1)
+        )
+        wc = Window.partitionBy("src").orderBy("doc_id")
+        return (
+            deduped.withColumn("rn_src", F.row_number().over(wc))
+            .where(F.col("rn_src") <= 30)
+            .select("doc_id", "src", "q", "n_tokens")
+        )
+
+    q["curation_full"] = curation_full
 
     # ---------------- similarity search --------------------------------
     def emb_topk_exact(spark, sf_dir):
@@ -1622,6 +1719,67 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang_pred, q, n_tokens FROM ranked WHERE rn = 1
     """
 
+    _rep_aggs = """
+        c{n} AS (
+          SELECT doc_id, gr, count(*) AS c
+          FROM (SELECT doc_id, unnest(g) AS gr FROM g{n}) GROUP BY 1, 2),
+        a{n} AS (
+          SELECT doc_id, max(c) AS maxc, CAST(sum(c) AS DOUBLE) AS tot,
+                 count(*) AS dist
+          FROM c{n} GROUP BY 1)"""
+
+    _q_sql = f"""floor((0.4 * least(CAST({_stop_hits_sql('en')} AS DOUBLE)
+                     / greatest(CASE WHEN length({trimmed}) = 0 THEN CAST(0 AS DOUBLE)
+                         ELSE CAST(len(regexp_split_to_array({trimmed}, '\\s+')) AS DOUBLE) END, 1.0), 1.0)
+                 + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                     / greatest(CAST(length(text) AS DOUBLE), 1.0))
+                 + 0.3 * least(CASE WHEN length({trimmed}) = 0 THEN CAST(0 AS DOUBLE)
+                         ELSE CAST(len(regexp_split_to_array({trimmed}, '\\s+')) AS DOUBLE) END / 100.0, 1.0)
+                 ) * 10000.0 + 0.5) / 10000.0"""
+    _lang_sql = f"""CASE WHEN greatest({hits['en']}, {hits['de']}, {hits['fr']}) = 0 THEN 'und'
+                  WHEN {hits['en']} = greatest({hits['en']}, {hits['de']}, {hits['fr']}) THEN 'en'
+                  WHEN {hits['de']} = greatest({hits['en']}, {hits['de']}, {hits['fr']}) THEN 'de'
+                  ELSE 'fr' END"""
+    _ntok_sql = f"""CASE WHEN length({trimmed}) = 0 THEN 0
+                  ELSE len(regexp_split_to_array({trimmed}, '\\s+')) END"""
+    o["curation_full"] = f"""
+        WITH {_DUP_CORPUS_SQL},
+        src_c AS (
+          SELECT doc_id, text,
+                 's' || CAST((doc_id % 100000) % 5 AS VARCHAR) AS src
+          FROM corpus),
+        st AS (
+          SELECT doc_id, text, src, {_lang_sql} AS lang_pred, {_q_sql} AS q,
+                 {_ntok_sql} AS n_tokens, md5(text) AS fp
+          FROM src_c),
+        g2 AS (SELECT doc_id, {_ngrams_sql(2)} AS g FROM src_c),
+        g3 AS (SELECT doc_id, {_ngrams_sql(3)} AS g FROM src_c),
+        {_rep_aggs.format(n=2)},
+        {_rep_aggs.format(n=3)},
+        rep AS (
+          SELECT s.doc_id,
+                 (CASE WHEN a2.tot > 0 THEN
+                    floor(CAST(a2.maxc AS DOUBLE) / a2.tot * 10000.0 + 0.5) / 10000.0
+                  ELSE 0.0 END) > 0.20
+                 OR
+                 (CASE WHEN a3.tot > 0 THEN
+                    floor((1.0 - CAST(a3.dist AS DOUBLE) / a3.tot) * 10000.0 + 0.5) / 10000.0
+                  ELSE 0.0 END) > 0.18 AS is_repetitive
+          FROM src_c s
+          LEFT JOIN a2 ON a2.doc_id = s.doc_id
+          LEFT JOIN a3 ON a3.doc_id = s.doc_id),
+        gated AS (
+          SELECT st.* FROM st JOIN rep ON rep.doc_id = st.doc_id
+          WHERE st.lang_pred = 'en' AND st.q >= 0.5 AND NOT rep.is_repetitive),
+        dd AS (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn_fp
+          FROM gated),
+        capped AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY src ORDER BY doc_id) AS INT) AS rn_src
+          FROM dd WHERE rn_fp = 1)
+        SELECT doc_id, src, q, n_tokens FROM capped WHERE rn_src <= 30
+    """
+
     band_exprs = _bands_sql()
     band_union = "\nUNION ALL\n".join(
         f"SELECT id, {b} AS band_idx, {expr} AS band_hash FROM sigs"
@@ -1680,6 +1838,65 @@ def oracle_sql() -> dict[str, str]:
         FROM blk a JOIN blk b
           ON a.part = b.part AND a.key = b.key AND a.id < b.id
         WHERE bit_count(xor(a.h, b.h)) <= 3
+    """
+
+    # near-dup clusters: transitive closure of the LSH pair graph via a
+    # recursive CTE (the UNION's set semantics terminate it), min label
+    # per node — the independent mirror of min-label propagation
+    o["dedup_components"] = f"""
+        WITH RECURSIVE {_DUP_CORPUS_SQL},
+        {sig_cte},
+        bands AS ({band_union}),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.id < b.id),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        closure(id, r) AS (
+          SELECT doc_id, doc_id FROM corpus
+          UNION
+          SELECT e.d, c.r FROM closure c JOIN edges e ON e.s = c.id)
+        SELECT id, min(r) AS component FROM closure GROUP BY id
+    """
+
+    o["repetition_stats"] = f"""
+        WITH g2 AS (SELECT doc_id, {_ngrams_sql(2)} AS g FROM documents),
+        g3 AS (SELECT doc_id, {_ngrams_sql(3)} AS g FROM documents),
+        {_rep_aggs.format(n=2)},
+        {_rep_aggs.format(n=3)}
+        SELECT d.doc_id,
+               CAST(len(g2.g) AS INT) AS n_2grams,
+               CASE WHEN a2.tot > 0 THEN
+                 floor((1.0 - CAST(a2.dist AS DOUBLE) / a2.tot) * 10000.0 + 0.5) / 10000.0
+               ELSE 0.0 END AS frac_dup_2gram,
+               CASE WHEN a3.tot > 0 THEN
+                 floor((1.0 - CAST(a3.dist AS DOUBLE) / a3.tot) * 10000.0 + 0.5) / 10000.0
+               ELSE 0.0 END AS frac_dup_3gram,
+               CASE WHEN a2.tot > 0 THEN
+                 floor(CAST(a2.maxc AS DOUBLE) / a2.tot * 10000.0 + 0.5) / 10000.0
+               ELSE 0.0 END AS top_2gram_frac,
+               (CASE WHEN a2.tot > 0 THEN
+                  floor(CAST(a2.maxc AS DOUBLE) / a2.tot * 10000.0 + 0.5) / 10000.0
+                ELSE 0.0 END) > 0.20
+               OR
+               (CASE WHEN a3.tot > 0 THEN
+                  floor((1.0 - CAST(a3.dist AS DOUBLE) / a3.tot) * 10000.0 + 0.5) / 10000.0
+                ELSE 0.0 END) > 0.18 AS is_repetitive
+        FROM documents d
+        JOIN g2 ON g2.doc_id = d.doc_id
+        LEFT JOIN a2 ON a2.doc_id = d.doc_id
+        LEFT JOIN a3 ON a3.doc_id = d.doc_id
+    """
+
+    o["source_caps"] = """
+        WITH r AS (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY doc_id) AS INT) AS rn
+          FROM documents)
+        SELECT doc_id, source, rn FROM r WHERE rn <= 10
     """
 
     o["emb_topk_exact"] = f"""

@@ -137,6 +137,103 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def ngrams(text: Column | str, n: int) -> Column:
+    """ALL word n-grams in order (NOT distinct — repetition analysis
+    needs multiplicities; `dedup.shingles` is the distinct variant)."""
+    t = F.col(text) if isinstance(text, str) else text
+    w = words(F.lower(t))
+    k = F.size(w)
+    return F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_run_count(arr: Column) -> Column:
+    """Count of the most frequent element of a string array: longest
+    run of equal adjacent elements after array_sort — one native fold,
+    no explode/shuffle."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), acc0, step, lambda acc: acc["best"])
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", repetition-filter family): documents whose most
+# frequent 2-gram covers >20% of all 2-grams, or whose duplicate-3-gram
+# fraction exceeds 18%, are flagged repetitive boilerplate.
+TOP_2GRAM_FRAC_MAX = 0.20
+DUP_3GRAM_FRAC_MAX = 0.18
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add within-document repetition statistics — the standard
+    LLM-curation signals for machine-generated/boilerplate text:
+
+      frac_dup_2gram / frac_dup_3gram — fraction of n-gram occurrences
+        that are repeats (1 − distinct/total);
+      top_2gram_frac — share of all 2-grams taken by the single most
+        frequent one;
+      is_repetitive — the Gopher-style flag over the thresholds above.
+
+    All native: the n-gram arrays are staged behind projection
+    boundaries (built once each), the mode count is a sort+fold inside
+    the row — no explode, no shuffle, whole plan stays narrow."""
+    staged = df.withColumn("_g2", ngrams(text_col, 2)).withColumn(
+        "_g3", ngrams(text_col, 3)
+    )
+
+    def dup_frac(g: Column) -> Column:
+        total = F.size(g).cast("double")
+        return F.when(
+            total > 0,
+            F.floor(
+                (1.0 - F.size(F.array_distinct(g)).cast("double") / total)
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0,
+        ).otherwise(F.lit(0.0))
+
+    top2 = F.when(
+        F.size("_g2") > 0,
+        F.floor(
+            _max_run_count(F.col("_g2")).cast("double")
+            / F.size("_g2").cast("double")
+            * 10000.0
+            + 0.5
+        )
+        / 10000.0,
+    ).otherwise(F.lit(0.0))
+    return (
+        staged.withColumn("n_2grams", F.size("_g2"))
+        .withColumn("frac_dup_2gram", dup_frac(F.col("_g2")))
+        .withColumn("frac_dup_3gram", dup_frac(F.col("_g3")))
+        .withColumn("top_2gram_frac", top2)
+        .withColumn(
+            "is_repetitive",
+            (F.col("top_2gram_frac") > TOP_2GRAM_FRAC_MAX)
+            | (F.col("frac_dup_3gram") > DUP_3GRAM_FRAC_MAX),
+        )
+        .drop("_g2", "_g3")
+    )
+
+
 ROLL_BASE = 31
 ROLL_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
 ROLL_SEED = 7

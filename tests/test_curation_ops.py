@@ -1,0 +1,63 @@
+"""Connected components, repetition stats, and the full curation recipe."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from narowi_ocr_spark.functions.textstats import with_repetition_stats
+from narowi_ocr_spark.operators.components import (
+    component_representatives,
+    connected_components,
+)
+
+
+def test_connected_components_basic(spark):
+    # two clusters {1,2,3} (chain) + {7,8}, isolated node 9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 8, 9)], "id long")
+    out = {r["id"]: r["comp"] for r in connected_components(edges, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
+
+    reps = {
+        r["component"]: (r["keep_id"], r["n_members"])
+        for r in component_representatives(
+            connected_components(edges, nodes)
+        ).collect()
+    }
+    assert reps == {1: (1, 3), 7: (7, 2), 9: (9, 1)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path has diameter 11 — still converges, labels all min
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert set(out.values()) == {0} and len(out) == 12
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="buy now " * 30),          # one 2-gram dominates
+            Row(doc_id=1, text="the quick brown fox jumps over a lazy dog today"),
+            Row(doc_id=2, text="one"),                     # below n-gram size
+            Row(doc_id=3, text=""),
+        ]
+    )
+    out = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert out[0]["is_repetitive"] and out[0]["top_2gram_frac"] > 0.4
+    assert not out[1]["is_repetitive"] and out[1]["frac_dup_2gram"] == 0.0
+    assert out[2]["n_2grams"] == 0 and not out[2]["is_repetitive"]
+    assert out[3]["top_2gram_frac"] == 0.0
+
+
+def test_repetition_exact_fractions(spark):
+    # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → 5 total,
+    # 2 distinct → dup frac (5-2)/5 = 0.6; top ("a b"×3) = 3/5
+    df = spark.createDataFrame([Row(doc_id=0, text="a b a b a b")])
+    r = with_repetition_stats(df).first()
+    assert r["n_2grams"] == 5
+    assert r["frac_dup_2gram"] == 0.6
+    assert r["top_2gram_frac"] == 0.6
