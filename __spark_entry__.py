@@ -1093,6 +1093,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_json"] = events_json
 
+    def events_rollup(spark, sf_dir):
+        """Multi-dimensional aggregation via ROLLUP grouping sets
+        (event_type × day hierarchy + grand total) — partial aggregation
+        applies per grouping set, one shuffle total."""
+        ev = load_table(spark, sf_dir, "events")
+        return (
+            ev.rollup(
+                F.col("event_type"),
+                F.date_trunc("day", F.col("ts")).alias("day"),
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+
+    q["events_rollup"] = events_rollup
+
+    def events_quantiles(spark, sf_dir):
+        """Exact distribution stats per event type: interpolated
+        p50/p90/p99 of value + exact user NDV. (At 100 TB swap in
+        percentile_approx / approx_count_distinct — same plan shape,
+        sketch-mergeable partials; exact versions here so the DuckDB
+        oracle can hash-match.)"""
+        ev = load_table(spark, sf_dir, "events")
+        pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+        r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+        agg = ev.groupBy("event_type").agg(
+            pct.alias("p"),
+            F.countDistinct("user_id").alias("ndv_users"),
+            F.count("*").alias("n"),
+        )
+        return agg.select(
+            "event_type",
+            r4(F.col("p")[0]).alias("p50"),
+            r4(F.col("p")[1]).alias("p90"),
+            r4(F.col("p")[2]).alias("p99"),
+            "ndv_users",
+            "n",
+        )
+
+    q["events_quantiles"] = events_quantiles
+
+    def events_asof(spark, sf_dir):
+        """As-of join without a range-join explosion: for every click,
+        the user's latest view at-or-before it. The scalable shape —
+        union both sides, ONE sort within the user partition, running
+        max of the view timestamp (monotone under the sort, so max ≡
+        last) — turns the classic O(N·M) range join into a single
+        window pass."""
+        ev = load_table(spark, sf_dir, "events")
+        tagged = ev.select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            F.when(F.col("event_type") == "view", F.col("ts").cast("timestamp"))
+            .alias("view_ts"),
+            F.when(F.col("event_type") == "view", 0).otherwise(1).alias("tag"),
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "tag", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            tagged.withColumn("asof_view_ts", F.max("view_ts").over(w))
+            .where(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts", "asof_view_ts")
+        )
+
+    q["events_asof"] = events_asof
+
     # ---------------- relational / analytics ---------------------------
     def tpch_q1(spark, sf_dir):
         li = load_table(spark, sf_dir, "lineitem")
@@ -2039,6 +2114,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, count(*) AS n_events,
                CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
         FROM events GROUP BY event_type
+    """
+
+    o["events_rollup"] = """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+    """
+
+    o["events_quantiles"] = f"""
+        SELECT event_type,
+               {_round4_sql("quantile_cont(value, 0.5)")} AS p50,
+               {_round4_sql("quantile_cont(value, 0.9)")} AS p90,
+               {_round4_sql("quantile_cont(value, 0.99)")} AS p99,
+               count(DISTINCT user_id) AS ndv_users,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """
+
+    o["events_asof"] = """
+        WITH tagged AS (
+          SELECT event_id, user_id, ts, event_type,
+                 CASE WHEN event_type = 'view' THEN ts END AS view_ts,
+                 CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS tag
+          FROM events),
+        rolled AS (
+          SELECT event_id, user_id, ts, event_type,
+                 max(view_ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, tag, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS asof_view_ts
+          FROM tagged)
+        SELECT event_id, user_id, ts, asof_view_ts
+        FROM rolled WHERE event_type = 'click'
     """
 
     o["tpch_q1"] = """
