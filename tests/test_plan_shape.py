@@ -43,6 +43,46 @@ def test_parquet_filter_pushdown(spark, tmp_path):
     )
 
 
+def test_fastpath_kernel_is_pure_jvm_and_shuffle_free(spark):
+    """The byte_identical=False kernel path must introduce neither a
+    Python boundary nor a shuffle — it is one narrow native projection."""
+    from narowi_ocr_spark.functions.readings import extract_readings
+
+    pages = synth_pages(spark, 50, partitions=2).select(
+        "url", extract_readings("text", byte_identical=False).alias("r")
+    )
+    plan = _physical_plan(pages)
+    body = plan.split("MapInPandas")[0]  # synth generator node excluded
+    assert "Exchange" not in body, body
+    for marker in ("MapInArrow", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in body, body
+
+
+def test_curation_full_has_exactly_two_shuffles(spark, tmp_path):
+    """The full curation recipe (lang → quality → repetition → exact
+    dedup → per-source cap) is gates-as-narrow-projections plus exactly
+    the two window shuffles (fingerprint, source)."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    df = entry.queries()["curation_full"](spark, "/root/testdata/sf0.001")
+    plan = _physical_plan(df)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, f"{n_exchanges} shuffles in:\n{plan}"
+
+
+def test_asof_join_single_window_pass(spark):
+    """events_asof: one sort-based window shuffle, no join node at all
+    (the range-join explosion is designed out)."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    df = entry.queries()["events_asof"](spark, "/root/testdata/sf0.001")
+    plan = _physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_whole_stage_codegen_covers_native_stages(spark):
     pages = synth_pages(spark, 50, partitions=2)
     plan = _physical_plan(extract_pages(pages))
