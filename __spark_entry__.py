@@ -1005,6 +1005,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_ivf_topk"] = emb_ivf_topk
 
+    def emb_ivf_multiprobe(spark, sf_dir):
+        """IVF with n_probe=2: each query scans its two nearest cells —
+        the recall/latency knob (cells partition the corpus, so probes
+        never duplicate candidates)."""
+        from narowi_ocr_spark.operators.similarity import ivf_topk
+
+        vecs = load_table(spark, sf_dir, "embeddings")
+        cents = vecs.where(F.col("vec_id") < 8)
+        queries_df = vecs.where(F.col("vec_id") < 16)
+        return ivf_topk(vecs, queries_df, cents, k=3, n_probe=2)
+
+    q["emb_ivf_multiprobe"] = emb_ivf_multiprobe
+
     def emb_near_dups(spark, sf_dir):
         vecs = load_table(spark, sf_dir, "embeddings")
         return embedding_near_dup_pairs(vecs, threshold=0.3)
@@ -2021,6 +2034,29 @@ def oracle_sql() -> dict[str, str]:
                  {_cos_sql('q.embedding', 'v.embedding')} AS cos_sim
           FROM cells q JOIN cells v ON q.cell = v.cell AND q.vec_id <> v.vec_id
           WHERE q.vec_id < 16),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3
+    """
+
+    o["emb_ivf_multiprobe"] = f"""
+        WITH cent AS (
+          SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        assign AS (
+          SELECT v.vec_id, v.embedding, c.cell,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_cos_sql('v.embedding', 'c.cvec')} DESC, c.cell ASC) AS rn
+          FROM embeddings v CROSS JOIN cent c),
+        cells AS (SELECT vec_id, embedding, cell FROM assign WHERE rn = 1),
+        qcells AS (SELECT vec_id, embedding, cell FROM assign
+                   WHERE rn <= 2 AND vec_id < 16),
+        scored AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                 {_cos_sql('q.embedding', 'v.embedding')} AS cos_sim
+          FROM qcells q JOIN cells v ON q.cell = v.cell AND q.vec_id <> v.vec_id),
         ranked AS (
           SELECT query_id, neighbor_id, cos_sim,
                  CAST(row_number() OVER (PARTITION BY query_id

@@ -151,26 +151,54 @@ def ivf_cells(
     )
 
 
+def ivf_query_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, qvec, cell) with one row per probed cell: the query's
+    ``n_probe`` nearest centroids by cosine (ties → lower cell id).
+    n_probe is THE recall/latency knob of IVF — each probed cell adds
+    one partition-pruned scan of the cell-partitioned corpus; since
+    cells partition the corpus, probes never duplicate candidates."""
+    from pyspark.sql.window import Window
+
+    c = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+    )
+    scored = queries.crossJoin(F.broadcast(c)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        "cell",
+        round4(cosine(F.col(vec_col), F.col("cvec"))).alias("csim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     centroids: DataFrame,
     k: int = 5,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k via IVF: rank only candidates in the query's
-    cell (n_probe=1; union more cells for higher recall). Complements
-    ``bucketed_topk`` — IVF cells follow the data distribution where
-    sign-LSH buckets are data-independent."""
+    ``n_probe`` nearest cells. Complements ``bucketed_topk`` — IVF cells
+    follow the data distribution where sign-LSH buckets are
+    data-independent."""
     from pyspark.sql.window import Window
 
     cells = ivf_cells(vectors, centroids, id_col, vec_col)
-    q = ivf_cells(queries, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        "cell",
-    )
+    q = ivf_query_cells(queries, centroids, n_probe, id_col, vec_col)
     scored = (
         cells.join(F.broadcast(q), on="cell")
         .where(F.col("query_id") != F.col(id_col))

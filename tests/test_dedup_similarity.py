@@ -137,6 +137,20 @@ def test_embedding_near_dup_pairs(vectors):
     assert out[0].cos_sim == pytest.approx(0.9939, abs=1e-4)
 
 
+def test_ivf_multiprobe_recall_dominates_single_probe(vectors):
+    """n_probe=2 candidates are a superset of n_probe=1 per query, and
+    multiprobe recovers neighbors a single probe misses."""
+    from narowi_ocr_spark.operators.similarity import ivf_topk
+
+    cents = vectors.where(F.col("vec_id") < 2)
+    q = vectors.where(F.col("vec_id") == 0)
+    one = {(r.query_id, r.neighbor_id) for r in ivf_topk(vectors, q, cents, k=5).collect()}
+    two = {(r.query_id, r.neighbor_id) for r in ivf_topk(vectors, q, cents, k=5, n_probe=2).collect()}
+    assert one <= two
+    # v0's own cell (0) holds only v3; probing cell 1 too recovers v1
+    assert (0, 1) in two and (0, 1) not in one
+
+
 def test_ivf_topk_probes_own_cell(vectors):
     from narowi_ocr_spark.operators.similarity import ivf_cells, ivf_topk
 
