@@ -83,6 +83,33 @@ def test_asof_join_single_window_pass(spark):
     assert "Join" not in plan, plan
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """Co-located joins via bucketing (the 100 TB join strategy for
+    repeated equi-joins on the same key): two tables bucketed+sorted on
+    the join key sort-merge-join with NO Exchange on either side."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    for name in ("t_bucket_a", "t_bucket_b"):
+        df.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(name)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_bucket_a").join(
+            spark.table("t_bucket_b"), "k"
+        )
+        assert joined.count() == 1000
+        plan = _physical_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for name in ("t_bucket_a", "t_bucket_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_whole_stage_codegen_covers_native_stages(spark):
     pages = synth_pages(spark, 50, partitions=2)
     plan = _physical_plan(extract_pages(pages))
