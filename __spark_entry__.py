@@ -1132,9 +1132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         percentile_approx / approx_count_distinct — same plan shape,
         sketch-mergeable partials; exact versions here so the DuckDB
         oracle can hash-match.)"""
+        from narowi_ocr_spark.functions.native import round4 as r4
+
         ev = load_table(spark, sf_dir, "events")
         pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
-        r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
         agg = ev.groupBy("event_type").agg(
             pct.alias("p"),
             F.countDistinct("user_id").alias("ndv_users"),

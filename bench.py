@@ -111,7 +111,13 @@ def main() -> None:
     # and interpreted (HOF-bearing) consumers would re-evaluate it per
     # reference (no CSE outside codegen) — measured 3.6× inflation on
     # the native fast path.
-    aug_dir = os.path.join(tempfile.gettempdir(), f"bench_aug_{sf}")
+    # cache key includes a digest of the augmentation recipe, so editing
+    # the snippet set / aug expression invalidates the materialization
+    # instead of silently benchmarking stale text
+    import hashlib
+
+    aug_tag = hashlib.md5(entrymod._aug_sql().encode()).hexdigest()[:10]
+    aug_dir = os.path.join(tempfile.gettempdir(), f"bench_aug_{sf}_{aug_tag}")
     if not os.path.exists(os.path.join(aug_dir, "_SUCCESS")):
         docs.select("doc_id", entrymod._aug_expr().alias("aug")).write.mode(
             "overwrite"

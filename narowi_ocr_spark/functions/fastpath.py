@@ -353,10 +353,12 @@ def extract_numbers_fast(
     matches emit two spans (systolic, diastolic), emission order =
     category order → pattern order → match position."""
     t = _norm(_col(text))
+    # NULL confidence coerces to 0.0, matching the byte-identical
+    # kernel's `float(c) if c is not None else 0.0` (numbers.py)
     ccol = (
         F.lit(float(confidence))
         if isinstance(confidence, (int, float))
-        else confidence.cast("double")
+        else F.coalesce(confidence.cast("double"), F.lit(0.0))
     )
     arrays = []
     for cat, pats in NUMBER_PATTERNS.items():

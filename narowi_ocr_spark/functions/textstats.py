@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from narowi_ocr_spark.functions.native import round4
+
 # Tiny per-language stopword inventories. Deliberately small: the point is
 # the distributed pattern (pure column exprs, no UDF), not lexical coverage.
 STOPWORDS = {
@@ -78,12 +80,7 @@ def quality_score(text: Column | str) -> Column:
         + 0.3 * (alpha_chars / safe_chars)
         + 0.3 * F.least(n_words / F.lit(100.0), F.lit(1.0))
     )
-    # floor(x·10⁴ + 0.5)/10⁴ instead of F.round: Spark rounds the
-    # SHORTEST DECIMAL REPR half-up (BigDecimal) while other engines
-    # round the raw binary double, so x.xxxx5 boundaries diverge; the
-    # floor form is pure IEEE arithmetic — bit-identical everywhere
-    # given the same double input (5 of 5000 sf0.1 docs hit a boundary).
-    return F.floor(score * 10000.0 + 0.5) / 10000.0
+    return round4(score)
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -132,7 +129,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         staged.withColumn("n_tokens", F.size("_toks"))
         .withColumn("n_subword", subword_token_estimate(t))
         .withColumn("lang_pred", F.when(best == 0, F.lit("und")).otherwise(lang_expr))
-        .withColumn("q", F.floor(score * 10000.0 + 0.5) / 10000.0)
+        .withColumn("q", round4(score))
         .drop("_toks", "_dtoks", *[f"_hits_{lg}" for lg in STOPWORDS])
     )
 
@@ -202,23 +199,15 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         total = F.size(g).cast("double")
         return F.when(
             total > 0,
-            F.floor(
-                (1.0 - F.size(F.array_distinct(g)).cast("double") / total)
-                * 10000.0
-                + 0.5
-            )
-            / 10000.0,
+            round4(1.0 - F.size(F.array_distinct(g)).cast("double") / total),
         ).otherwise(F.lit(0.0))
 
     top2 = F.when(
         F.size("_g2") > 0,
-        F.floor(
+        round4(
             _max_run_count(F.col("_g2")).cast("double")
             / F.size("_g2").cast("double")
-            * 10000.0
-            + 0.5
-        )
-        / 10000.0,
+        ),
     ).otherwise(F.lit(0.0))
     return (
         staged.withColumn("n_2grams", F.size("_g2"))
@@ -257,9 +246,13 @@ def rolling_fingerprint(text: Column | str, chunk: int = ROLL_CHUNK) -> Column:
     list_reduce oracle)."""
     t = F.col(text) if isinstance(text, str) else text
     n_chunks = F.ceil(F.length(t) / F.lit(chunk)).cast("int")
-    # sequence(1, 0) would yield the DESCENDING [1, 0] — guard empty docs
-    idxs = F.when(n_chunks >= 1, F.sequence(F.lit(1), n_chunks)).otherwise(
-        F.array().cast("array<int>")
+    # sequence(1, 0) would yield the DESCENDING [1, 0] — guard empty
+    # docs; NULL text must stay NULL (like the single-pass fold and the
+    # DuckDB list_reduce oracle), not fall through to the seed
+    idxs = (
+        F.when(t.isNull(), F.lit(None).cast("array<int>"))
+        .when(n_chunks >= 1, F.sequence(F.lit(1), n_chunks))
+        .otherwise(F.array().cast("array<int>"))
     )
     chunks = F.transform(
         idxs, lambda i: F.substring(t, (i - F.lit(1)) * chunk + F.lit(1), F.lit(chunk))

@@ -98,24 +98,35 @@ def tokenize_html(html_col: Column | str) -> Column:
     return _tokenize_udf(col)
 
 
-def _score_block_py(b: dict) -> dict:
+def _score_block_py(
+    b: dict,
+    max_link_density: float | None = None,
+    min_text_len: int | None = None,
+) -> dict:
     """Python mirror of block_score_expr/is_content_expr — same IEEE
     arithmetic; rounding via round4_py (IEEE-exact floor form, identical
-    to the JVM round4 expression and the DuckDB oracles)."""
+    to the JVM round4 expression and the DuckDB oracles). The classifier
+    thresholds default to the module constants and accept per-document
+    overrides (T2 extraction modes)."""
+    mld = MAX_LINK_DENSITY if max_link_density is None else max_link_density
+    mtl = MIN_TEXT_LEN if min_text_len is None else min_text_len
     ld = float(b["link_len"]) / max(float(b["text_len"]), 1.0)
     raw = 0.7 * (1.0 - ld) + 0.3 * min(float(b["text_len"]) / LENGTH_SATURATION, 1.0)
     score = 100.0 * min(max(raw, 0.0), 1.0)
     b["score"] = round4_py(score)
-    b["is_content"] = (
-        ld < MAX_LINK_DENSITY
-        and b["text_len"] >= MIN_TEXT_LEN
-        and b["tag"] in CONTENT_TAGS
-    )
+    b["is_content"] = ld < mld and b["text_len"] >= mtl and b["tag"] in CONTENT_TAGS
     return b
 
 
-def tokenize_and_score_py(payload: bytes | str | None) -> list[dict]:
-    return [_score_block_py(b) for b in tokenize_html_py(payload)]
+def tokenize_and_score_py(
+    payload: bytes | str | None,
+    max_link_density: float | None = None,
+    min_text_len: int | None = None,
+) -> list[dict]:
+    return [
+        _score_block_py(b, max_link_density, min_text_len)
+        for b in tokenize_html_py(payload)
+    ]
 
 
 @pandas_udf(SCORED_BLOCKS_SCHEMA)

@@ -118,20 +118,18 @@ def lsh_bucket(vec: Column | str) -> Column:
     return out
 
 
-def ivf_cells(
+def _nearest_cells(
     vectors: DataFrame,
     centroids: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    n: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its
-    max-cosine centroid cell (ties broken by lower cell id).
-    ``centroids`` is small (K rows) and broadcast; assignment is a
-    broadcast cross join + one window per vector — narrow on the corpus
-    side. At 100 TB the assigned table is written partitioned by ``cell``
-    so probes scan only their cells. Centroid choice is pluggable
-    (k-means on a sample offline); any deterministic K vectors work for
-    the dataflow."""
+    """Shared centroid assignment (the single source of truth for the
+    tie-break and rounding — corpus cells and query probes MUST agree on
+    it or the cells-partition-the-corpus invariant breaks): each vector
+    with its ``n`` max-cosine centroids (ties → lower cell id), via a
+    broadcast cross join + one window. Narrow on the vectors side."""
     from pyspark.sql.window import Window
 
     c = centroids.select(
@@ -146,9 +144,24 @@ def ivf_cells(
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= n)
         .select(id_col, vec_col, "cell")
     )
+
+
+def ivf_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its max-cosine
+    centroid cell. ``centroids`` is small (K rows) and broadcast. At
+    100 TB the assigned table is written partitioned by ``cell`` so
+    probes scan only their cells. Centroid choice is pluggable (k-means
+    on a sample offline); any deterministic K vectors work for the
+    dataflow."""
+    return _nearest_cells(vectors, centroids, 1, id_col, vec_col)
 
 
 def ivf_query_cells(
@@ -159,26 +172,14 @@ def ivf_query_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(query_id, qvec, cell) with one row per probed cell: the query's
-    ``n_probe`` nearest centroids by cosine (ties → lower cell id).
-    n_probe is THE recall/latency knob of IVF — each probed cell adds
-    one partition-pruned scan of the cell-partitioned corpus; since
-    cells partition the corpus, probes never duplicate candidates."""
-    from pyspark.sql.window import Window
-
-    c = centroids.select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
-    )
-    scored = queries.crossJoin(F.broadcast(c)).select(
+    ``n_probe`` nearest centroids. n_probe is THE recall/latency knob of
+    IVF — each probed cell adds one partition-pruned scan of the
+    cell-partitioned corpus; since cells partition the corpus, probes
+    never duplicate candidates."""
+    return _nearest_cells(queries, centroids, n_probe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         "cell",
-        round4(cosine(F.col(vec_col), F.col("cvec"))).alias("csim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n_probe)
-        .select("query_id", "qvec", "cell")
     )
 
 

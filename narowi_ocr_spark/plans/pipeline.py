@@ -37,12 +37,17 @@ from narowi_ocr_spark.operators.results import with_status
 from narowi_ocr_spark.schema import READINGS_SCHEMA
 
 
-def extract_page_py(payload: bytes | str | None) -> tuple[str, float, list[dict]]:
+def extract_page_py(
+    payload: bytes | str | None,
+    max_link_density: float | None = None,
+    min_text_len: int | None = None,
+) -> tuple[str, float, list[dict]]:
     """The whole per-document chain (tokenize → score → classify →
     assemble → reading-span extraction) as one pure-Python call, executed
     only inside Arrow batches. Byte-identical to composing the individual
-    operators (asserted by tests/test_pipeline_fused.py)."""
-    blocks = tokenize_and_score_py(payload)
+    operators (asserted by tests/test_pipeline_fused.py). The classifier
+    thresholds accept per-document overrides (T2 extraction modes)."""
+    blocks = tokenize_and_score_py(payload, max_link_density, min_text_len)
     text = "\n".join(b["text"] for b in blocks if b["is_content"]).strip()
     nonempty = [b for b in blocks if b["text"]]
     if nonempty:
@@ -86,8 +91,15 @@ def _extract_arrow(batches):
         texts: list[str] = []
         confs: list[float] = []
         reads: list[list[dict]] = []
-        for payload in b.column("html"):
-            t, c, r = extract_page_py(payload.as_py())
+        # optional per-row T2 mode thresholds (absent on the default path)
+        has_modes = "_mld" in b.schema.names
+        mlds = b.column("_mld").to_pylist() if has_modes else None
+        mtls = b.column("_mtl").to_pylist() if has_modes else None
+        for i, payload in enumerate(b.column("html")):
+            if has_modes:
+                t, c, r = extract_page_py(payload.as_py(), mlds[i], mtls[i])
+            else:
+                t, c, r = extract_page_py(payload.as_py())
             texts.append(t)
             confs.append(c)
             reads.append(r)
@@ -197,9 +209,26 @@ def extract_pages(
     elif max_html_bytes:
         nonempty = nonempty.withColumn("html", cap_html(F.col("html"), max_html_bytes))
     if keep_blocks:
-        blocks = nonempty.select(
-            "url", "warc_ts", tokenize_scored("html").alias("blocks")
-        )
+        if doc_type_col is not None:
+            from narowi_ocr_spark.operators.blocks import (
+                score_blocks,
+                tokenize_html,
+            )
+
+            mode = mode_config(F.col(doc_type_col))
+            blocks = nonempty.select(
+                "url",
+                "warc_ts",
+                score_blocks(
+                    tokenize_html("html"),
+                    max_link_density=mode["max_link_density"],
+                    min_text_len=mode["min_text_len"],
+                ).alias("blocks"),
+            )
+        else:
+            blocks = nonempty.select(
+                "url", "warc_ts", tokenize_scored("html").alias("blocks")
+            )
         assembled = blocks.select(
             "url",
             "warc_ts",
@@ -219,9 +248,17 @@ def extract_pages(
     # html is consumed inside this (single) Arrow boundary and never
     # appears downstream — column pruning is structural, not left to
     # chance (SURVEY.md §4).
-    res = nonempty.select(
-        "url", F.col("warc_ts").cast("timestamp").alias("warc_ts"), "html"
-    ).mapInArrow(_extract_arrow, EXTRACT_OUT_SCHEMA)
+    in_cols = ["url", F.col("warc_ts").cast("timestamp").alias("warc_ts"), "html"]
+    if doc_type_col is not None:
+        # T2: the mode's classifier thresholds ride the same Arrow batch
+        # as per-row columns, so the fused kernel classifies each doc
+        # under its own mode — still ONE boundary, one unbranched plan
+        mode = mode_config(F.col(doc_type_col))
+        in_cols += [
+            mode["max_link_density"].alias("_mld"),
+            mode["min_text_len"].alias("_mtl"),
+        ]
+    res = nonempty.select(*in_cols).mapInArrow(_extract_arrow, EXTRACT_OUT_SCHEMA)
     out = with_status(res)
     return out.select(
         "url", "warc_ts", "status", "readings", "confidence",

@@ -52,6 +52,35 @@ def test_extraction_mode_dispatch_caps_per_type(spark):
     assert cfg["min_text_len"] == EXTRACTION_MODES["feed"]["min_text_len"]
 
 
+def test_extraction_mode_thresholds_reach_fused_kernel(spark):
+    """T2: the mode's classifier thresholds ride the Arrow batch — a
+    block shorter than feed's min_text_len (5) classifies as content
+    under article mode but NOT under feed mode, in the FUSED path."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    html = b"<p>abc</p>"  # 3-char block
+    rows = [("article", ts, html, None, "en"), ("feed", ts, html, None, "en")]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA).withColumn(
+        "doc_type", F.col("url")
+    )
+    out = {
+        r["url"]: r["extracted_text"]
+        for r in extract_pages(pages, doc_type_col="doc_type").collect()
+    }
+    assert out["article"] == "abc"
+    assert out["feed"] == ""  # 3 < min_text_len=5 → not content
+
+    # keep_blocks debug path applies the same per-row thresholds
+    blk = {
+        r["url"]: r["blocks"][0]["is_content"]
+        for r in extract_pages(
+            pages, keep_blocks=True, doc_type_col="doc_type"
+        ).collect()
+    }
+    assert blk == {"article": True, "feed": False}
+
+
 def test_cap_html_truncates_only_oversized(spark):
     import datetime
 

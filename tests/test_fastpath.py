@@ -108,6 +108,20 @@ def test_fastpath_flag_dispatch(spark):
     assert [x.asDict() for x in fast_n] == [x.asDict() for x in slow_n]
 
 
+def test_numbers_fast_null_confidence_matches_kernel(spark):
+    """NULL confidence coerces to 0.0 in BOTH paths (the kernel's
+    `float(c) if c is not None else 0.0`)."""
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="HR: 72", conf=None)],
+        "doc_id long, text string, conf double",
+    )
+    fast = df.select(
+        extract_numbers_fast("text", F.col("conf")).alias("n")
+    ).first()["n"]
+    assert fast and all(x["confidence"] == 0.0 for x in fast)
+    assert [x.asDict() for x in fast] == extract_numbers_py("HR: 72", 0.0)
+
+
 def test_fastpath_null_and_empty(spark):
     df = spark.createDataFrame(
         [Row(doc_id=0, text=None), Row(doc_id=1, text="")]

@@ -6,7 +6,7 @@ and the chunked `rolling_fingerprint` must be invariant to chunk size
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from narowi_ocr_spark.functions.textstats import (
+from narowi_ocr_spark.functions.textstats import (  # noqa: F401
     ROLL_BASE,
     ROLL_MOD,
     ROLL_SEED,
@@ -63,6 +63,21 @@ def _roll_py(text: str) -> int:
     for ch in text:
         h = (h * ROLL_BASE + ord(ch)) % ROLL_MOD
     return h
+
+
+def test_rolling_fingerprint_null_stays_null(spark):
+    """NULL text → NULL fingerprint (like the oracle's list_reduce), not
+    the seed; empty text → the seed."""
+    df = spark.createDataFrame(
+        [(0, None), (1, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["rfp"]
+        for r in df.select(
+            "doc_id", rolling_fingerprint("text").alias("rfp")
+        ).collect()
+    }
+    assert got == {0: None, 1: ROLL_SEED}
 
 
 def test_rolling_fingerprint_chunk_invariant(spark):
