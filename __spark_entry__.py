@@ -1152,6 +1152,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_quantiles"] = events_quantiles
 
+    def events_quantiles_approx(spark, sf_dir):
+        """Sketch twin of events_quantiles: percentile_approx (KLL-style
+        mergeable sketch) + approx_count_distinct (HyperLogLog++). The
+        100 TB path — partials merge associatively across executors at
+        fixed memory. NO oracle_sql entry on purpose: DuckDB's approx
+        algorithms differ, so the driver records the weaker rows-only
+        check; the exact twin (events_quantiles) carries the hash gate."""
+        ev = load_table(spark, sf_dir, "events")
+        return ev.groupBy("event_type").agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias(
+                "p_approx"
+            ),
+            F.approx_count_distinct("user_id").alias("ndv_users_approx"),
+            F.count("*").alias("n"),
+        ).select(
+            "event_type",
+            F.col("p_approx")[0].alias("p50"),
+            F.col("p_approx")[1].alias("p90"),
+            F.col("p_approx")[2].alias("p99"),
+            "ndv_users_approx",
+            "n",
+        )
+
+    q["events_quantiles_approx"] = events_quantiles_approx
+
     def events_asof(spark, sf_dir):
         """As-of join without a range-join explosion: for every click,
         the user's latest view at-or-before it. The scalable shape —

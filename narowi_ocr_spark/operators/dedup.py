@@ -1,5 +1,10 @@
 """Deduplication operators for large-scale corpus curation: exact
-(hash-groupBy), MinHash + LSH banding, SimHash, and n-gram Jaccard
+(hash-groupBy), MinHash + LSH banding (Broder, "On the resemblance and
+containment of documents", 1997; banding per Leskovec/Rajaraman/Ullman,
+Mining of Massive Datasets ch. 3), SimHash (Charikar, "Similarity
+estimation techniques from rounding algorithms", STOC 2002; the
+Hamming-band blocking follows Manku/Jain/Sarma, "Detecting
+near-duplicates for web crawling", WWW 2007), and n-gram Jaccard
 verification.
 
 All of these are pure Catalyst expression trees — no Python executes at

@@ -1,6 +1,9 @@
 """Similarity search over embedding columns (``array<float>``):
-brute-force cosine top-k as the exact baseline, and a sign-LSH
-(random-hyperplane) bucketed variant as the scale path.
+brute-force cosine top-k as the exact baseline, a sign-LSH
+(random-hyperplane) bucketed variant (Charikar, STOC 2002), and IVF
+coarse quantization with multi-probe (the inverted-file half of
+Jégou/Douze/Schmid, "Product quantization for nearest neighbor
+search", TPAMI 2011) as the scale paths.
 
 Everything is native Catalyst (zip_with / aggregate higher-order
 functions) so the arithmetic is reproducible in the DuckDB oracles and

@@ -43,6 +43,28 @@ def stream_pages(spark: SparkSession, src_dir: str,
     return reader.parquet(src_dir)
 
 
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str] = ["url"],
+    ts_col: str = "warc_ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """In-stream exact dedup on ``key_cols`` (crawl-frontier URL dedup):
+    re-crawled duplicates arriving within the watermark horizon are
+    dropped before extraction ever runs — at 10¹² docs, paying the
+    extraction cost for re-crawls is the single biggest avoidable spend.
+
+    Uses ``dropDuplicatesWithinWatermark``: state holds one entry per
+    key seen within the horizon and is evicted as the event-time
+    watermark passes (bounded state — plain dropDuplicates on a stream
+    would grow state forever). The first arrival of a key within the
+    horizon survives; cross-horizon re-crawls are treated as fresh
+    (which is what a periodic re-crawl pipeline wants)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def run_extraction_stream(
     spark: SparkSession,
     src_dir: str,

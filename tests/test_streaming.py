@@ -43,6 +43,38 @@ def test_available_now_and_resume(spark, tmp_path):
     assert len(batch_dirs) == len({e["batch_id"] for e in entries})
 
 
+def test_stream_dedup_drops_recrawls(spark, tmp_path):
+    """In-stream URL dedup: duplicated pages within the watermark
+    horizon are extracted exactly once (the crawl-frontier dedup gate
+    in front of the extraction spend)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from narowi_ocr_spark.plans.pipeline import extract_pages
+    from narowi_ocr_spark.streaming import dedup_stream, stream_pages
+
+    src = str(tmp_path / "src")
+    base = synth_pages(spark, 30, partitions=1)
+    # every url appears twice in the source (a re-crawl batch)
+    base.unionByName(base).coalesce(1).write.parquet(src)
+    assert spark.read.parquet(src).count() == 60
+
+    name = "t_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        extract_pages(dedup_stream(stream_pages(spark, src)))
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name)
+    assert out.count() == 30
+    assert out.select(F.countDistinct("url")).first()[0] == 30
+
+
 def test_manifest_single_materialization(spark, tmp_path):
     """The manifest count must be served from the persisted batch, not by
     re-running the transform (foreachBatch write + count used to compute
