@@ -89,7 +89,10 @@ def _col(c: Column | str) -> Column:
 def _value_unit(cat: str, ngroups: int, m: Column, a: Column, b: Column):
     """Per-category value/unit coercion (reference kernel :171-198),
     resolved statically where the pattern decides (group count) and
-    dynamically where the matched text decides (unit inference)."""
+    dynamically where the matched text decides (unit inference).
+    Returns (value, unit, static_unit) — static_unit is the Python
+    string when the unit is plan-time constant (lets the validator pick
+    its range branch statically instead of emitting a lit==lit CASE)."""
     low = F.lower(m)
     if cat == "BLOOD_PRESSURE":
         sys_i, dia_i = a.cast("int"), b.cast("int")
@@ -97,35 +100,42 @@ def _value_unit(cat: str, ngroups: int, m: Column, a: Column, b: Column):
         unit = F.concat(
             sys_i.cast("string"), F.lit("/"), dia_i.cast("string"), F.lit(" mmHg")
         )
-    elif cat == "HEIGHT" and ngroups >= 2:  # feet'inches patterns
+        return value, unit, None
+    if cat == "HEIGHT" and ngroups >= 2:  # feet'inches patterns
         value = (a.cast("int") * 12 + b.cast("int")).cast("double")
-        unit = F.lit("in")
-    elif cat == "TEMPERATURE":
-        value = a.cast("double")
+        return value, F.lit("in"), "in"
+    if cat == "TEMPERATURE":
         unit = F.when(low.contains("f"), F.lit("F")).otherwise(F.lit("C"))
-    elif cat == "WEIGHT":
-        value = a.cast("double")
+        return a.cast("double"), unit, None
+    if cat == "WEIGHT":
         unit = F.when(low.contains("kg"), F.lit("kg")).otherwise(F.lit("lb"))
-    elif cat == "BLOOD_GLUCOSE":
-        value = a.cast("double")
-        unit = F.when(low.contains("mmol"), F.lit("mmol/L")).otherwise(F.lit("mg/dL"))
-    else:
-        # two-group HR/RESP patterns take group(2) (lastindex == 2)
-        g = b if (cat in ("HEART_RATE", "RESPIRATORY_RATE") and ngroups == 2) else a
-        value = g.cast("double")
-        unit = F.lit(DEFAULT_UNITS.get(cat, ""))
-    return value, unit
+        return a.cast("double"), unit, None
+    if cat == "BLOOD_GLUCOSE":
+        unit = F.when(low.contains("mmol"), F.lit("mmol/L")).otherwise(
+            F.lit("mg/dL")
+        )
+        return a.cast("double"), unit, None
+    # two-group HR/RESP patterns take group(2) (lastindex == 2)
+    g = b if (cat in ("HEART_RATE", "RESPIRATORY_RATE") and ngroups == 2) else a
+    su = DEFAULT_UNITS.get(cat, "")
+    return g.cast("double"), F.lit(su), su
 
 
-def _valid_expr(cat: str, value: Column, unit: Column) -> Column:
+def _valid_expr(
+    cat: str, value: Column, unit: Column, static_unit: str | None = None
+) -> Column:
     """Per-type range validation with the type resolved STATICALLY —
     the expression carries only this category's unit branches (the
-    generic ``is_valid_reading`` builds the full 9-type CASE per call)."""
+    generic ``is_valid_reading`` builds the full 9-type CASE per call);
+    a plan-time-constant unit collapses to the single range check."""
     if cat == "BLOOD_PRESSURE":
         sys_v = F.split(unit, "/").getItem(0).cast("int")
         dia_v = F.regexp_extract(unit, r"/(\d+)", 1).cast("int")
         return sys_v.between(*BP_SYS_RANGE) & dia_v.between(*BP_DIA_RANGE)
     by_unit = READING_RANGES[cat]
+    if static_unit is not None:
+        lo, hi = by_unit.get(static_unit, by_unit[""])
+        return value.between(F.lit(lo), F.lit(hi))
     lo, hi = by_unit[""]
     branch = value.between(F.lit(lo), F.lit(hi))
     for u, (ulo, uhi) in by_unit.items():
@@ -233,14 +243,14 @@ def _line_hit_arrays(s: Column) -> Column:
                 def mk(m):
                     a = F.regexp_extract(m, jp, 1)
                     b = F.regexp_extract(m, jp, 2) if ngroups >= 2 else F.lit("")
-                    value, unit = _value_unit(cat, ngroups, m, a, b)
+                    value, unit, su = _value_unit(cat, ngroups, m, a, b)
                     return F.struct(
                         s["li"].alias("li"),
                         m.alias("matched"),
                         F.lit(cat).alias("type"),
                         value.alias("value"),
                         unit.alias("unit"),
-                        _valid_expr(cat, value, unit).alias("is_valid"),
+                        _valid_expr(cat, value, unit, su).alias("is_valid"),
                     )
 
                 return mk
