@@ -921,6 +921,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_stats"] = repetition_stats
 
+    def doc_keywords_q(spark, sf_dir):
+        """Top-3 tf-idf keywords per doc: learn corpus df stats, apply
+        per document (ratio idf → cross-engine exact)."""
+        from narowi_ocr_spark.functions.textstats import doc_keywords
+
+        return doc_keywords(_docs(spark, sf_dir), k=3).withColumnRenamed(
+            "id", "doc_id"
+        )
+
+    q["doc_keywords"] = doc_keywords_q
+
     def source_caps(spark, sf_dir):
         """Per-source document quota (the C4/RefinedWeb-style per-domain
         cap): keep the first 10 docs of every source by doc_id order."""
@@ -2002,6 +2013,30 @@ def oracle_sql() -> dict[str, str]:
         JOIN g2 ON g2.doc_id = d.doc_id
         LEFT JOIN a2 ON a2.doc_id = d.doc_id
         LEFT JOIN a3 ON a3.doc_id = d.doc_id
+    """
+
+    o["doc_keywords"] = f"""
+        WITH toks AS (
+          SELECT doc_id AS id, unnest({_WORDS_SQL}) AS w FROM documents),
+        -- empty/whitespace-only docs: Spark words() yields [], DuckDB's
+        -- split yields [''] — the length guard makes them agree
+        tf AS (SELECT id, w, count(*) AS tf FROM toks
+               WHERE length(w) > 0 GROUP BY 1, 2),
+        dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.id, tf.w,
+                 CAST(tf.tf AS DOUBLE)
+                   * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                   AS tfidf
+          FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n),
+        ranked AS (
+          SELECT id, w, tfidf,
+                 CAST(row_number() OVER (PARTITION BY id
+                        ORDER BY tfidf DESC, w ASC) AS INT) AS rank
+          FROM scored)
+        SELECT id AS doc_id, w AS keyword, tfidf, rank
+        FROM ranked WHERE rank <= 3
     """
 
     o["source_caps"] = """

@@ -223,6 +223,66 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def doc_keywords(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` tf-idf keywords per document — the classic two-phase
+    corpus operator: phase 1 LEARNS corpus statistics (document
+    frequencies + corpus size, one shuffle with map-side combine),
+    phase 2 APPLIES them to every document (df-table join + per-doc
+    window). Returns (id, keyword, tfidf, rank).
+
+    Scale notes: term frequencies combine map-side before the shuffle
+    (the explode never shuffles raw text, only (id, word) pairs → after
+    partial agg, (id, word, tf)); the df table is corpus-vocabulary
+    sized — broadcastable for bounded vocabularies, a plain shuffle join
+    otherwise; the corpus size joins in as a broadcast 1-row aggregate
+    (no driver-side collect).
+
+    Determinism across engines: idf is the RATIO N/df (not log) — tf ×
+    (N/df) is one division and one multiplication, bit-identical in any
+    IEEE engine, so the DuckDB oracle hash-matches without rounding
+    traps; ranking ties break on the word. Monotone in the usual
+    log-idf, so the top-k set differs from log-tf-idf only when log's
+    compression would reorder — acceptable for keyword extraction and
+    documented here."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("w"),
+    )
+    tf = toks.groupBy("id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "w",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id"),
+            F.col("w").alias("keyword"),
+            F.col("tfidf"),
+            F.col("rank"),
+        )
+    )
+
+
 ROLL_BASE = 31
 ROLL_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
 ROLL_SEED = 7
