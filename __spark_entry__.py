@@ -932,6 +932,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_keywords"] = doc_keywords_q
 
+    def pii_scrub(spark, sf_dir):
+        """PII scrub pass (the safety redaction every published web
+        corpus runs): count + redact URLs, then emails, then IPv4s, in
+        PII_PATTERNS order. A deterministic PII tail is appended to
+        every 3rd doc so the operator has real matches to find; the URL
+        carries an embedded ``user@host`` userinfo so the ordering
+        contract (the URL pass swallows it before the email pass runs)
+        is exercised, and the trailing ``.`` after the IP exercises the
+        ``\\b`` boundary."""
+        from narowi_ocr_spark.functions.textstats import with_pii_scrub
+
+        docs = _docs(spark, sf_dir)
+        seeded = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" Contact ops-"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit("@mail.example.org or see https://u"),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit("@cdn.example.net/p/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" from 10.2."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7."),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return with_pii_scrub(seeded).select(
+            "doc_id", "n_url", "n_email", "n_ip", "redacted"
+        )
+
+    q["pii_scrub"] = pii_scrub
+
     def source_caps(spark, sf_dir):
         """Per-source document quota (the C4/RefinedWeb-style per-domain
         cap): keep the first 10 docs of every source by doc_id order."""
@@ -2038,6 +2076,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS doc_id, w AS keyword, tfidf, rank
         FROM ranked WHERE rank <= 3
     """
+
+    # pii_scrub: the oracle chains the SAME patterns (imported, so the
+    # two engines cannot drift) through DuckDB's RE2. Counts are taken
+    # on the partially-redacted text of the previous stage, exactly as
+    # with_pii_scrub does; 'g' makes regexp_replace global like Spark's.
+    from narowi_ocr_spark.functions.textstats import PII_PATTERNS as _PII
+
+    _pii_seed = (
+        "seeded AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+        "text || ' Contact ops-' || CAST(doc_id % 7 AS VARCHAR) || "
+        "'@mail.example.org or see https://u' || "
+        "CAST(doc_id % 5 AS VARCHAR) || '@cdn.example.net/p/' || "
+        "CAST(doc_id AS VARCHAR) || ' from 10.2.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || '.7.' "
+        "ELSE text END AS r0 FROM documents)"
+    )
+    _pii_stages = [_pii_seed]
+    for _i, (_kind, _pat, _token) in enumerate(_PII):
+        _pii_stages.append(
+            "s{i} AS (SELECT *, "
+            "CAST(len(regexp_extract_all(r{p}, '{pat}')) AS INT) "
+            "AS n_{kind}, "
+            "regexp_replace(r{p}, '{pat}', '{token}', 'g') AS r{i} "
+            "FROM {prev})".format(
+                i=_i + 1,
+                p=_i,
+                pat=_pat,
+                kind=_kind,
+                token=_token,
+                prev="seeded" if _i == 0 else "s{}".format(_i),
+            )
+        )
+    o["pii_scrub"] = (
+        "WITH "
+        + ",\n".join(_pii_stages)
+        + "\nSELECT doc_id, "
+        + ", ".join("n_{}".format(k) for k, _, _ in _PII)
+        + ", r{} AS redacted FROM s{}".format(len(_PII), len(_PII))
+    )
 
     o["source_caps"] = """
         WITH r AS (

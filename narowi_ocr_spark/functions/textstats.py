@@ -283,6 +283,37 @@ def doc_keywords(
     )
 
 
+# PII scrubbing — the safety pass every published web corpus runs.
+# Patterns are deliberately lookahead-free so Java regex (Spark) and RE2
+# (the DuckDB oracle) agree character-for-character; URL first so
+# addresses inside URLs are swallowed by the URL token.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``n_<kind>`` match counts per PII kind and ``redacted`` (the
+    text with every match replaced by its token), applied in PII_PATTERNS
+    order. Pure regexp_replace/regexp_extract_all chains — native,
+    narrow, no UDF; counts are taken BEFORE each replacement so later
+    patterns never double-count earlier tokens."""
+    out = df
+    redacted = F.col(text_col)
+    for kind, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(redacted, F.lit(pat), 0))
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+        # stage the partially-redacted text so the next count/replace
+        # works on it without re-inlining the whole chain
+        out = out.withColumn("_red", redacted)
+        redacted = F.col("_red")
+    return out.withColumnRenamed("_red", "redacted")
+
+
 ROLL_BASE = 31
 ROLL_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
 ROLL_SEED = 7

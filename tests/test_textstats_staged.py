@@ -90,3 +90,52 @@ def test_rolling_fingerprint_chunk_invariant(spark):
             ).collect()
         }
         assert got == {i: _roll_py(t) for i, t in enumerate(TEXTS)}, chunk
+
+
+PII_CASES = [
+    # (text, n_url, n_email, n_ip, redacted)
+    (
+        "visit https://a.b/c or mail x@y.zz from 1.2.3.4",
+        1, 1, 1,
+        "visit <URL> or mail x@y.zz from 1.2.3.4".replace(
+            "x@y.zz", "<EMAIL>"
+        ).replace("1.2.3.4", "<IP>"),
+    ),
+    # URL userinfo (user@host) is swallowed by the URL pass, so the
+    # email pass must NOT count it
+    ("see http://bob@example.com/page now", 1, 0, 0, "see <URL> now"),
+    # \b: no boundary inside v1.2.3.4000 (digit run too long / glued)
+    ("release v1.2.3.4000 shipped", 0, 0, 0, "release v1.2.3.4000 shipped"),
+    # trailing period sits outside the IP match
+    ("host is 10.0.0.1.", 0, 0, 1, "host is <IP>."),
+    ("plain text, no pii at all", 0, 0, 0, "plain text, no pii at all"),
+    # two of a kind
+    ("a@b.cc then c@d.ee", 0, 2, 0, "<EMAIL> then <EMAIL>"),
+]
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from narowi_ocr_spark.functions.textstats import with_pii_scrub
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, (t, *_rest) in enumerate(PII_CASES)]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in with_pii_scrub(df)
+        .select("doc_id", "n_url", "n_email", "n_ip", "redacted")
+        .collect()
+    }
+    for i, (t, nu, ne, ni, red) in enumerate(PII_CASES):
+        r = got[i]
+        assert (r["n_url"], r["n_email"], r["n_ip"]) == (nu, ne, ni), t
+        assert r["redacted"] == red, t
+
+
+def test_pii_scrub_null_stays_null(spark):
+    from narowi_ocr_spark.functions.textstats import with_pii_scrub
+
+    df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    r = with_pii_scrub(df).collect()[0]
+    assert r["n_url"] is None
+    assert r["redacted"] is None
