@@ -970,6 +970,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_scrub"] = pii_scrub
 
+    def decontamination(spark, sf_dir):
+        """Benchmark decontamination: flag corpus docs sharing any word
+        5-gram with a deterministic synthetic eval set (the first 8
+        words of every 41st doc stand in for benchmark prompts). The
+        eval gram table is broadcast; the corpus side never shuffles
+        text — only (id, count) partial aggregates."""
+        from narowi_ocr_spark.functions.textstats import words
+        from narowi_ocr_spark.operators.corpus import contamination
+
+        docs = _docs(spark, sf_dir)
+        eval_df = docs.where(F.col("doc_id") % 41 == 0).select(
+            F.array_join(F.slice(words(F.lower(F.col("text"))), 1, 8), " ").alias(
+                "text"
+            )
+        )
+        return contamination(docs, eval_df, n=5).withColumnRenamed("id", "doc_id")
+
+    q["decontamination"] = decontamination
+
+    def stratified_sample_q(spark, sf_dir):
+        """Deterministic per-source sampling (training-mix weighting):
+        source srcK keeps a (K mod 5)/4 fraction — 0, ¼, ½, ¾ or all —
+        decided by a pure md5(salt||id) predicate, so the sample is
+        identical across engines, runs, and partitionings (unlike
+        seeded sampleBy)."""
+        from narowi_ocr_spark.operators.corpus import stratified_sample
+
+        docs = _docs(spark, sf_dir)
+        rates = {f"src{i}": (i % 5) / 4 for i in range(20)}
+        return stratified_sample(docs, rates).select(
+            "doc_id", "source", "sample_key"
+        )
+
+    q["stratified_sample"] = stratified_sample_q
+
+    def char_lm_scores(spark, sf_dir):
+        """Char-bigram LM self-scoring (CCNet/KenLM-style gibberish
+        gate): learn P(c2|c1) over the corpus, score every doc by its
+        average fixed-point conditional probability. Integer-exact
+        model (div) so the oracle hash-matches."""
+        from narowi_ocr_spark.operators.corpus import char_bigram_lm
+
+        return char_bigram_lm(_docs(spark, sf_dir)).withColumnRenamed(
+            "id", "doc_id"
+        )
+
+    q["char_lm_scores"] = char_lm_scores
+
     def source_caps(spark, sf_dir):
         """Per-source document quota (the C4/RefinedWeb-style per-domain
         cap): keep the first 10 docs of every source by doc_id order."""
@@ -2115,6 +2163,84 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join("n_{}".format(k) for k, _, _ in _PII)
         + ", r{} AS redacted FROM s{}".format(len(_PII), len(_PII))
     )
+
+    o["decontamination"] = f"""
+        WITH ev AS (
+          SELECT array_to_string(({_WORDS_SQL})[1:8], ' ') AS text
+          FROM documents WHERE doc_id % 41 = 0),
+        eg AS (SELECT DISTINCT unnest(list_distinct({_ngrams_sql(5)})) AS g
+               FROM ev),
+        cg AS (SELECT doc_id, unnest(list_distinct({_ngrams_sql(5)})) AS g
+               FROM documents),
+        hits AS (SELECT doc_id, count(*) AS n_overlap
+                 FROM cg JOIN eg USING (g) GROUP BY 1),
+        base AS (SELECT doc_id,
+                        CAST(len(list_distinct({_ngrams_sql(5)})) AS INT)
+                          AS n_grams
+                 FROM documents)
+        SELECT b.doc_id, b.n_grams,
+               CAST(coalesce(h.n_overlap, 0) AS INT) AS n_overlap,
+               coalesce(h.n_overlap, 0) > 0 AS contaminated
+        FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
+    """
+
+    # stratified_sample: the VALUES dim is generated from the SAME
+    # rate→threshold function the Spark operator uses, so the two
+    # engines cannot drift on the keep predicate.
+    from narowi_ocr_spark.operators.corpus import _rate_to_hex_threshold
+
+    _strat_values = ", ".join(
+        "('src{}', '{}')".format(i, _rate_to_hex_threshold((i % 5) / 4))
+        for i in range(20)
+    )
+    o["stratified_sample"] = f"""
+        WITH keyed AS (
+          SELECT doc_id, source,
+                 substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS sample_key
+          FROM documents),
+        r(source, thr) AS (VALUES {_strat_values})
+        SELECT k.doc_id, k.source, k.sample_key
+        FROM keyed k JOIN r USING (source)
+        WHERE k.sample_key < r.thr
+    """
+
+    from narowi_ocr_spark.operators.corpus import LM_SCALE as _LM_SCALE
+
+    o["char_lm_scores"] = f"""
+        WITH chars AS (
+          SELECT doc_id,
+                 list_filter(split(lower(text), ''), c -> length(c) > 0) AS cs
+          FROM documents),
+        bgs AS (
+          SELECT doc_id,
+                 CASE WHEN len(cs) >= 2 THEN
+                   list_transform(range(1, len(cs)), i -> cs[i] || cs[i+1])
+                 ELSE CAST([] AS VARCHAR[]) END AS bg
+          FROM chars),
+        tok AS (SELECT doc_id, unnest(bg) AS bg FROM bgs),
+        cnt AS (SELECT bg, count(*) AS cnt FROM tok GROUP BY 1),
+        model AS (
+          SELECT bg,
+                 CAST(({_LM_SCALE} * cnt)
+                        // sum(cnt) OVER (PARTITION BY substr(bg, 1, 1))
+                      AS BIGINT) AS p_scaled
+          FROM cnt),
+        docbg AS (SELECT doc_id, bg, count(*) AS mult FROM tok GROUP BY 1, 2),
+        sc AS (
+          SELECT d.doc_id,
+                 CAST(sum(d.mult) AS BIGINT) AS n_bigrams,
+                 CAST(sum(d.mult * m.p_scaled) AS BIGINT) AS lm_sum
+          FROM docbg d JOIN model m USING (bg) GROUP BY 1)
+        SELECT doc.doc_id,
+               CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(sc.lm_sum, 0) AS BIGINT) AS lm_sum,
+               CASE WHEN coalesce(sc.n_bigrams, 0) > 0 THEN
+                 floor((CAST(sc.lm_sum AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE))
+                         / {_LM_SCALE}.0 * 10000.0 + 0.5) / 10000.0
+               ELSE 0.0 END AS lm_score
+        FROM documents doc LEFT JOIN sc ON sc.doc_id = doc.doc_id
+    """
 
     o["source_caps"] = """
         WITH r AS (

@@ -1,0 +1,137 @@
+"""Unit tests for the corpus-level curation operators (decontamination,
+deterministic stratified sampling, char-bigram LM score) against
+hand-computed / pure-Python reference results."""
+
+import hashlib
+from collections import Counter
+
+from pyspark.sql import Row
+
+from narowi_ocr_spark.operators.corpus import (
+    LM_SCALE,
+    _rate_to_hex_threshold,
+    char_bigram_lm,
+    contamination,
+    stratified_sample,
+)
+
+
+def test_contamination_flags_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=1, text="a completely different sentence with no overlap"),
+            Row(doc_id=2, text="we saw the quick brown fox yesterday evening"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    eval_df = spark.createDataFrame(
+        [Row(text="quick brown fox")]
+    )
+    got = {
+        r["id"]: r
+        for r in contamination(corpus, eval_df, n=3).collect()
+    }
+    # doc 0: grams include "quick brown fox" -> contaminated
+    assert got[0]["contaminated"] and got[0]["n_overlap"] == 1
+    assert got[0]["n_grams"] == 7
+    assert not got[1]["contaminated"] and got[1]["n_overlap"] == 0
+    assert got[2]["contaminated"] and got[2]["n_overlap"] == 1
+    # empty doc: zero grams, not contaminated
+    assert got[3]["n_grams"] == 0 and not got[3]["contaminated"]
+
+
+def _md5key(salt, i):
+    return hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8]
+
+
+def test_stratified_sample_deterministic(spark):
+    rows = [
+        Row(doc_id=i, source=f"s{i % 3}", text=f"doc {i}") for i in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+    rates = {"s0": 1.0, "s1": 0.0, "s2": 0.5}
+    got = stratified_sample(df, rates, salt="s0").select(
+        "doc_id", "source", "sample_key"
+    ).collect()
+    ids = {r["doc_id"] for r in got}
+    # s0: all kept; s1: none kept
+    assert all(i in ids for i in range(300) if i % 3 == 0)
+    assert not any(i in ids for i in range(300) if i % 3 == 1)
+    # s2: exactly the md5-predicate subset, sample_key matches hashlib
+    thr = _rate_to_hex_threshold(0.5)
+    expect_s2 = {
+        i for i in range(300) if i % 3 == 2 and _md5key("s0", i) < thr
+    }
+    assert {i for i in ids if i % 3 == 2} == expect_s2
+    assert 0 < len(expect_s2) < 100  # genuinely partial
+    for r in got:
+        assert r["sample_key"] == _md5key("s0", r["doc_id"])
+
+
+def test_rate_threshold_edges():
+    assert _rate_to_hex_threshold(1.0) == "g"  # every hex digest < 'g'
+    assert _rate_to_hex_threshold(0.0) == "0"
+    assert _rate_to_hex_threshold(0.5) == "80000000"
+
+
+def _lm_py(corpus_texts, targets):
+    bg = Counter()
+    for t in corpus_texts:
+        cs = list(t.lower())
+        for a, b in zip(cs, cs[1:]):
+            bg[a + b] += 1
+    ctx = Counter()
+    for g, c in bg.items():
+        ctx[g[0]] += c
+    p = {g: (LM_SCALE * c) // ctx[g[0]] for g, c in bg.items()}
+    out = {}
+    for i, t in enumerate(targets):
+        cs = list(t.lower())
+        grams = [a + b for a, b in zip(cs, cs[1:])]
+        s = sum(p.get(g, 0) for g in grams)
+        n = len(grams)
+        score = (
+            round((s / n / LM_SCALE) * 10000 + 1e-9) / 10000 if n else 0.0
+        )
+        # replicate round4 = floor(x*1e4 + 0.5)/1e4 exactly
+        import math
+
+        score = math.floor((s / n) / LM_SCALE * 10000.0 + 0.5) / 10000.0 if n else 0.0
+        out[i] = (n, s, score)
+    return out
+
+
+def test_char_bigram_lm_matches_python_reference(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the dog ate the log",
+        "zzz qqq xxx",  # out-of-distribution junk
+        "",
+        "a",  # single char -> no bigrams
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r["id"]: (r["n_bigrams"], r["lm_sum"], r["lm_score"])
+        for r in char_bigram_lm(df).collect()
+    }
+    assert got == _lm_py(texts, texts)
+    # sanity: in-distribution text scores above the junk row
+    assert got[0][2] > got[2][2]
+
+
+def test_char_bigram_lm_apply_to_other_corpus(spark):
+    learn = spark.createDataFrame(
+        [Row(doc_id=0, text="abab abab abab")]
+    )
+    apply = spark.createDataFrame(
+        [Row(doc_id=10, text="ab"), Row(doc_id=11, text="zz")]
+    )
+    got = {
+        r["id"]: (r["n_bigrams"], r["lm_sum"], r["lm_score"])
+        for r in char_bigram_lm(learn, apply_to=apply).collect()
+    }
+    expect = _lm_py(["abab abab abab"], ["ab", "zz"])
+    assert got == {10: expect[0], 11: expect[1]}
