@@ -159,6 +159,36 @@ def main() -> None:
         extra_set=True,
     )
 
+    from narowi_ocr_spark.functions.textstats import with_pii_scrub, words
+    from narowi_ocr_spark.operators.corpus import char_bigram_lm, contamination
+
+    bench(
+        "pii_scrub",
+        lambda: materialize(
+            with_pii_scrub(docs).select(
+                "doc_id",
+                "n_url",
+                "n_email",
+                "n_ip",
+                F.length("redacted").alias("red_len"),
+            )
+        ),
+        extra_set=True,
+    )
+    _eval_prompts = docs.where(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(words(F.lower(F.col("text"))), 1, 8), " ").alias("text")
+    )
+    bench(
+        "decontamination",
+        lambda: materialize(contamination(docs, _eval_prompts, n=5)),
+        extra_set=True,
+    )
+    bench(
+        "char_bigram_lm",
+        lambda: materialize(char_bigram_lm(docs)),
+        extra_set=True,
+    )
+
     corpus = entrymod._dup_corpus(docs)
     bench("exact_dedup", lambda: materialize(exact_dedup(corpus)))
     bench("minhash_lsh_pairs", lambda: materialize(lsh_candidate_pairs(corpus)))

@@ -119,3 +119,53 @@ def test_whole_stage_codegen_covers_native_stages(spark):
     # own MapInPandas source node, which a parquet scan wouldn't have)
     assert plan.count("MapInArrow") == 1, plan
     assert plan.count("ArrowEvalPython") == 0, plan
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    """Decontamination joins the corpus grams against the eval-set gram
+    table via broadcast — the corpus side must not exchange for that
+    join (only the (id, count) rollup and the final id-join shuffle)."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    df = entry.queries()["decontamination"](spark, "/root/testdata/sf0.001")
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # raw text must never cross an exchange, and at most ONE exchange
+    # may carry gram strings — the eval-side distinct (O(eval-set),
+    # negligible); the corpus side's grams only cross the broadcast
+    # probe, and its rollup shuffles (id, count) pairs
+    gram_exchanges = 0
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, f"raw text shuffled:\n{line}"
+            if "g#" in line:
+                gram_exchanges += 1
+    assert gram_exchanges <= 1, plan
+
+
+def test_stratified_sample_is_broadcast_filter_only(spark):
+    """The sampling predicate is a broadcast dim join + narrow filter:
+    the fact side must not shuffle at all."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    df = entry.queries()["stratified_sample"](spark, "/root/testdata/sf0.001")
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_char_lm_model_is_broadcast(spark):
+    """The learned bigram model (|V|²-bounded) must broadcast into the
+    apply join; doc text must never appear in any exchange."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    df = entry.queries()["char_lm_scores"](spark, "/root/testdata/sf0.001")
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, f"raw text shuffled:\n{line}"
