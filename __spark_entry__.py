@@ -1018,6 +1018,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["char_lm_scores"] = char_lm_scores
 
+    def winnow_fps(spark, sf_dir):
+        """MOSS-style winnowing fingerprints per document (k=8 char
+        grams, w=4 windows), exploded to (doc_id, fp) rows. One native
+        projection per doc — no shuffle until the explode's downstream
+        consumer aggregates."""
+        from narowi_ocr_spark.functions.textstats import winnow_fingerprints
+
+        return _docs(spark, sf_dir).select(
+            "doc_id", F.explode(winnow_fingerprints("text")).alias("fp")
+        )
+
+    q["winnow_fps"] = winnow_fps
+
+    def vocab_stats_q(spark, sf_dir):
+        """Corpus top-100 vocabulary with cumulative coverage — the
+        tokenizer-training curve. Only (word, count) pairs shuffle."""
+        from narowi_ocr_spark.functions.textstats import vocab_stats
+
+        return vocab_stats(_docs(spark, sf_dir), k=100)
+
+    q["vocab_stats"] = vocab_stats_q
+
+    def incremental_dedup_q(spark, sf_dir):
+        """Incremental exact dedup: the dup corpus (base ∪ exact ∪
+        near copies) arrives as a new batch against an index built from
+        the base corpus — only the near copies (genuinely new content)
+        survive. The crawl-refresh pattern: each run processes only
+        unseen fingerprints."""
+        from narowi_ocr_spark.operators.dedup import (
+            build_fingerprint_index,
+            incremental_dedup,
+        )
+
+        docs = _docs(spark, sf_dir)
+        index = build_fingerprint_index(docs)
+        incoming = _dup_corpus(docs)
+        return incremental_dedup(incoming, index)
+
+    q["incremental_dedup"] = incremental_dedup_q
+
     def source_caps(spark, sf_dir):
         """Per-source document quota (the C4/RefinedWeb-style per-domain
         cap): keep the first 10 docs of every source by doc_id order."""
@@ -2240,6 +2280,56 @@ def oracle_sql() -> dict[str, str]:
                          / {_LM_SCALE}.0 * 10000.0 + 0.5) / 10000.0
                ELSE 0.0 END AS lm_score
         FROM documents doc LEFT JOIN sc ON sc.doc_id = doc.doc_id
+    """
+
+    # winnow_fps: k=8, w=4 → n_grams = n-7, n_windows = n-10. The hash
+    # list is staged once; window minima are inclusive slices hs[i:i+3].
+    o["winnow_fps"] = """
+        WITH t AS (SELECT doc_id, lower(text) AS t, length(text) AS n
+                   FROM documents),
+        g AS (SELECT doc_id, t, n,
+                     CASE WHEN n - 7 >= 1 THEN
+                       list_transform(range(1, n - 7 + 1),
+                         i -> substr(md5(substr(t, i, 8)), 1, 8))
+                     ELSE CAST([] AS VARCHAR[]) END AS hs
+              FROM t),
+        f AS (SELECT doc_id,
+                     CASE WHEN n = 0 THEN CAST([] AS VARCHAR[])
+                          WHEN n - 10 < 1 THEN [substr(md5(t), 1, 8)]
+                          ELSE list_sort(list_distinct(
+                                 list_transform(range(1, n - 10 + 1),
+                                   i -> list_min(hs[i:i+3]))))
+                     END AS fps
+              FROM g)
+        SELECT doc_id, unnest(fps) AS fp FROM f
+    """
+
+    o["vocab_stats"] = f"""
+        WITH toks AS (SELECT unnest({_WORDS_SQL}) AS w FROM documents),
+        c AS (SELECT w, count(*) AS cnt FROM toks
+              WHERE length(w) > 0 GROUP BY 1),
+        r AS (SELECT w, cnt,
+                     CAST(row_number() OVER (ORDER BY cnt DESC, w) AS INT)
+                       AS rank,
+                     sum(cnt) OVER (ORDER BY cnt DESC, w
+                                    ROWS UNBOUNDED PRECEDING) AS cum_cnt
+              FROM c),
+        tot AS (SELECT sum(cnt) AS total FROM c)
+        SELECT rank, w AS word, CAST(cnt AS BIGINT) AS cnt,
+               floor(CAST(cum_cnt AS DOUBLE) / CAST(total AS DOUBLE)
+                       * 10000.0 + 0.5) / 10000.0 AS cum_frac
+        FROM r CROSS JOIN tot WHERE rank <= 100
+    """
+
+    o["incremental_dedup"] = f"""
+        WITH {_DUP_CORPUS_SQL},
+        idx AS (SELECT DISTINCT md5(text) AS fp FROM documents),
+        fps AS (SELECT doc_id, md5(text) AS fp FROM corpus),
+        reps AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY 1),
+        fresh AS (SELECT doc_id, fp FROM reps
+                  WHERE fp NOT IN (SELECT fp FROM idx))
+        SELECT f.doc_id, f.fp, c.text
+        FROM fresh f JOIN corpus c ON c.doc_id = f.doc_id
     """
 
     o["source_caps"] = """

@@ -15,6 +15,26 @@ from narowi_ocr_spark.functions.patterns import (
 )
 
 
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` exactly once per row and hand it to ``fn`` as a
+    bound lambda variable.
+
+    Interpreted higher-order lambdas (transform/filter/aggregate run
+    OUTSIDE whole-stage codegen) re-evaluate every captured expression
+    once PER ELEMENT — there is no common-subexpression elimination in
+    that path, so e.g. ``transform(seq, i -> slice(words(text), i, n))``
+    re-runs the O(len) split for every single n-gram, turning an O(len)
+    projection into O(len²). Wrapping the expensive expression in a
+    1-element array and binding it through ``transform`` makes every
+    reference inside ``fn`` a NamedLambdaVariable lookup (O(1)).
+
+    This is the expression-level twin of the projection-boundary staging
+    used by ``with_text_stats``/``with_minhash_bands`` — use this when
+    the consumer must stay a single Column (no DataFrame to stage on).
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def round4(col: Column) -> Column:
     """4-decimal rounding as pure IEEE arithmetic:
     floor(x·10⁴ + 0.5)/10⁴. Used instead of ``F.round`` on every

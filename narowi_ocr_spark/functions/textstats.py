@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from narowi_ocr_spark.functions.native import round4
+from narowi_ocr_spark.functions.native import bind_once, round4
 
 # Tiny per-language stopword inventories. Deliberately small: the point is
 # the distributed pattern (pure column exprs, no UDF), not lexical coverage.
@@ -136,17 +136,23 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def ngrams(text: Column | str, n: int) -> Column:
     """ALL word n-grams in order (NOT distinct — repetition analysis
-    needs multiplicities; `dedup.shingles` is the distinct variant)."""
+    needs multiplicities; `dedup.shingles` is the distinct variant).
+    The word array is bound once per row (``bind_once``): slicing it
+    per n-gram inside the lambda would otherwise re-run the O(len)
+    split per element — O(len²) per document."""
     t = F.col(text) if isinstance(text, str) else text
-    w = words(F.lower(t))
-    k = F.size(w)
-    return F.when(
-        k >= n,
-        F.transform(
-            F.sequence(F.lit(1), k - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def _grams(w: Column) -> Column:
+        k = F.size(w)
+        return F.when(
+            k >= n,
+            F.transform(
+                F.sequence(F.lit(1), k - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(w, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(words(F.lower(t)), _grams)
 
 
 def _max_run_count(arr: Column) -> Column:
@@ -374,3 +380,103 @@ def fingerprint(text: Column | str) -> Column:
     identical function exists in the DuckDB oracle."""
     t = F.col(text) if isinstance(text, str) else text
     return F.md5(t.cast("binary"))
+
+
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # winnowing window (k-gram hashes per window)
+
+
+def winnow_fingerprints(
+    text: Column | str, k: int = WINNOW_K, w: int = WINNOW_W
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS local fingerprinting algorithm): hash every char ``k``-gram,
+    slide a window of ``w`` consecutive hashes, keep each window's
+    minimum; the distinct selected hashes are the fingerprint set —
+    position-robust (insertions shift at most the neighbouring windows)
+    and guaranteed to share members with any document overlapping by
+    ≥ w+k−1 chars.
+
+    Returns a sorted array of distinct selected hashes (first 8 hex
+    chars of md5 of each k-gram — lexicographic min on lowercase hex ==
+    numeric min on the underlying value, and md5 exists in every
+    engine, so the DuckDB oracle is byte-identical). We keep selected
+    VALUES, not (value, position) pairs — the set of window minima is
+    tie-order independent, which sidesteps the rightmost-min tie rule
+    the positional variant needs.
+
+    Scale: O(n) md5 calls + O(n·w) array-min comparisons per doc, all
+    inside one native projection — no explode, no shuffle, no Python.
+    Docs shorter than k+w−1 chars fall back to a single whole-text
+    k-gram-or-less hash so every non-empty doc has ≥1 fingerprint."""
+    t_raw = F.lower(F.col(text) if isinstance(text, str) else text)
+
+    def _with_text(t: Column) -> Column:
+        n = F.length(t)
+        hashes = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.substring(
+                    F.md5(F.substring(t, i, k).cast("binary")), 1, 8
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+        def _with_hashes(hs: Column) -> Column:
+            n_windows = F.size(hs) - F.lit(w - 1)
+            minima = F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(hs, i, w)),
+            )
+            return (
+                F.when(n == 0, F.array().cast("array<string>"))
+                .when(
+                    n_windows < 1,
+                    F.array(F.substring(F.md5(t.cast("binary")), 1, 8)),
+                )
+                .otherwise(F.array_sort(F.array_distinct(minima)))
+            )
+
+        # both binds matter: `t` would re-lower per k-gram, and `hs`
+        # would re-hash the whole document once per window
+        return bind_once(hashes, _with_hashes)
+
+    return bind_once(t_raw, _with_text)
+
+
+def vocab_stats(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary statistics — the tokenizer-training feed: the
+    top-``k`` words by frequency with their corpus share and cumulative
+    coverage. Returns (rank, word, cnt, cum_frac) where cum_frac is the
+    fraction of ALL token occurrences covered by words 1..rank (the
+    curve BPE/vocab-size decisions are read off).
+
+    Scale shape: the explode partial-aggregates map-side, so only
+    (word, count) pairs — vocabulary-bounded, not corpus-bounded —
+    reach the shuffle; the rank/cumsum window runs over the vocabulary
+    table only (|V| rows, one ordered pass), and the corpus-total join
+    is a broadcast 1-row aggregate. cum_frac is an exact integer sum
+    divided once (IEEE-exact, round4) so the oracle hash-matches."""
+    toks = df.select(F.explode(words(F.lower(F.col(text_col)))).alias("w"))
+    cnts = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = cnts.agg(F.sum("cnt").alias("total"))
+    from pyspark.sql.window import Window
+
+    ordered = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    return (
+        cnts.withColumn("rank", F.row_number().over(ordered))
+        .withColumn(
+            "cum_cnt", F.sum("cnt").over(ordered.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .where(F.col("rank") <= k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            F.col("w").alias("word"),
+            F.col("cnt").cast("long").alias("cnt"),
+            round4(
+                F.col("cum_cnt").cast("double") / F.col("total").cast("double")
+            ).alias("cum_frac"),
+        )
+    )

@@ -53,26 +53,30 @@ def contamination(
             F.explode(F.array_distinct(ngrams(eval_text_col, n))).alias("g")
         )
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
+    # ONE pass over the corpus: the doc's gram count rides along the
+    # explode (explode_outer keeps zero-gram docs), the broadcast left
+    # join marks eval hits, and one partial-aggregated rollup rebuilds
+    # the per-doc row — the corpus is scanned once and shuffles once.
     staged = corpus.withColumn("_grams", F.array_distinct(ngrams(text_col, n)))
-    doc_grams = staged.select(
-        F.col(id_col).alias("id"), F.explode(F.col("_grams")).alias("g")
+    exploded = staged.select(
+        F.col(id_col).alias("id"),
+        F.size("_grams").alias("_n_grams"),
+        F.explode_outer(F.col("_grams")).alias("g"),
     )
-    hits = (
-        doc_grams.join(F.broadcast(eval_grams), "g")
-        .groupBy("id")
-        .agg(F.count("*").alias("n_overlap"))
-    )
-    base = staged.select(
-        F.col(id_col).alias("id"), F.size("_grams").alias("n_grams")
-    )
+    marked = exploded.join(F.broadcast(eval_grams), "g", "left")
     return (
-        base.join(hits, "id", "left")
+        marked.groupBy("id")
+        .agg(
+            F.max("_n_grams").alias("n_grams"),
+            F.count("_hit").cast("int").alias("n_overlap"),
+        )
         .select(
             "id",
             "n_grams",
-            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("int").alias("n_overlap"),
-            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+            "n_overlap",
+            (F.col("n_overlap") > 0).alias("contaminated"),
         )
     )
 
@@ -174,17 +178,25 @@ def char_bigram_lm(
     target = corpus if apply_to is None else apply_to
 
     def bigram_col(t):
-        chars = F.filter(F.split(F.lower(t), ""), lambda c: F.length(c) > 0)
-        k = F.size(chars)
-        return F.when(
-            k >= 2,
-            F.transform(
-                F.sequence(F.lit(1), k - 1),
-                lambda i: F.concat(
-                    F.element_at(chars, i), F.element_at(chars, i + 1)
+        from narowi_ocr_spark.functions.native import bind_once
+
+        chars0 = F.filter(F.split(F.lower(t), ""), lambda c: F.length(c) > 0)
+
+        def _bg(cs):
+            k = F.size(cs)
+            return F.when(
+                k >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), k - 1),
+                    lambda i: F.concat(
+                        F.element_at(cs, i), F.element_at(cs, i + 1)
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<string>"))
+
+        # bind the char array once: indexing the raw split inside the
+        # lambda would re-split (and re-lower) the doc per bigram
+        return bind_once(chars0, _bg)
 
     # LEARN: bigram counts and context (first-char) totals. p_scaled is
     # pure 64-bit integer division (`div`), bit-exact in every engine —

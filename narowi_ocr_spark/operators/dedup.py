@@ -66,16 +66,22 @@ def _col(c: Column | str) -> Column:
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams (lowercased), the MinHash input set.
     Empty/short docs yield a single shingle of the whole text so every
-    document has a non-empty set (stable signatures)."""
-    w = words(F.lower(_col(text)))
-    k = F.size(w)
-    grams = F.transform(
-        F.sequence(F.lit(1), k - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(w, i, n), " "),
-    )
-    return F.when(k >= n, F.array_distinct(grams)).otherwise(
-        F.array(F.array_join(w, " "))
-    )
+    document has a non-empty set (stable signatures). The word array is
+    bound once per row (``bind_once``) — slicing the raw split inside
+    the lambda would re-tokenize per shingle, O(len²) per document."""
+    from narowi_ocr_spark.functions.native import bind_once
+
+    def _sh(w: Column) -> Column:
+        k = F.size(w)
+        grams = F.transform(
+            F.sequence(F.lit(1), k - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
+        return F.when(k >= n, F.array_distinct(grams)).otherwise(
+            F.array(F.array_join(w, " "))
+        )
+
+    return bind_once(words(F.lower(_col(text))), _sh)
 
 
 # ----------------------------------------------------------- exact dedup
@@ -87,6 +93,39 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def build_fingerprint_index(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct content fingerprints of a corpus — the persistent state
+    an INCREMENTAL pipeline carries between runs (write it partitioned/
+    bucketed by ``fp`` so the next run's anti-join co-locates)."""
+    return df.select(fingerprint(text_col).alias("fp")).distinct()
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: from a batch of incoming documents, keep
+    only those whose content fingerprint is NOT already in the corpus
+    index — the crawl-refresh pattern (each run processes only genuinely
+    new content, then unions its survivors' fingerprints into the index).
+
+    Two-level dedup: first within the batch (min-id representative per
+    fingerprint, exactly like ``exact_dedup``), then a left-anti join
+    against the index. Scale shape: only (id, fp) pairs shuffle — text
+    stays behind until the final id-join pullback; the anti-join
+    partitions on the 32-byte digest, and with the index stored bucketed
+    by fp it degenerates to a co-located sort-merge anti-join with no
+    exchange on the index side."""
+    fps = new_docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    batch_reps = fps.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    fresh = batch_reps.join(index, "fp", "left_anti")
+    return fresh.join(new_docs, id_col).select(
+        id_col, "fp", *[c for c in new_docs.columns if c != id_col]
     )
 
 

@@ -135,3 +135,113 @@ def test_char_bigram_lm_apply_to_other_corpus(spark):
     }
     expect = _lm_py(["abab abab abab"], ["ab", "zz"])
     assert got == {10: expect[0], 11: expect[1]}
+
+
+# ---------------------------------------------------------------- winnowing
+
+
+def _winnow_py(text, k=8, w=4):
+    t = text.lower()
+    n = len(t)
+    if n == 0:
+        return []
+    if n - (k - 1) - (w - 1) < 1:
+        return [hashlib.md5(t.encode()).hexdigest()[:8]]
+    hs = [
+        hashlib.md5(t[i : i + k].encode()).hexdigest()[:8]
+        for i in range(n - k + 1)
+    ]
+    minima = {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+    return sorted(minima)
+
+
+def test_winnow_matches_python_reference(spark):
+    from narowi_ocr_spark.functions.textstats import winnow_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "short",  # < k+w-1 chars -> whole-text fallback
+        "",
+        "exactly18chars____",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r["doc_id"]: r["fps"]
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    assert got == {i: _winnow_py(t) for i, t in enumerate(texts)}
+
+
+def test_winnow_local_robustness(spark):
+    """An insertion in the middle must leave distant fingerprints
+    intact (the winnowing locality guarantee); disjoint docs share
+    nothing."""
+    from narowi_ocr_spark.functions.textstats import winnow_fingerprints
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = a[:30] + "INSERTED " + a[30:]
+    c = "0123456789" * 6  # disjoint content
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=a), Row(doc_id=1, text=b), Row(doc_id=2, text=c)]
+    )
+    got = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    inter = got[0] & got[1]
+    union = got[0] | got[1]
+    assert len(inter) / len(union) > 0.4, (got[0], got[1])
+    assert not (got[0] & got[2])
+
+
+def test_vocab_stats_hand_computed(spark):
+    from narowi_ocr_spark.functions.textstats import vocab_stats
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a a a b b c"),
+            Row(doc_id=1, text="a b d"),
+        ]
+    )
+    rows = vocab_stats(df, k=3).orderBy("rank").collect()
+    # counts: a=4, b=3, c=1, d=1; total=9
+    assert [(r["rank"], r["word"], r["cnt"]) for r in rows] == [
+        (1, "a", 4),
+        (2, "b", 3),
+        (3, "c", 1),
+    ]
+    import math
+
+    assert rows[0]["cum_frac"] == math.floor(4 / 9 * 10000 + 0.5) / 10000
+    assert rows[2]["cum_frac"] == math.floor(8 / 9 * 10000 + 0.5) / 10000
+
+
+def test_incremental_dedup_keeps_only_unseen(spark):
+    from narowi_ocr_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_dedup,
+    )
+
+    old = spark.createDataFrame(
+        [Row(doc_id=0, text="seen before"), Row(doc_id=1, text="also seen")]
+    )
+    index = build_fingerprint_index(old)
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="seen before"),  # exact re-crawl -> dropped
+            Row(doc_id=11, text="brand new"),
+            Row(doc_id=12, text="brand new"),  # in-batch dup -> one rep
+            Row(doc_id=13, text="another new"),
+        ]
+    )
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in incremental_dedup(batch, index).collect()
+    )
+    assert got == [(11, "brand new"), (13, "another new")]
