@@ -1546,6 +1546,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessions_stateful"] = sessions_stateful
 
+    # ------- passage dedup / domain mixing / semantic dedup ------------
+    def passage_dedup_q(spark, sf_dir):
+        """C4/CCNet-style corpus-wide passage dedup over the dup corpus:
+        16-word passages, first occurrence (by (doc_id, idx)) wins,
+        documents reassembled from their surviving passages — exact
+        copies collapse to n_kept=0, near copies keep only the novel
+        tail passage. Only (id, idx, md5) triples shuffle."""
+        from narowi_ocr_spark.operators.corpus import passage_dedup
+
+        corpus = _dup_corpus(_docs(spark, sf_dir))
+        return passage_dedup(corpus, passage_words=16).withColumnRenamed(
+            "id", "doc_id"
+        )
+
+    q["passage_dedup"] = passage_dedup_q
+
+    def domain_mix_q(spark, sf_dir):
+        """α=0.5 temperature mixing weights per source (Pile/PaLM-style
+        p^α sampling design table). Exact integer isqrt + fixed-point
+        ppm division → bit-identical across engines."""
+        from narowi_ocr_spark.operators.corpus import domain_mix_weights
+
+        return domain_mix_weights(_docs(spark, sf_dir))
+
+    q["domain_mix_weights"] = domain_mix_q
+
+    def semantic_dedup_q(spark, sf_dir):
+        """SemDeDup keep/drop decisions: LSH-bucketed embedding near-dup
+        pairs closed into clusters (min-label propagation), min-id
+        representative kept per cluster."""
+        from narowi_ocr_spark.operators.similarity import semantic_dedup
+
+        vecs = load_table(spark, sf_dir, "embeddings")
+        return semantic_dedup(vecs, threshold=0.3)
+
+    q["semantic_dedup"] = semantic_dedup_q
+
     return q
 
 
@@ -2604,6 +2641,91 @@ def oracle_sql() -> dict[str, str]:
 
     o["stream_extract"] = f"""
         SELECT doc_id, {_STRIP_SQL} AS extracted_text FROM documents
+    """
+
+    # passage_dedup: the packed key doc_id*2^24+idx mirrors
+    # corpus.PASSAGE_IDX_BITS; DuckDB's parallel unnests zip the idx and
+    # passage lists; slices are 1-based inclusive in both engines.
+    o["passage_dedup"] = f"""
+        WITH {_DUP_CORPUS_SQL},
+        w AS (SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE {_WORDS_SQL} END AS ws
+              FROM corpus),
+        st AS (SELECT doc_id, ws,
+                      CAST((len(ws) + 15) // 16 AS INT) AS n_passages
+               FROM w),
+        ex AS (SELECT doc_id,
+                      unnest(range(0, n_passages)) AS idx,
+                      unnest(list_transform(range(0, n_passages),
+                        i -> array_to_string(ws[(i*16+1):(i*16+16)], ' ')))
+                        AS passage
+               FROM st),
+        tr AS (SELECT doc_id, idx, passage, md5(passage) AS h,
+                      doc_id * 16777216 + idx AS pk
+               FROM ex),
+        fr AS (SELECT h, min(pk) AS first_pk FROM tr GROUP BY 1),
+        kept AS (SELECT t.doc_id, t.idx, t.passage
+                 FROM tr t JOIN fr ON t.h = fr.h AND t.pk = fr.first_pk),
+        agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+                       string_agg(passage, ' ' ORDER BY idx) AS text_dedup
+                FROM kept GROUP BY 1)
+        SELECT s.doc_id, s.n_passages,
+               coalesce(a.n_kept, 0) AS n_kept,
+               coalesce(a.text_dedup, '') AS text_dedup
+        FROM st s LEFT JOIN agg a USING (doc_id)
+    """
+
+    # domain_mix_weights: the ±1 isqrt correction makes the seed cast
+    # (DuckDB rounds, Spark truncates) irrelevant; // on the HUGEINT
+    # products matches Spark's bigint div exactly in this range.
+    from narowi_ocr_spark.operators.corpus import MIX_SCALE as _MIX
+
+    o["domain_mix_weights"] = f"""
+        WITH tok AS (SELECT source,
+                            CASE WHEN length(trim(text)) = 0 THEN 0
+                                 ELSE len({_WORDS_SQL}) END AS nt
+                     FROM documents),
+        cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(nt) AS BIGINT) AS n_tokens
+                FROM tok GROUP BY 1),
+        r0 AS (SELECT source, n_docs, n_tokens,
+                      CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS BIGINT) AS r
+               FROM cnt),
+        s AS (SELECT source, n_docs, n_tokens,
+                     CASE WHEN (r+1)*(r+1) <= n_tokens THEN r+1
+                          WHEN r*r > n_tokens THEN r-1
+                          ELSE r END AS sq
+              FROM r0),
+        t AS (SELECT sum(sq) AS ssum, sum(n_tokens) AS tsum FROM s)
+        SELECT s.source, s.n_docs, s.n_tokens, s.sq AS sqrt_tokens,
+               CAST(({_MIX} * s.sq) // t.ssum AS BIGINT) AS weight_ppm,
+               CAST(({_MIX} * s.n_tokens) // t.tsum AS BIGINT)
+                 AS natural_ppm,
+               floor(CAST(({_MIX} * s.sq) // t.ssum AS DOUBLE)
+                     / CAST(({_MIX} * s.n_tokens) // t.tsum AS DOUBLE)
+                     * 10000.0 + 0.5) / 10000.0 AS boost
+        FROM s CROSS JOIN t
+    """
+
+    o["semantic_dedup"] = f"""
+        WITH RECURSIVE
+        b AS (SELECT vec_id, embedding, {_bucket_sql()} AS bucket
+              FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS id_a, v.vec_id AS id_b
+          FROM b a JOIN b v ON a.bucket = v.bucket AND a.vec_id < v.vec_id
+          WHERE {_cos_sql('a.embedding', 'v.embedding')} >= 0.3),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        closure(id, r) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.d, c.r FROM closure c JOIN edges e ON e.s = c.id)
+        SELECT id AS vec_id, min(r) AS component,
+               (id = min(r)) AS is_kept
+        FROM closure GROUP BY id
     """
 
     return o

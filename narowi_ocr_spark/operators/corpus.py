@@ -1,9 +1,11 @@
 """Corpus-level curation operators for large-scale training-data
 pipelines: benchmark decontamination (n-gram overlap against an eval
-set), deterministic stratified sampling, and a character-bigram LM
-quality score (learn/apply gibberish filter).
+set), deterministic stratified sampling, a character-bigram LM
+quality score (learn/apply gibberish filter), corpus-wide passage
+dedup (the C4/CCNet paragraph-dedup pattern), and temperature-scaled
+domain mixing weights.
 
-All three follow the two-sided corpus-operator pattern established by
+The learn/apply ops follow the two-sided corpus-operator pattern established by
 ``textstats.doc_keywords``: a LEARN side that reduces the corpus (or a
 small eval set) to a compact statistics table, and an APPLY side that
 joins those statistics back per document. Raw text never shuffles in
@@ -18,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from narowi_ocr_spark.functions.native import round4
-from narowi_ocr_spark.functions.textstats import ngrams
+from narowi_ocr_spark.functions.textstats import ngrams, token_count, words
 
 
 def contamination(
@@ -244,4 +246,184 @@ def char_bigram_lm(
         )
         .otherwise(F.lit(0.0))
         .alias("lm_score"),
+    )
+
+
+# Packed first-occurrence key for passage_dedup: (doc_id << IDX_BITS) | idx.
+# 24 bits of passage index = 16M passages/doc (at 16-word passages that is
+# a 250M-word document) — far above any real web document; doc ids must
+# fit in the remaining 39 bits of the positive long range, which holds for
+# 64-bit ids derived from dense counters (crawl pipelines that use 128-bit
+# content hashes as ids should pass a dense surrogate id instead).
+PASSAGE_IDX_BITS = 24
+
+
+def passage_dedup(
+    df: DataFrame,
+    passage_words: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide passage-level exact dedup — the C4 "three-sentence
+    span" / CCNet paragraph-dedup pattern (Raffel et al. 2020 §2.2;
+    Wenzek et al. 2019 §3.1), re-expressed for unstructured text: split
+    every document into non-overlapping ``passage_words``-word passages,
+    keep only the FIRST occurrence of each distinct passage corpus-wide
+    (ordered by (id, passage_idx)), and reassemble each document from
+    its surviving passages.
+
+    Returns (id, n_passages, n_kept, text_dedup). Exact copies collapse
+    to n_kept=0; partially-overlapping documents keep only their novel
+    passages.
+
+    Scale shape — the reason this form works at 100 TB where a naive
+    groupBy(passage_text) does not:
+      * the word array is staged ONCE per doc in a projection, and
+        passages are O(w) slices of it (no O(len²) re-splits);
+      * only (id, idx, md5) triples ever shuffle — passage TEXT never
+        leaves its scan stage in either direction;
+      * first-occurrence is a partial-aggregated groupBy(md5) over a
+        PACKED bigint key (id << 24 | idx), so min() is a map-side
+        combine, not a window sort;
+      * reassembly re-slices the original word array against the kept
+        index list — joining back an (id, array<int>) pair, never
+        strings.
+    Tokenization is lowercased, so the dedup is case-insensitive (the
+    C4 convention).
+    """
+    w = passage_words
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        words(F.lower(F.col(text_col))).alias("ws"),
+    ).select(
+        "id",
+        "ws",
+        F.floor((F.size("ws") + F.lit(w - 1)) / F.lit(w))
+        .cast("int")
+        .alias("n_passages"),
+    )
+
+    def passage_at(i0: Column) -> Column:
+        # i0 is the 0-based passage index; slice is 1-based
+        return F.array_join(
+            F.slice(F.col("ws"), i0 * w + F.lit(1), w), " "
+        )
+
+    exploded = staged.where(F.col("n_passages") > 0).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_passages") - 1), passage_at
+            )
+        ).alias("idx", "passage"),
+    )
+    triples = exploded.select(
+        "id",
+        "idx",
+        F.md5("passage").alias("h"),
+        (
+            F.shiftleft(F.col("id").cast("long"), PASSAGE_IDX_BITS)
+            + F.col("idx")
+        ).alias("pk"),
+    )
+    firsts = triples.groupBy("h").agg(F.min("pk").alias("first_pk"))
+    kept = (
+        triples.join(firsts, "h")
+        .where(F.col("pk") == F.col("first_pk"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("idx")).alias("keep_idx"))
+    )
+    return staged.join(kept, "id", "left").select(
+        "id",
+        "n_passages",
+        F.coalesce(F.size("keep_idx"), F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce(
+            F.array_join(F.transform(F.col("keep_idx"), passage_at), " "),
+            F.lit(""),
+        ).alias("text_dedup"),
+    )
+
+
+# ppm scale for domain mixing weights: integer-exact in 64 bits as long
+# as 1e6 · isqrt(tokens_per_source) < 2^63 — true through 10^24 tokens.
+MIX_SCALE = 1_000_000
+
+
+def _exact_isqrt(n: Column) -> Column:
+    """floor(sqrt(n)) as EXACT integer arithmetic for 0 ≤ n < 2^52:
+    seed with the double sqrt, then correct ±1 with integer squares.
+    The correction makes the result independent of how the engine casts
+    double→bigint (Spark ANSI truncates, DuckDB rounds half-even): a
+    correctly-rounded sqrt lands within 1 of floor(√n) under either
+    cast, and the two integer comparisons pick the true floor."""
+    r0 = F.sqrt(n.cast("double")).cast("long")
+    return (
+        F.when((r0 + 1) * (r0 + 1) <= n, r0 + 1)
+        .when(r0 * r0 > n, r0 - 1)
+        .otherwise(r0)
+    )
+
+
+def domain_mix_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights — the training-mix
+    design step every multi-source corpus goes through (the Pile's
+    per-set epochs, PaLM/GLaM's p^α sampling): weight each source
+    proportionally to its token count raised to ``alpha`` < 1, which
+    upsamples small high-quality sources and downsamples the huge
+    crawl.
+
+    Returns one row per source:
+      (source, n_docs, n_tokens, sqrt_tokens, weight_ppm, natural_ppm,
+       boost)
+    where weight_ppm is the α-tempered sampling weight in parts per
+    million, natural_ppm the untempered (proportional) weight, and
+    boost = round4(weight_ppm / natural_ppm) the effective up/down-
+    sampling factor per source.
+
+    alpha=0.5 (the default, and the common published choice) is
+    computed in EXACT integer arithmetic: w_s ∝ √(tokens_s) via
+    ``_exact_isqrt`` and fixed-point ppm division, so the result is
+    bit-identical across engines (total_s factors cancel, so √p_s
+    never needs to be formed). Other alphas take the documented
+    double-pow path (not oracle-exact across engines).
+
+    Scale shape: ONE partial-aggregated groupBy(source) over the corpus
+    — token counting rides the scan projection; the weights table is
+    dimension-sized (hundreds of rows), so the normalizing totals are a
+    single-row broadcast cross join. Downstream, the output feeds
+    ``stratified_sample`` as its rates dim.
+    """
+    counts = df.groupBy(F.col(strata_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count(text_col)).cast("long").alias("n_tokens"),
+    )
+    if alpha == 0.5:
+        scaled = counts.withColumn("s", _exact_isqrt(F.col("n_tokens")))
+    else:
+        scaled = counts.withColumn(
+            "s",
+            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+            .cast("long"),
+        )
+    totals = scaled.agg(
+        F.sum("s").alias("ssum"), F.sum("n_tokens").alias("tsum")
+    )
+    staged = scaled.crossJoin(F.broadcast(totals))
+    weight = F.expr(f"(CAST({MIX_SCALE} AS BIGINT) * s) div ssum").cast("long")
+    natural = F.expr(
+        f"(CAST({MIX_SCALE} AS BIGINT) * n_tokens) div tsum"
+    ).cast("long")
+    return staged.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.col("s").alias("sqrt_tokens"),
+        weight.alias("weight_ppm"),
+        natural.alias("natural_ppm"),
+        round4(weight.cast("double") / natural.cast("double")).alias("boost"),
     )

@@ -295,3 +295,44 @@ def bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): documents whose EMBEDDINGS are near-identical are
+    redundant even when their text differs (templated pages, rewrites,
+    translations-of-boilerplate), so cluster by embedding cosine and
+    keep one representative per cluster.
+
+    Composition of two already-scale-shaped pieces:
+      1. ``embedding_near_dup_pairs`` — sign-LSH bucket self-join, so
+         candidate generation is partition-local on the bucketed table,
+         never O(N²);
+      2. ``connected_components`` — near-dup similarity is transitive in
+         practice, so pairs are closed into clusters with the iterative
+         min-label propagation (one (id, long) shuffle per round,
+         diameter-bounded rounds).
+
+    Returns (id, component, is_kept): component is the min reachable id
+    (the cluster's canonical representative, consistent with
+    exact_dedup's keep-min rule) and is_kept marks the one row per
+    cluster that survives. Downstream, the kept set is a semi-join
+    filter on the corpus — ids only, embeddings and text never move.
+    """
+    from narowi_ocr_spark.operators.components import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        vectors, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    nodes = vectors.select(F.col(id_col).alias("id"))
+    labels = connected_components(pairs, nodes=nodes)
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("comp").alias("component"),
+        (F.col("id") == F.col("comp")).alias("is_kept"),
+    )

@@ -245,3 +245,101 @@ def test_incremental_dedup_keeps_only_unseen(spark):
         for r in incremental_dedup(batch, index).collect()
     )
     assert got == [(11, "brand new"), (13, "another new")]
+
+
+def test_passage_dedup_first_occurrence_wins(spark):
+    # 4-word passages; doc 0 owns passages P0 P1; doc 1 repeats P1 then
+    # adds a novel passage; doc 2 is an exact copy of doc 0; doc 3 has a
+    # 2-word tail (partial passage) plus an internal repeat of its own
+    # first passage.
+    from narowi_ocr_spark.operators.corpus import passage_dedup
+
+    p0 = "a b c d"
+    p1 = "e f g h"
+    novel = "i j k l"
+    rows = [
+        Row(doc_id=0, text=f"{p0} {p1}"),
+        Row(doc_id=1, text=f"{p1} {novel}"),
+        Row(doc_id=2, text=f"{p0} {p1}"),
+        Row(doc_id=3, text=f"{novel} {novel} m n"),
+        Row(doc_id=4, text=""),
+    ]
+    got = {
+        r["id"]: r
+        for r in passage_dedup(
+            spark.createDataFrame(rows), passage_words=4
+        ).collect()
+    }
+    assert got[0]["n_passages"] == 2 and got[0]["n_kept"] == 2
+    assert got[0]["text_dedup"] == f"{p0} {p1}"
+    # doc 1: p1 already seen in doc 0 -> only the novel passage survives
+    assert got[1]["n_kept"] == 1 and got[1]["text_dedup"] == novel
+    # doc 2: exact copy -> nothing survives
+    assert got[2]["n_kept"] == 0 and got[2]["text_dedup"] == ""
+    # doc 3: novel seen in doc 1; second repeat dropped; tail "m n" kept
+    assert got[3]["n_passages"] == 3
+    assert got[3]["n_kept"] == 1 and got[3]["text_dedup"] == "m n"
+    # empty doc: zero passages, empty output
+    assert got[4]["n_passages"] == 0 and got[4]["text_dedup"] == ""
+
+
+def test_passage_dedup_case_insensitive(spark):
+    from narowi_ocr_spark.operators.corpus import passage_dedup
+
+    rows = [
+        Row(doc_id=0, text="Alpha Beta Gamma Delta"),
+        Row(doc_id=1, text="alpha beta gamma delta"),
+    ]
+    got = {
+        r["id"]: r
+        for r in passage_dedup(
+            spark.createDataFrame(rows), passage_words=4
+        ).collect()
+    }
+    assert got[0]["n_kept"] == 1
+    assert got[1]["n_kept"] == 0  # case-folded duplicate
+
+
+def test_domain_mix_weights_exact_isqrt_and_ppm(spark):
+    import math
+
+    from narowi_ocr_spark.operators.corpus import (
+        MIX_SCALE,
+        domain_mix_weights,
+    )
+
+    # source a: 4 docs x 4 tokens = 16 (perfect square); b: 1 doc x 63
+    # tokens (isqrt boundary: floor(sqrt(63)) = 7, (7+1)^2 > 63)
+    rows = [Row(doc_id=i, source="a", text="t1 t2 t3 t4") for i in range(4)]
+    rows.append(Row(doc_id=99, source="b", text=" ".join(["w"] * 63)))
+    got = {
+        r["source"]: r
+        for r in domain_mix_weights(spark.createDataFrame(rows)).collect()
+    }
+    assert got["a"]["n_tokens"] == 16 and got["a"]["sqrt_tokens"] == 4
+    assert got["b"]["n_tokens"] == 63 and got["b"]["sqrt_tokens"] == 7
+    ssum, tsum = 4 + 7, 16 + 63
+    assert got["a"]["weight_ppm"] == MIX_SCALE * 4 // ssum
+    assert got["b"]["weight_ppm"] == MIX_SCALE * 7 // ssum
+    assert got["a"]["natural_ppm"] == MIX_SCALE * 16 // tsum
+    # alpha=0.5 upsamples the small source, downsamples the big one
+    assert got["a"]["boost"] > 1.0 > got["b"]["boost"]
+    expect_boost_a = math.floor(
+        (MIX_SCALE * 4 // ssum) / (MIX_SCALE * 16 // tsum) * 1e4 + 0.5
+    ) / 1e4
+    assert got["a"]["boost"] == expect_boost_a
+
+
+def test_exact_isqrt_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from narowi_ocr_spark.operators.corpus import _exact_isqrt
+
+    import math
+
+    ns = [0, 1, 2, 3, 4, 8, 9, 15, 16, 24, 25, 10**12, 10**12 + 1,
+          (2**26 - 1) ** 2, (2**26 - 1) ** 2 - 1, 2**52 - 1]
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    got = df.select("n", _exact_isqrt(F.col("n")).alias("r")).collect()
+    for row in got:
+        assert row["r"] == math.isqrt(row["n"]), row

@@ -164,3 +164,19 @@ def test_ivf_topk_probes_own_cell(vectors):
     out = ivf_topk(vectors, q, cents, k=3).collect()
     # n_probe=1: only cell-0 co-residents are candidates → just v3
     assert [(r.neighbor_id, r.cos_sim) for r in out] == [(3, 0.0)]
+
+
+def test_semantic_dedup_clusters_and_keep(vectors):
+    """SemDeDup composition: 0≈1 (cos .994) cluster under min id 0;
+    orthogonal/antipodal vectors stay singletons and are all kept."""
+    from narowi_ocr_spark.operators.similarity import semantic_dedup
+
+    got = {r.vec_id: r for r in semantic_dedup(vectors, threshold=0.9).collect()}
+    assert len(got) == 5
+    assert got[0].component == 0 and got[0].is_kept
+    assert got[1].component == 0 and not got[1].is_kept
+    for vid in (2, 3, 4):
+        assert got[vid].component == vid and got[vid].is_kept
+    # exactly one representative per component
+    kept = [r for r in got.values() if r.is_kept]
+    assert {r.component for r in kept} == {0, 2, 3, 4}
