@@ -1583,6 +1583,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semantic_dedup"] = semantic_dedup_q
 
+    def kmeans_cells_q(spark, sf_dir):
+        """2-round Lloyd k-means (k=8) over fixed-point-quantized
+        embeddings: broadcast-centroid assignment + integer-mean update
+        per round, final assignment returned. Exact integer dot products
+        make the cosine — and thus the whole clustering — bit-identical
+        to the oracle's unrolled SQL replay."""
+        from narowi_ocr_spark.operators.clustering import kmeans_lloyd
+
+        vecs = load_table(spark, sf_dir, "embeddings")
+        return kmeans_lloyd(vecs, k=8, iters=2)
+
+    q["kmeans_cells"] = kmeans_cells_q
+
+    def corpus_datasheet_q(spark, sf_dir):
+        """Per-source corpus datasheet (the Datasheets-for-Datasets
+        reporting layer): doc/token/char totals, distinct-text count
+        (dedup health), mean + interpolated p50/p90 char lengths. Exact
+        quantiles so the oracle hash-matches; at 100 TB swap
+        percentile_approx / approx_count_distinct — same plan shape,
+        sketch-mergeable partials."""
+        from narowi_ocr_spark.functions.native import round4
+        from narowi_ocr_spark.functions.textstats import token_count
+
+        docs = _docs(spark, sf_dir)
+        pct = F.expr("percentile(n_chars, array(0.5D, 0.9D))")
+        agg = docs.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+            F.sum(token_count("text")).cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            pct.alias("p"),
+        )
+        return agg.select(
+            "source",
+            "n_docs",
+            "n_distinct_texts",
+            "n_tokens",
+            "total_chars",
+            round4(
+                F.col("total_chars").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("mean_chars"),
+            round4(F.col("p")[0]).alias("p50_chars"),
+            round4(F.col("p")[1]).alias("p90_chars"),
+        )
+
+    q["corpus_datasheet"] = corpus_datasheet_q
+
     return q
 
 
@@ -2726,6 +2774,83 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS vec_id, min(r) AS component,
                (id = min(r)) AS is_kept
         FROM closure GROUP BY id
+    """
+
+    # kmeans_cells: 2 unrolled Lloyd rounds over fixed-point vectors
+    # (constants mirror operators/clustering.py). Dot products and
+    # norms are exact integer sums; the shifted // makes DuckDB's floor
+    # division equal Spark's truncating div (non-negative operands).
+    from narowi_ocr_spark.operators.clustering import (
+        FP_SCALE as _FPS,
+        FP_SHIFT as _FSH,
+    )
+
+    _fx_sql = (
+        f"list_transform(embedding, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {_FPS} + 0.5) AS BIGINT))"
+    )
+
+    def _dotfp(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i] * {b}[i]))"
+        )
+
+    def _cosfp(a: str, b: str) -> str:
+        return _round4_sql(
+            f"CAST({_dotfp(a, b)} AS DOUBLE) / "
+            f"(sqrt(CAST({_dotfp(a, a)} AS DOUBLE)) * "
+            f"sqrt(CAST({_dotfp(b, b)} AS DOUBLE)))"
+        )
+
+    def _km_assign(cents: str) -> str:
+        return (
+            f"SELECT id, fv, cell, cos_sim FROM ("
+            f"SELECT f.id, f.fv, c.cell, "
+            f"{_cosfp('f.fv', 'c.cv')} AS cos_sim, "
+            f"row_number() OVER (PARTITION BY f.id "
+            f"ORDER BY {_cosfp('f.fv', 'c.cv')} DESC, c.cell ASC) AS rn "
+            f"FROM fx f CROSS JOIN {cents} c) WHERE rn = 1"
+        )
+
+    def _km_update(assigned: str) -> str:
+        return (
+            f"SELECT cell, list(m ORDER BY dim) AS cv FROM ("
+            f"SELECT cell, dim, "
+            f"CAST((sum(val + {_FSH}) // count(*)) - {_FSH} AS BIGINT) AS m "
+            f"FROM (SELECT cell, unnest(range(0, len(fv))) AS dim, "
+            f"unnest(fv) AS val FROM {assigned}) "
+            f"GROUP BY cell, dim) GROUP BY cell"
+        )
+
+    o["kmeans_cells"] = f"""
+        WITH fx AS (SELECT vec_id AS id, {_fx_sql} AS fv FROM embeddings),
+        c0 AS (SELECT id AS cell, fv AS cv FROM fx WHERE id < 8),
+        a1 AS ({_km_assign('c0')}),
+        c1 AS ({_km_update('a1')}),
+        a2 AS ({_km_assign('c1')}),
+        c2 AS ({_km_update('a2')}),
+        a3 AS ({_km_assign('c2')})
+        SELECT id AS vec_id, cell, cos_sim FROM a3
+    """
+
+    o["corpus_datasheet"] = f"""
+        WITH tok AS (
+          SELECT source, text, n_chars,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len({_WORDS_SQL}) END AS nt
+          FROM documents)
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT text) AS n_distinct_texts,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               floor(CAST(sum(n_chars) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5)
+                 / 10000.0 AS mean_chars,
+               {_round4_sql('quantile_cont(n_chars, 0.5)')} AS p50_chars,
+               {_round4_sql('quantile_cont(n_chars, 0.9)')} AS p90_chars
+        FROM tok GROUP BY source
     """
 
     return o

@@ -208,11 +208,37 @@ def main() -> None:
         extra_set=True,
     )
     bench("simhash_pairs", lambda: materialize(simhash_near_pairs(corpus)))
+    from narowi_ocr_spark.operators.corpus import domain_mix_weights, passage_dedup
+
+    bench(
+        "passage_dedup",
+        lambda: materialize(passage_dedup(corpus, passage_words=16)),
+        extra_set=True,
+    )
+    bench(
+        "domain_mix_weights",
+        lambda: materialize(domain_mix_weights(docs)),
+        extra_set=True,
+    )
 
     vecs = load_table(spark, sf_dir, "embeddings").repartition(cpus)
     qv = vecs.where(F.col("vec_id") < 16)
     bench("ann_brute_topk", lambda: materialize(brute_force_topk(vecs, qv, k=10)))
     bench("ann_bucketed_topk", lambda: materialize(bucketed_topk(vecs, qv, k=10)))
+    from narowi_ocr_spark.operators.similarity import semantic_dedup
+
+    bench(
+        "semantic_dedup",
+        lambda: materialize(semantic_dedup(vecs, threshold=0.3)),
+        extra_set=True,
+    )
+    from narowi_ocr_spark.operators.clustering import kmeans_lloyd
+
+    bench(
+        "kmeans_lloyd",
+        lambda: materialize(kmeans_lloyd(vecs, k=8, iters=2)),
+        extra_set=True,
+    )
 
     qs = entrymod.queries()
     bench("tpch_q1", lambda: materialize(qs["tpch_q1"](spark, sf_dir)))
