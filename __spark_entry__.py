@@ -1631,6 +1631,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_datasheet"] = corpus_datasheet_q
 
+    def gopher_rules_q(spark, sf_dir):
+        """Gopher quality-rule bundle (Rae et al. 2021 A1.1) as explicit
+        per-rule flags + the AND-composed keep decision; one staged
+        tokenization, all signals pure codegen, exact int/int ratios."""
+        from narowi_ocr_spark.functions.textstats import with_gopher_rules
+
+        return with_gopher_rules(_docs(spark, sf_dir)).withColumnRenamed(
+            "id", "doc_id"
+        )
+
+    q["gopher_rules"] = gopher_rules_q
+
+    def components_star_q(spark, sf_dir):
+        """Star-contraction connected components on an ADVERSARIAL
+        input: per-source doc-id chains (249-hop diameter at sf0.1 —
+        min-label propagation's 25-round budget genuinely cannot close
+        it; large-star/small-star converges in O(log²) rounds). Expected
+        result: every doc labeled with its source's min doc_id."""
+        from narowi_ocr_spark.operators.components import (
+            connected_components_star,
+        )
+
+        docs = _docs(spark, sf_dir)
+        w = Window.partitionBy("source").orderBy("doc_id")
+        edges = docs.select(
+            F.col("doc_id").alias("id_a"),
+            F.lead("doc_id").over(w).alias("id_b"),
+        ).where(F.col("id_b").isNotNull())
+        nodes = docs.select(F.col("doc_id").alias("id"))
+        return connected_components_star(edges, nodes=nodes).select(
+            "id", F.col("comp").alias("component")
+        )
+
+    q["components_star"] = components_star_q
+
     return q
 
 
@@ -2851,6 +2886,74 @@ def oracle_sql() -> dict[str, str]:
                {_round4_sql('quantile_cont(n_chars, 0.5)')} AS p50_chars,
                {_round4_sql('quantile_cont(n_chars, 0.9)')} AS p90_chars
         FROM tok GROUP BY source
+    """
+
+    from narowi_ocr_spark.functions.textstats import (
+        GOPHER_MAX_MEAN_WORD_LEN as _G_MAXL,
+        GOPHER_MAX_SYMBOL_RATIO as _G_SYM,
+        GOPHER_MAX_WORDS as _G_MAXW,
+        GOPHER_MIN_ALPHA_WORD_FRAC as _G_ALPHA,
+        GOPHER_MIN_MEAN_WORD_LEN as _G_MINL,
+        GOPHER_MIN_STOPWORD_HITS as _G_STOPS,
+        GOPHER_MIN_WORDS as _G_MINW,
+    )
+
+    o["gopher_rules"] = f"""
+        WITH w AS (
+          SELECT doc_id AS id, text,
+                 CASE WHEN length(trim(text)) = 0
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE {_WORDS_SQL} END AS ws
+          FROM documents),
+        st AS (
+          SELECT id,
+                 CAST(len(ws) AS INT) AS n_words,
+                 length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+                 len(regexp_extract_all(text, '(\\.\\.\\.)|…|#')) AS sym,
+                 len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                   AS alpha_words,
+                 CAST(len(list_intersect(list_distinct(ws),
+                        {_stopword_list_sql('en')})) AS INT) AS stop_hits
+          FROM w),
+        r AS (
+          SELECT id, n_words, stop_hits,
+                 CASE WHEN n_words > 0
+                      THEN CAST(nonws AS DOUBLE) / n_words
+                      ELSE 0.0 END AS mean_len,
+                 CASE WHEN n_words > 0
+                      THEN CAST(sym AS DOUBLE) / n_words
+                      ELSE 0.0 END AS sym_ratio,
+                 CASE WHEN n_words > 0
+                      THEN CAST(alpha_words AS DOUBLE) / n_words
+                      ELSE 0.0 END AS alpha_frac
+          FROM st)
+        SELECT id AS doc_id, n_words,
+               {_round4_sql('mean_len')} AS mean_word_len,
+               {_round4_sql('sym_ratio')} AS symbol_ratio,
+               {_round4_sql('alpha_frac')} AS alpha_word_frac,
+               stop_hits,
+               (n_words >= {_G_MINW} AND n_words <= {_G_MAXW})
+                 AS r_word_count,
+               (mean_len >= {_G_MINL} AND mean_len <= {_G_MAXL})
+                 AS r_mean_word_len,
+               (sym_ratio <= {_G_SYM}) AS r_symbol_ratio,
+               (alpha_frac >= {_G_ALPHA}) AS r_alpha_words,
+               (stop_hits >= {_G_STOPS}) AS r_stopwords,
+               ((n_words >= {_G_MINW} AND n_words <= {_G_MAXW})
+                AND (mean_len >= {_G_MINL} AND mean_len <= {_G_MAXL})
+                AND (sym_ratio <= {_G_SYM})
+                AND (alpha_frac >= {_G_ALPHA})
+                AND (stop_hits >= {_G_STOPS})) AS gopher_keep
+        FROM r
+    """
+
+    # components_star: the chain-per-source construction makes the true
+    # components trivially expressible without a recursive CTE — the
+    # Spark side must still EARN the answer through star contraction.
+    o["components_star"] = """
+        SELECT doc_id AS id,
+               min(doc_id) OVER (PARTITION BY source) AS component
+        FROM documents
     """
 
     return o

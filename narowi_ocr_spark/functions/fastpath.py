@@ -3,12 +3,22 @@
 byte-identity is not required", flag ``byte_identical=False``).
 
 The byte-identical kernels (functions/readings.py, functions/numbers.py)
-execute Python ``re`` inside Arrow batches — at 100 TB the JVM↔Python
-boundary is the single largest per-document cost. These fast paths stay
+execute Python ``re`` inside Arrow batches. These variants stay
 ENTIRELY inside the JVM: Java regex via ``regexp_extract_all``, line
 dispatch and the three dedup sets via higher-order array functions, and
 a single ``aggregate`` fold per document. No UDF, no shuffle, no
 per-row Python — the whole extraction is one narrow projection.
+
+MEASURED cost (BENCH.md §Kernel variants, 100k ~300-char docs,
+local[8], steady state): Arrow kernel 55.6k docs/s vs all-JVM 44.3k
+docs/s — the interpreted HOF expression tree (no whole-stage codegen
+for higher-order functions) costs MORE per doc than the Arrow
+round-trip on this corpus, so "fast path" is about OPERATIONAL cost,
+not wall-clock: no Python runtime needed on executors, no Arrow
+worker pools to size, and the expression composes into surrounding
+codegen plans. Pick the Arrow kernel for throughput, this variant
+for Python-free clusters or when byte-identity is not required and
+the deployment cannot ship Python workers.
 
 Semantics replicated from the reference kernel
 (pattern_matcher.py:122-220 for readings, number_extractor.py:73-144 for

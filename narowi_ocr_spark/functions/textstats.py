@@ -480,3 +480,92 @@ def vocab_stats(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFram
             ).alias("cum_frac"),
         )
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", appendix A1.1). The line-shape rules (bullet /
+# ellipsis line fractions) are omitted: they need line structure the
+# unstructured corpus lacks; the symbol-ratio rule covers the ellipsis
+# signal at document granularity.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+_GOPHER_SYMBOL_RE = r"(\.\.\.)|…|#"
+
+
+def with_gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style document quality rules as EXPLICIT per-rule flags —
+    the filter bundle production corpora publish ablations over, so each
+    rule must be inspectable, not folded into one score:
+
+      (id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+       stop_hits, r_word_count, r_mean_word_len, r_symbol_ratio,
+       r_alpha_words, r_stopwords, gopher_keep)
+
+    gopher_keep = AND of the five rules. Every signal is a pure-codegen
+    expression over ONE staged tokenization (the projection-boundary
+    trick of ``with_text_stats``): mean word length is derived from the
+    non-whitespace char count (one regexp_replace, no per-word fold),
+    the symbol count is one regexp_count, and the ratios are exact
+    int/int double divisions — deterministic across engines, so the
+    oracle hash-matches without tolerance.
+    """
+    t = F.col(text_col)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        t.alias("_t"),
+        words(F.lower(t)).alias("_toks"),
+    ).select(
+        "id",
+        F.size("_toks").cast("int").alias("n_words"),
+        F.length(F.regexp_replace("_t", r"\s", "")).alias("_nonws"),
+        F.regexp_count(F.col("_t"), F.lit(_GOPHER_SYMBOL_RE)).alias("_sym"),
+        F.size(
+            F.filter(F.col("_toks"), lambda w: w.rlike("[a-z]"))
+        ).alias("_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("_toks"),
+                F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+            )
+        ).cast("int").alias("stop_hits"),
+    )
+    n = F.col("n_words").cast("double")
+    mean_len = F.when(
+        F.col("n_words") > 0, F.col("_nonws").cast("double") / n
+    ).otherwise(F.lit(0.0))
+    sym_ratio = F.when(
+        F.col("n_words") > 0, F.col("_sym").cast("double") / n
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        F.col("n_words") > 0, F.col("_alpha_words").cast("double") / n
+    ).otherwise(F.lit(0.0))
+    rules = {
+        "r_word_count": (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS),
+        "r_mean_word_len": (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN),
+        "r_symbol_ratio": sym_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        "r_alpha_words": alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC,
+        "r_stopwords": F.col("stop_hits") >= GOPHER_MIN_STOPWORD_HITS,
+    }
+    keep = None
+    for r in rules.values():
+        keep = r if keep is None else (keep & r)
+    return staged.select(
+        "id",
+        "n_words",
+        round4(mean_len).alias("mean_word_len"),
+        round4(sym_ratio).alias("symbol_ratio"),
+        round4(alpha_frac).alias("alpha_word_frac"),
+        "stop_hits",
+        *[r.alias(name) for name, r in rules.items()],
+        keep.alias("gopher_keep"),
+    )

@@ -91,3 +91,112 @@ def component_representatives(labels: DataFrame) -> DataFrame:
     return labels.groupBy("comp").agg(
         F.min("id").alias("keep_id"), F.count("*").alias("n_members")
     ).withColumnRenamed("comp", "component")
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., SoCC'14, Alg. 3): every node u
+    links each STRICTLY LARGER neighbor to the minimum of its
+    neighborhood (incl. itself). One groupBy + one re-join per round;
+    only (long, long) pairs shuffle."""
+    m = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(m, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(canon: DataFrame) -> DataFrame:
+    """Small-star round (Alg. 4) over CANONICAL edges (src > dst):
+    every node links its smaller neighbors — and itself — to the
+    minimum of that set."""
+    m = canon.groupBy("src").agg(F.min("dst").alias("m"))
+    withself = canon.select("src", "dst").unionByName(
+        canon.select("src", F.col("src").alias("dst")).distinct()
+    )
+    return (
+        withself.join(m, "src")
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as (src > dst) pairs, self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """(id, component) via alternating large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    ADVERSARIAL-DIAMETER path ``connected_components``'s docstring
+    points to: label propagation needs diameter-many rounds (a 10⁶-hop
+    chain = 10⁶ shuffles), star contraction converges in O(log² n)
+    rounds on any graph, because each round re-links nodes directly to
+    the current minimum of their neighborhood — path halving, not
+    single-hop flooding.
+
+    Convergence is detected EXACTLY at dev scale: a round that leaves
+    the canonical edge set unchanged is the fixpoint (checked with a
+    count + anti-join, both O(|E|) on (long,long) pairs). On a 10⁹-edge
+    cluster run, swap the check for the paper's changed-emission
+    accumulator — the round body is identical. Each round
+    localCheckpoints: the loop is iterative, so lineage must be cut and
+    the (long, long) state materialized, exactly as in
+    ``connected_components``.
+    """
+    cur = _canonical(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        big = _large_star(
+            cur.unionByName(
+                cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        )
+        nxt = _canonical(_small_star(_canonical(big))).localCheckpoint(
+            eager=True
+        )
+        n_cur, n_nxt = cur.count(), nxt.count()
+        if n_cur == n_nxt and nxt.exceptAll(cur).isEmpty():
+            cur = nxt
+            break
+        cur = nxt
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iters} rounds"
+        )
+
+    # converged: canonical edges are star edges (member > root)
+    labels = cur.select(
+        F.col("src").alias("id"), F.col("dst").alias("comp")
+    ).unionByName(
+        cur.select(F.col("dst").alias("id"), F.col("dst").alias("comp"))
+    ).distinct()
+    if nodes is not None:
+        iso = nodes.select("id").exceptAll(labels.select("id")).distinct()
+        labels = labels.unionByName(
+            iso.select("id", F.col("id").alias("comp"))
+        )
+    return labels

@@ -343,3 +343,34 @@ def test_exact_isqrt_boundaries(spark):
     got = df.select("n", _exact_isqrt(F.col("n")).alias("r")).collect()
     for row in got:
         assert row["r"] == math.isqrt(row["n"]), row
+
+
+def test_gopher_rules_flags(spark):
+    from narowi_ocr_spark.functions.textstats import with_gopher_rules
+
+    good = " ".join(
+        ["the and of to in is that for with on"] * 6
+    )  # 60 words, all stopwords, mean len 2.5 -> fails mean_word_len only
+    wordy = " ".join(["lexicon"] * 60) + " the and"  # 62 words, mean 6.7ish
+    short = "the and of"  # 3 words
+    symbols = " ".join(["ha#sh"] * 60) + " the and"
+    rows = [
+        Row(doc_id=0, text=good),
+        Row(doc_id=1, text=wordy),
+        Row(doc_id=2, text=short),
+        Row(doc_id=3, text=symbols),
+        Row(doc_id=4, text=""),
+    ]
+    got = {
+        r["id"]: r
+        for r in with_gopher_rules(spark.createDataFrame(rows)).collect()
+    }
+    assert got[0]["n_words"] == 60 and got[0]["stop_hits"] == 10
+    assert got[0]["r_word_count"] and got[0]["r_stopwords"]
+    assert not got[0]["r_mean_word_len"]  # mean 2.5 < 3
+    assert not got[0]["gopher_keep"]
+    assert got[1]["gopher_keep"]  # passes all five
+    assert not got[2]["r_word_count"] and not got[2]["gopher_keep"]
+    # 60 '#' in 62 words -> ratio ~0.97 > 0.1
+    assert not got[3]["r_symbol_ratio"] and not got[3]["gopher_keep"]
+    assert got[4]["n_words"] == 0 and not got[4]["gopher_keep"]

@@ -61,3 +61,38 @@ def test_repetition_exact_fractions(spark):
     assert r["n_2grams"] == 5
     assert r["frac_dup_2gram"] == 0.6
     assert r["top_2gram_frac"] == 0.6
+
+
+def test_star_contraction_long_chain(spark):
+    """A 200-hop path: label propagation needs 200 rounds (raises at 25);
+    star contraction converges in O(log^2) rounds and labels every node
+    with the chain head."""
+    from narowi_ocr_spark.operators.components import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: r["comp"]
+        for r in connected_components_star(edges, max_iters=15).collect()
+    }
+    assert len(out) == 201
+    assert set(out.values()) == {0}
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    from narowi_ocr_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # three components incl. a triangle, a 4-path, and isolated nodes
+    pairs = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 13), (20, 21)]
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 12, 13, 20, 21, 99]], "id long")
+    a = {r["id"]: r["comp"] for r in connected_components(edges, nodes=nodes).collect()}
+    b = {r["id"]: r["comp"] for r in connected_components_star(edges, nodes=nodes).collect()}
+    assert a == b
+    assert b[99] == 99  # isolated node self-labeled
