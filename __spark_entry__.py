@@ -1666,6 +1666,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["components_star"] = components_star_q
 
+    def events_hourly_stream_q(spark, sf_dir):
+        """Watermarked streaming twin of events_hourly: 1-hour tumbling
+        event-time windows per event_type, append-mode emission
+        (windows finalize as the 2-hour watermark passes). Deterministic
+        despite streaming: a sentinel event 2 days past the corpus
+        pushes the final watermark beyond every real window, so all of
+        them emit inside the availableNow run; the sentinel's own
+        (still-open) window is filtered by event_type."""
+        import datetime
+
+        from narowi_ocr_spark.streaming.stream import hourly_counts_stream
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value"
+        )
+        flush_ts = ev.agg(F.max("ts")).first()[0] + datetime.timedelta(
+            days=2
+        )
+        sentinel = spark.createDataFrame(
+            [("__flush__", 0.0)], "event_type string, value double"
+        ).select(
+            F.lit(flush_ts).cast(ev.schema["ts"].dataType).alias("ts"),
+            "event_type",
+            "value",
+        )
+        src = tempfile.mkdtemp(prefix="narowi_hourly_src_")
+        ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(
+            src
+        )
+        # watermarks require TIMESTAMP (not NTZ); the session runs in
+        # UTC, so the cast preserves wall-clock values
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp_ntz, event_type string, value double"
+            )
+            .parquet(src)
+            .select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_type",
+                "value",
+            )
+        )
+        name = "events_hourly_stream_" + uuid.uuid4().hex[:8]
+        sq = (
+            hourly_counts_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="narowi_hourly_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return spark.table(name).where(F.col("event_type") != "__flush__")
+
+    q["events_hourly_stream"] = events_hourly_stream_q
+
     return q
 
 
@@ -2955,5 +3015,9 @@ def oracle_sql() -> dict[str, str]:
                min(doc_id) OVER (PARTITION BY source) AS component
         FROM documents
     """
+
+    # streaming twin: same truth as the batch hourly rollup — the
+    # sentinel row exists only on the Spark side and never emits
+    o["events_hourly_stream"] = o["events_hourly"]
 
     return o

@@ -28,6 +28,7 @@ import time
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from narowi_ocr_spark.plans.pipeline import extract_pages
 from narowi_ocr_spark.schema import PAGES_SCHEMA
@@ -126,3 +127,39 @@ def run_extraction_stream(
     )
     q.awaitTermination(timeout_s)
     return batches_seen
+
+
+def hourly_counts_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the canonical
+    Structured Streaming analytics shape the batch ``events_hourly``
+    query mirrors: 1-hour event-time windows per event_type, counts +
+    value sums, APPEND-mode emission (a window row is final once the
+    event-time watermark passes its end — late events inside the
+    ``watermark`` horizon still count, later ones are dropped, state is
+    evicted as windows close, so state size is bounded by
+    horizon × |event_type| regardless of stream length).
+
+    Aggregates are sketch-free sums/counts, so partial aggregation is
+    map-side combined per micro-batch; the only shuffle keys are
+    (window, event_type) — at 100 TB/day the window column keeps the
+    key space bounded and AQE handles hot event types."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -169,3 +169,59 @@ def test_char_lm_model_is_broadcast(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, f"raw text shuffled:\n{line}"
+
+
+def test_passage_dedup_shuffles_no_text(spark, tmp_path):
+    """passage_dedup's contract: passage/document TEXT never reaches an
+    Exchange — only (id, idx, md5/pk) triples and the kept-index arrays
+    shuffle. Verified on the executed plan: no string column longer
+    than the 32-char digest appears in any Exchange's output."""
+    from narowi_ocr_spark.operators.corpus import passage_dedup
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "w%d " % i + "lorem ipsum dolor sit amet " * 10) for i in range(50)],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    out = passage_dedup(spark.read.parquet(path), passage_words=4)
+    plan = _physical_plan(out)
+    # every Exchange line in the plan announces its partitioning and
+    # output; none may mention the raw text or passage columns
+    assert "Exchange" in plan  # the op does shuffle — digests, not text
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line and "passage" not in line, line
+
+
+def test_kmeans_assignment_is_broadcast(spark):
+    """The k-means assignment join must be a BroadcastNestedLoopJoin /
+    broadcast exchange of the k-row centroid dim — the corpus side must
+    never hash-partition for assignment."""
+    from narowi_ocr_spark.operators.clustering import kmeans_lloyd
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _physical_plan(kmeans_lloyd(vecs, k=2, iters=1))
+    assert "BroadcastExchange" in plan, plan
+    # the only hash exchanges are the (cell, dim) update rollup and the
+    # per-id assignment window — never an exchange keyed on the corpus id
+    # before a join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_gopher_rules_single_projection(spark):
+    """All five rule signals ride one narrow projection over one scan:
+    no Exchange, no Python boundary, exactly one tokenization."""
+    from narowi_ocr_spark.functions.textstats import with_gopher_rules
+
+    docs = spark.createDataFrame(
+        [(0, "the and of to in is that for with on " * 8)],
+        "doc_id long, text string",
+    )
+    plan = _physical_plan(with_gopher_rules(docs))
+    body = plan.split("Scan")[0]
+    assert "Exchange" not in body, body
+    for marker in ("MapInArrow", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, plan

@@ -112,3 +112,83 @@ def test_manifest_single_materialization(spark, tmp_path):
     rows = sum(e["rows"] for e in map(json.loads, open(manifest)))
     assert rows == 40
     assert len(os.listdir(mdir)) == n_files  # 2× would mean double-compute
+
+
+def test_hourly_counts_stream_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 2h watermark: an event arriving
+    in a LATER micro-batch but with an event time older than the
+    watermark must be dropped — its (already finalized) window does not
+    re-emit or change."""
+    import os
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.streaming.stream import hourly_counts_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        import glob
+        import shutil
+
+        part = glob.glob(p + "/part-*.parquet")[0]
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    import datetime
+
+    t = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)
+    now = _time.time()
+    # batch 0: two events in the 10:00 window, one at 13:30 that will
+    # advance the watermark to 11:30 for the next batch
+    write_file(
+        "f1",
+        [Row(ts=t(10, 0), event_type="a", value=1.0),
+         Row(ts=t(10, 30), event_type="a", value=2.0),
+         Row(ts=t(13, 30), event_type="a", value=1.0)],
+        now - 90,
+    )
+    # batch 1 runs with watermark 11:30 — at its end the [10:00, 11:00)
+    # window is EMITTED and its state EVICTED (Spark finalizes a window
+    # at the end of the first batch that runs past it; a late event in
+    # that same batch would still merge — the guarantee attaches to
+    # evicted state, so the late arrival must come one batch later)
+    write_file("f2", [Row(ts=t(13, 45), event_type="a", value=1.0)], now - 60)
+    # batch 2: a LATE event inside the finalized 10:00 window — must be
+    # dropped (no duplicate append row, no new state) — plus a fresh one
+    write_file(
+        "f3",
+        [Row(ts=t(10, 45), event_type="a", value=100.0),
+         Row(ts=t(14, 30), event_type="a", value=1.0)],
+        now - 30,
+    )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "hourly_late_test"
+    sq = (
+        hourly_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    rows = spark.table(name).collect()
+    # exactly the finalized 10:00 window, WITHOUT the late +100.0
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r["hour_start"].hour == 10 and r["n_events"] == 2
+    assert r["sum_value"] == 3.0
