@@ -1726,6 +1726,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly_stream"] = events_hourly_stream_q
 
+    def tpch_q4_style(spark, sf_dir):
+        """TPC-H q4 analogue on the reduced schema (no commit/receipt
+        dates): orders with at least one line shipped more than 90 days
+        after the order date, counted per priority. Exercises the
+        LEFT SEMI join — the orders side emits each row at most once and
+        carries no lineitem columns, so the probe side never inflates."""
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        late = orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        return late.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders")
+        )
+
+    q["tpch_q4"] = tpch_q4_style
+
+    def events_ndv_skew_safe(spark, sf_dir):
+        """Exact per-type user NDV via the skew-safe two-stage shape
+        (distinct on (type, user) → algebraic count): a hot event type's
+        users spread across every reducer instead of converging on one."""
+        from narowi_ocr_spark.operators.skew import distinct_then_count
+
+        ev = load_table(spark, sf_dir, "events")
+        return distinct_then_count(ev, ["event_type"], "user_id")
+
+    q["events_ndv_skew_safe"] = events_ndv_skew_safe
+
     return q
 
 
@@ -3019,5 +3050,20 @@ def oracle_sql() -> dict[str, str]:
     # streaming twin: same truth as the batch hourly rollup — the
     # sentinel row exists only on the Spark side and never emits
     o["events_hourly_stream"] = o["events_hourly"]
+
+    o["tpch_q4"] = """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+    """
+
+    o["events_ndv_skew_safe"] = """
+        SELECT event_type, count(DISTINCT user_id) AS ndv
+        FROM events GROUP BY event_type
+    """
 
     return o

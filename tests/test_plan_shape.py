@@ -225,3 +225,21 @@ def test_gopher_rules_single_projection(spark):
     assert "Exchange" not in body, body
     for marker in ("MapInArrow", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan, plan
+
+
+def test_distinct_then_count_splits_hot_keys(spark):
+    """The skew-safe NDV's FIRST exchange must be keyed on (key, value)
+    — so a hot key spreads across reducers — and the second on the key
+    alone with a partial count below it."""
+    from narowi_ocr_spark.operators.skew import distinct_then_count
+
+    df = spark.createDataFrame(
+        [(i % 3, i % 7) for i in range(100)], "k int, v int"
+    )
+    plan = _physical_plan(distinct_then_count(df, ["k"], "v"))
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 2, plan
+    # plan prints innermost (first-executed) exchange LAST
+    first, second = exchanges[1], exchanges[0]
+    assert "k#" in first and "v#" in first, first
+    assert "v#" not in second, second
