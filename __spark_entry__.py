@@ -1757,6 +1757,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_ndv_skew_safe"] = events_ndv_skew_safe
 
+    def semantic_contamination_q(spark, sf_dir):
+        """Embedding-space decontamination: every 41st vector stands in
+        for the eval set; corpus vectors are flagged when their max
+        cosine to any eval vector reaches 0.8. The whole eval set rides
+        in ONE broadcast array row, so the corpus pass is shuffle-free
+        (eval members flag themselves at cos 1.0)."""
+        from narowi_ocr_spark.operators.similarity import (
+            semantic_contamination,
+        )
+
+        vecs = load_table(spark, sf_dir, "embeddings")
+        eval_vecs = vecs.where(F.col("vec_id") % 41 == 0)
+        return semantic_contamination(
+            vecs, eval_vecs, threshold=0.8
+        ).withColumnRenamed("id", "vec_id")
+
+    q["semantic_contamination"] = semantic_contamination_q
+
     return q
 
 
@@ -3064,6 +3082,19 @@ def oracle_sql() -> dict[str, str]:
     o["events_ndv_skew_safe"] = """
         SELECT event_type, count(DISTINCT user_id) AS ndv
         FROM events GROUP BY event_type
+    """
+
+    o["semantic_contamination"] = f"""
+        WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS ev
+                   FROM embeddings WHERE vec_id % 41 = 0),
+        d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings),
+        s AS (SELECT v.vec_id, max({_cos_sql('v.emb', 'e.ev')})
+                AS max_eval_cos
+              FROM d v CROSS JOIN e GROUP BY v.vec_id)
+        SELECT vec_id, max_eval_cos,
+               (max_eval_cos >= 0.8) AS contaminated
+        FROM s
     """
 
     return o

@@ -336,3 +336,57 @@ def semantic_dedup(
         F.col("comp").alias("component"),
         (F.col("id") == F.col("comp")).alias("is_kept"),
     )
+
+
+def semantic_contamination(
+    vectors: DataFrame,
+    eval_vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of ``corpus.contamination``'s n-gram overlap (paraphrased
+    or translated eval leakage shares no n-grams but sits next to the
+    eval item in embedding space; cf. the contamination analyses in
+    GPT-3 App. C and SemDeDup §5).
+
+    Flags every corpus vector whose cosine to ANY eval vector is
+    ≥ threshold. Returns (id, max_eval_cos, contaminated) for every
+    corpus row.
+
+    Scale shape: eval sets are tiny (10³-10⁴ prompts) next to the corpus
+    (10⁹⁺ docs), so the whole eval set is collected into ONE array row
+    and broadcast — the corpus side is a single narrow projection (a
+    per-row array_max over the eval vectors) with NO shuffle anywhere:
+    not even an (id, max) rollup, because the max-over-evals happens
+    inside the row. An eval set too big for one row (>>10⁵ vectors) is
+    the signal to switch to the bucketed-join variant
+    (``bucketed_topk``'s shape) instead."""
+    # cosine in DOUBLE end-to-end: float32-element products round at
+    # single precision and can flip a round4 boundary between engines —
+    # the widened fold is bit-identical everywhere
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    evs = eval_vectors.agg(
+        F.collect_list(F.col(vec_col).cast("array<double>")).alias("evs")
+    )
+    scored = v.join(F.broadcast(evs)).select(
+        "id",
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.col("evs"),
+                    lambda e: round4(cosine(F.col("v"), e)),
+                )
+            ),
+            F.lit(-1.0),
+        ).alias("max_eval_cos"),
+    )
+    return scored.select(
+        "id",
+        "max_eval_cos",
+        (F.col("max_eval_cos") >= threshold).alias("contaminated"),
+    )

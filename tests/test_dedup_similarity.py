@@ -180,3 +180,35 @@ def test_semantic_dedup_clusters_and_keep(vectors):
     # exactly one representative per component
     kept = [r for r in got.values() if r.is_kept]
     assert {r.component for r in kept} == {0, 2, 3, 4}
+
+
+def test_semantic_contamination_flags_near_eval(vectors):
+    """v0 is the eval set: v0 flags itself (cos 1.0), v1 is near enough
+    (cos .994), orthogonal/antipodal vectors are clean."""
+    from narowi_ocr_spark.operators.similarity import semantic_contamination
+
+    eval_vecs = vectors.where(F.col("vec_id") == 0)
+    got = {
+        r.id: r
+        for r in semantic_contamination(
+            vectors, eval_vecs, threshold=0.9
+        ).collect()
+    }
+    assert got[0].contaminated and got[0].max_eval_cos == 1.0
+    assert got[1].contaminated and abs(got[1].max_eval_cos - 0.9939) < 1e-4
+    for vid in (2, 3, 4):
+        assert not got[vid].contaminated
+    assert got[4].max_eval_cos == -1.0  # antipodal
+
+
+def test_semantic_contamination_is_shuffle_free(vectors):
+    from narowi_ocr_spark.operators.similarity import semantic_contamination
+
+    plan = (
+        semantic_contamination(vectors, vectors.where(F.col("vec_id") == 0))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
