@@ -1775,6 +1775,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semantic_contamination"] = semantic_contamination_q
 
+    def pack_sequences_q(spark, sf_dir):
+        """Training-batch sequence packing: per-source running token
+        offsets assign each doc to a 256-token pack (start-offset
+        first-fit, docs unsplit). ONE window shuffle keyed on source."""
+        from narowi_ocr_spark.operators.corpus import pack_sequences
+
+        return pack_sequences(
+            _docs(spark, sf_dir), capacity=256
+        ).withColumnRenamed("id", "doc_id")
+
+    q["pack_sequences"] = pack_sequences_q
+
     return q
 
 
@@ -3095,6 +3107,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, max_eval_cos,
                (max_eval_cos >= 0.8) AS contaminated
         FROM s
+    """
+
+    o["pack_sequences"] = f"""
+        WITH st AS (
+          SELECT doc_id, source AS shard,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len({_WORDS_SQL}) END AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (SELECT doc_id, shard, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM st)
+        SELECT doc_id, shard, n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS start_offset,
+               CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id,
+               CAST(row_number() OVER (
+                      PARTITION BY shard, (cum - n_tokens) // 256
+                      ORDER BY doc_id) - 1 AS INT) AS pack_slot
+        FROM c
     """
 
     return o

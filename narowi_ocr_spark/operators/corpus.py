@@ -427,3 +427,54 @@ def domain_mix_weights(
         natural.alias("natural_ppm"),
         round4(weight.cast("double") / natural.cast("double")).alias("boost"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 1024,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for training-batch preparation: assign each
+    document to a fixed-capacity token pack (the "pack short documents
+    into 4k-token training sequences" step every LLM data pipeline runs
+    before tokenizer sharding). A document lands in the pack its START
+    OFFSET falls into — the deterministic streaming approximation of
+    first-fit (documents are not split here; the consumer splits or pads
+    at pack boundaries).
+
+    Returns (id, shard, n_tokens, start_offset, pack_id, pack_slot):
+    pack_id = start_offset div capacity within the shard; pack_slot is
+    the document's 0-based position inside its pack.
+
+    Scale shape: packing needs a total order, which does not distribute
+    — so the order is PER SHARD (the partition column every training
+    run already has: source, dump, language...). One window shuffle
+    keyed on the shard column; offsets are an integer running sum, so
+    the result is deterministic and engine-exact. Shards are
+    independent, so skew in shard sizes is the only hotspot — the same
+    salting used for host keys applies when one shard dominates.
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(shard_col).alias("shard"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    ).withColumn("_cum", F.sum("n_tokens").over(w))
+    start = (F.col("_cum") - F.col("n_tokens")).alias("start_offset")
+    packed = staged.select(
+        "id",
+        "shard",
+        "n_tokens",
+        start,
+        F.expr(f"(_cum - n_tokens) div {capacity}").cast("long").alias("pack_id"),
+    )
+    slot_w = Window.partitionBy("shard", "pack_id").orderBy("id")
+    return packed.withColumn(
+        "pack_slot", (F.row_number().over(slot_w) - 1).cast("int")
+    )

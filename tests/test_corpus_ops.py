@@ -374,3 +374,29 @@ def test_gopher_rules_flags(spark):
     # 60 '#' in 62 words -> ratio ~0.97 > 0.1
     assert not got[3]["r_symbol_ratio"] and not got[3]["gopher_keep"]
     assert got[4]["n_words"] == 0 and not got[4]["gopher_keep"]
+
+
+def test_pack_sequences_offsets_and_slots(spark):
+    from narowi_ocr_spark.operators.corpus import pack_sequences
+
+    # shard a: token counts 6, 6, 6 with capacity 10:
+    #   doc 0 starts at 0  -> pack 0, slot 0
+    #   doc 1 starts at 6  -> pack 0, slot 1 (straddles; whole doc by start)
+    #   doc 2 starts at 12 -> pack 1, slot 0
+    rows = [
+        Row(doc_id=0, source="a", text="t t t t t t"),
+        Row(doc_id=1, source="a", text="u u u u u u"),
+        Row(doc_id=2, source="a", text="v v v v v v"),
+        Row(doc_id=9, source="b", text="w w"),
+    ]
+    got = {
+        r["id"]: r
+        for r in pack_sequences(
+            spark.createDataFrame(rows), capacity=10
+        ).collect()
+    }
+    assert (got[0]["start_offset"], got[0]["pack_id"], got[0]["pack_slot"]) == (0, 0, 0)
+    assert (got[1]["start_offset"], got[1]["pack_id"], got[1]["pack_slot"]) == (6, 0, 1)
+    assert (got[2]["start_offset"], got[2]["pack_id"], got[2]["pack_slot"]) == (12, 1, 0)
+    # shards are independent orders
+    assert (got[9]["shard"], got[9]["pack_id"], got[9]["pack_slot"]) == ("b", 0, 0)
