@@ -1787,6 +1787,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences"] = pack_sequences_q
 
+    def events_histogram_q(spark, sf_dir):
+        """Fixed-width value histogram per event type (bin width 50):
+        the distribution-profiling primitive. bin_start is one IEEE
+        floor, bins aggregate with map-side combine — the shuffle key
+        space is |event_type| × ~10 bins regardless of corpus size."""
+        ev = load_table(spark, sf_dir, "events")
+        bin_start = (F.floor(F.col("value") / F.lit(50.0)) * 50).cast(
+            "double"
+        )
+        return ev.groupBy(
+            "event_type", bin_start.alias("bin_start")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+
+    q["events_histogram"] = events_histogram_q
+
+    def events_funnel_q(spark, sf_dir):
+        """view→purchase conversion funnel per user: first view, first
+        purchase strictly after it, and whether conversion happened
+        within 1 hour. The first-view window and the grouped
+        conditional mins share ONE user_id exchange (the aggregate
+        reuses the window's partitioning) — no self-join."""
+        ev = load_table(spark, sf_dir, "events")
+        secs = F.col("ts").cast("timestamp").cast("long")
+        w = Window.partitionBy("user_id")
+        first_view = F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).over(w)
+        staged = ev.withColumn("_fv", first_view)
+        agg = (
+            staged.groupBy("user_id")
+            .agg(
+                F.min(F.col("_fv")).alias("first_view"),
+                F.min(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.col("ts") > F.col("_fv")),
+                        F.col("ts"),
+                    )
+                ).alias("first_purchase"),
+            )
+        )
+        # µs diff floored to seconds: per-timestamp long casts truncate
+        # fractional seconds BEFORE subtracting (off-by-one vs the
+        # oracle's epoch arithmetic — same trap as sessionize, ADVICE r1)
+        us = (
+            F.unix_micros(F.col("first_purchase").cast("timestamp"))
+            - F.unix_micros(F.col("first_view").cast("timestamp"))
+        )
+        d = ((us - (us % 1_000_000)) / 1_000_000).cast("long")
+        return agg.select(
+            "user_id",
+            "first_view",
+            "first_purchase",
+            d.alias("secs_to_convert"),
+            F.coalesce(d <= 3600, F.lit(False)).alias("converted"),
+        )
+
+    q["events_funnel"] = events_funnel_q
+
+    def media_dedup_q(spark, sf_dir):
+        """Binary-payload exact dedup over the dup corpus: digests in
+        the scan projection, only (md5, id) pairs shuffle, min-id copy
+        kept — the multimodal twin of exact_dedup."""
+        from narowi_ocr_spark.operators.multimodal import (
+            attach_binary,
+            media_dedup,
+        )
+
+        corpus = attach_binary(_dup_corpus(_docs(spark, sf_dir)))
+        return media_dedup(corpus)
+
+    q["media_dedup"] = media_dedup_q
+
     return q
 
 
@@ -3127,6 +3205,44 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY shard, (cum - n_tokens) // 256
                       ORDER BY doc_id) - 1 AS INT) AS pack_slot
         FROM c
+    """
+
+    o["events_histogram"] = """
+        SELECT event_type,
+               CAST(floor(value / 50.0) * 50 AS DOUBLE) AS bin_start,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
+    o["events_funnel"] = """
+        WITH fv AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS _fv,
+                 event_type, ts
+          FROM events),
+        agg AS (
+          SELECT user_id,
+                 min(_fv) AS first_view,
+                 min(CASE WHEN event_type = 'purchase' AND ts > _fv
+                          THEN ts END) AS first_purchase
+          FROM fv GROUP BY user_id)
+        SELECT user_id, first_view, first_purchase,
+               CAST((epoch_us(first_purchase) - epoch_us(first_view))
+                      // 1000000 AS BIGINT) AS secs_to_convert,
+               coalesce((epoch_us(first_purchase) - epoch_us(first_view))
+                          // 1000000 <= 3600,
+                        FALSE) AS converted
+        FROM agg
+    """
+
+    o["media_dedup"] = f"""
+        WITH {_DUP_CORPUS_SQL}
+        SELECT md5(text) AS content_md5,
+               CAST(count(*) AS INT) AS n_copies,
+               min(doc_id) AS keep_id
+        FROM corpus GROUP BY 1
     """
 
     return o

@@ -180,3 +180,22 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+def media_dedup(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact dedup over BINARY media payloads — the multimodal twin of
+    text exact_dedup: group by content digest, keep the min-id copy.
+    The digest is computed in the scan projection so only
+    (md5, id) pairs shuffle — payload bytes (images can be MBs) never
+    leave their scan stage, which is the entire point at 100 TB of
+    media. Returns (content_md5, n_copies, keep_id)."""
+    digests = df.select(
+        F.md5(F.col(payload_col)).alias("content_md5"),
+        F.col(id_col).alias("id"),
+    )
+    return digests.groupBy("content_md5").agg(
+        F.count("*").cast("int").alias("n_copies"),
+        F.min("id").alias("keep_id"),
+    )
