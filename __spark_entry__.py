@@ -1865,6 +1865,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_dedup"] = media_dedup_q
 
+    def hybrid_dedup_q(spark, sf_dir):
+        """Multi-signal dedup — the production shape: EXACT text-dup
+        edges (dup corpus md5 groups) unioned with EMBEDDING near-dup
+        edges (LSH-bucketed cosine ≥ 0.3 over the aligned vectors), one
+        connected-components pass, min-id representative per cluster.
+        Signals reinforce: a text copy of doc i and a semantic neighbor
+        of doc i land in the SAME cluster through the shared node."""
+        from narowi_ocr_spark.operators.components import (
+            connected_components,
+        )
+        from narowi_ocr_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        docs = _docs(spark, sf_dir)
+        corpus = _dup_corpus(docs)
+        fps = corpus.select(
+            F.col("doc_id").alias("id"), F.md5("text").alias("h")
+        )
+        reps = fps.groupBy("h").agg(F.min("id").alias("rep"))
+        text_pairs = (
+            fps.join(reps, "h")
+            .where(F.col("id") != F.col("rep"))
+            .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        vecs = load_table(spark, sf_dir, "embeddings")
+        emb_pairs = embedding_near_dup_pairs(vecs, threshold=0.3).select(
+            "id_a", "id_b"
+        )
+        edges = text_pairs.unionByName(emb_pairs)
+        nodes = corpus.select(F.col("doc_id").alias("id"))
+        labels = connected_components(edges, nodes=nodes)
+        return labels.select(
+            "id",
+            F.col("comp").alias("component"),
+            (F.col("id") == F.col("comp")).alias("is_kept"),
+        )
+
+    q["hybrid_dedup"] = hybrid_dedup_q
+
     return q
 
 
@@ -3243,6 +3283,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS INT) AS n_copies,
                min(doc_id) AS keep_id
         FROM corpus GROUP BY 1
+    """
+
+    o["hybrid_dedup"] = f"""
+        WITH RECURSIVE {_DUP_CORPUS_SQL},
+        tp AS (
+          SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS rep,
+                 doc_id AS id
+          FROM corpus),
+        pt AS (SELECT rep AS id_a, id AS id_b FROM tp WHERE rep <> id),
+        b AS (SELECT vec_id, embedding, {_bucket_sql()} AS bucket
+              FROM embeddings),
+        pe AS (SELECT a.vec_id AS id_a, v.vec_id AS id_b
+               FROM b a JOIN b v
+                 ON a.bucket = v.bucket AND a.vec_id < v.vec_id
+               WHERE {_cos_sql('a.embedding', 'v.embedding')} >= 0.3),
+        pairs AS (SELECT * FROM pt UNION SELECT * FROM pe),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        closure(id, r) AS (
+          SELECT doc_id, doc_id FROM corpus
+          UNION
+          SELECT e.d, c.r FROM closure c JOIN edges e ON e.s = c.id)
+        SELECT id, min(r) AS component, (id = min(r)) AS is_kept
+        FROM closure GROUP BY id
     """
 
     return o
