@@ -239,6 +239,19 @@ def main() -> None:
         lambda: materialize(kmeans_lloyd(vecs, k=8, iters=2)),
         extra_set=True,
     )
+    from narowi_ocr_spark.functions.textstats import with_gopher_rules
+    from narowi_ocr_spark.operators.corpus import pack_sequences
+
+    bench(
+        "gopher_rules",
+        lambda: materialize(with_gopher_rules(docs)),
+        extra_set=True,
+    )
+    bench(
+        "pack_sequences",
+        lambda: materialize(pack_sequences(docs, capacity=256)),
+        extra_set=True,
+    )
 
     qs = entrymod.queries()
     bench("tpch_q1", lambda: materialize(qs["tpch_q1"](spark, sf_dir)))

@@ -2,8 +2,8 @@
 pipelines: benchmark decontamination (n-gram overlap against an eval
 set), deterministic stratified sampling, a character-bigram LM
 quality score (learn/apply gibberish filter), corpus-wide passage
-dedup (the C4/CCNet paragraph-dedup pattern), and temperature-scaled
-domain mixing weights.
+dedup (the C4/CCNet paragraph-dedup pattern), temperature-scaled
+domain mixing weights, and training-batch sequence packing.
 
 The learn/apply ops follow the two-sided corpus-operator pattern established by
 ``textstats.doc_keywords``: a LEARN side that reduces the corpus (or a
