@@ -38,13 +38,18 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iters: int = 25,
+    fallback_star: bool = True,
 ) -> DataFrame:
     """(id, component) for every node, where component is the minimum id
     reachable through ``edges`` (undirected). ``nodes`` (single-column
     ``id``) adds isolated vertices — without it only edge endpoints
-    appear. Raises if the fixpoint is not reached in ``max_iters``
-    rounds (a diameter that large means the input is not a near-dup
-    graph and large-star/small-star should be used instead)."""
+    appear. If the fixpoint is not reached in ``max_iters`` rounds (a
+    diameter that large means the input is not near-dup shaped), the
+    call FALLS BACK to ``connected_components_star`` — same answer,
+    O(log²) rounds on any diameter — so callers get min-label's lower
+    per-round cost on typical graphs without a correctness cliff on
+    adversarial ones. Pass ``fallback_star=False`` to raise instead
+    (useful when a blown round budget signals a data bug upstream)."""
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(
@@ -79,6 +84,10 @@ def connected_components(
         if cur_sum == prev_sum:  # labels only decrease → fixpoint
             return labels
         prev_sum = cur_sum
+    if fallback_star:
+        return connected_components_star(
+            edges, nodes=nodes, src_col=src_col, dst_col=dst_col
+        )
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "graph diameter too large; use large-star/small-star"

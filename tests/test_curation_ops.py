@@ -96,3 +96,24 @@ def test_star_contraction_matches_label_propagation(spark):
     b = {r["id"]: r["comp"] for r in connected_components_star(edges, nodes=nodes).collect()}
     assert a == b
     assert b[99] == 99  # isolated node self-labeled
+
+
+def test_label_prop_falls_back_to_star_on_deep_chain(spark):
+    """min-label with a tiny round budget on a 60-hop chain: instead of
+    raising, the default falls back to star contraction and still
+    labels every node with the chain head."""
+    from narowi_ocr_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: r["comp"]
+        for r in connected_components(edges, max_iters=3).collect()
+    }
+    assert len(out) == 61 and set(out.values()) == {0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        connected_components(edges, max_iters=3, fallback_star=False)
