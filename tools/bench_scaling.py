@@ -76,6 +76,7 @@ OPS_CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from narowi_ocr_spark.config import get_spark
+from narowi_ocr_spark.operators.corpus import pack_sequences, passage_dedup
 from narowi_ocr_spark.operators.dedup import (
     lsh_candidate_pairs, simhash_near_pairs)
 from narowi_ocr_spark.operators.similarity import bucketed_topk
@@ -100,6 +101,8 @@ ops = {{
     "lsh_pairs": lambda: noop(lsh_candidate_pairs(corpus)),
     "simhash_pairs": lambda: noop(simhash_near_pairs(corpus)),
     "emb_ann_bucketed": lambda: noop(bucketed_topk(vecs, qv, k=10)),
+    "passage_dedup": lambda: noop(passage_dedup(corpus, passage_words=16)),
+    "pack_sequences": lambda: noop(pack_sequences(docs, capacity=256)),
 }}
 out = {{}}
 for name, fn in ops.items():
