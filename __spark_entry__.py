@@ -1905,6 +1905,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_dedup"] = hybrid_dedup_q
 
+    def host_pagerank_q(spark, sf_dir):
+        """Host-graph PageRank (the CommonCrawl-style crawl-quality
+        signal): a deterministic 20-host graph (each srcX links to
+        X+1, 3X+1, 7X+2 mod 20), 3 damped rounds in EXACT integer
+        fixed-point — every div is 64-bit, so the oracle's unrolled SQL
+        replays it bit-for-bit."""
+        from narowi_ocr_spark.functions.native import round4
+        from narowi_ocr_spark.operators.linkrank import (
+            RANK_SCALE,
+            pagerank_fixed,
+        )
+
+        hosts = _docs(spark, sf_dir).select("source").distinct()
+        x = F.substring("source", 4, 10).cast("int")
+        nbrs = F.array((x + 1) % 20, (x * 3 + 1) % 20, (x * 7 + 2) % 20)
+        edges = (
+            hosts.select(
+                F.col("source").alias("src"), F.explode(nbrs).alias("k")
+            )
+            .select(
+                "src",
+                F.concat(F.lit("src"), F.col("k").cast("string")).alias(
+                    "dst"
+                ),
+            )
+            .where(F.col("src") != F.col("dst"))
+        )
+        nodes = hosts.select(F.col("source").alias("id"))
+        pr = pagerank_fixed(edges, nodes, iters=3)
+        return pr.select(
+            F.col("id").alias("source"),
+            "rank_scaled",
+            round4(
+                F.col("rank_scaled").cast("double") / F.lit(float(RANK_SCALE))
+            ).alias("rank"),
+        )
+
+    q["host_pagerank"] = host_pagerank_q
+
     return q
 
 
@@ -3307,6 +3346,46 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.d, c.r FROM closure c JOIN edges e ON e.s = c.id)
         SELECT id, min(r) AS component, (id = min(r)) AS is_kept
         FROM closure GROUP BY id
+    """
+
+    # host_pagerank: 3 unrolled integer fixed-point rounds (mirrors
+    # operators/linkrank.py; all operands non-negative so // == div)
+    from narowi_ocr_spark.operators.linkrank import RANK_SCALE as _RS
+
+    _pr_rounds = []
+    for i in range(1, 4):
+        _pr_rounds.append(
+            f"m{i} AS (SELECT e.dst AS id, "
+            f"CAST(sum(r.rank // d.outdeg) AS BIGINT) AS inflow "
+            f"FROM e JOIN deg d ON e.src = d.src "
+            f"JOIN r{i - 1} r ON r.id = e.src GROUP BY 1), "
+            f"r{i} AS (SELECT b.id, "
+            f"CAST((15 * b.base) // 100 + (85 * coalesce(m.inflow, 0)) // 100 "
+            f"AS BIGINT) AS rank "
+            f"FROM base b LEFT JOIN m{i} m USING (id))"
+        )
+    o["host_pagerank"] = f"""
+        WITH hosts AS (SELECT DISTINCT source FROM documents),
+        x AS (SELECT source, CAST(substr(source, 4) AS INT) AS x
+              FROM hosts),
+        e0 AS (
+          SELECT source AS src,
+                 'src' || CAST((x + 1) % 20 AS VARCHAR) AS dst FROM x
+          UNION
+          SELECT source, 'src' || CAST((x * 3 + 1) % 20 AS VARCHAR) FROM x
+          UNION
+          SELECT source, 'src' || CAST((x * 7 + 2) % 20 AS VARCHAR) FROM x),
+        e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM hosts),
+        base AS (SELECT source AS id,
+                        CAST({_RS} // n.n AS BIGINT) AS base
+                 FROM hosts CROSS JOIN n),
+        r0 AS (SELECT id, base AS rank FROM base),
+        {', '.join(_pr_rounds)}
+        SELECT id AS source, rank AS rank_scaled,
+               {_round4_sql(f'rank / {_RS}.0')} AS rank
+        FROM r3
     """
 
     return o

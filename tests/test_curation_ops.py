@@ -117,3 +117,28 @@ def test_label_prop_falls_back_to_star_on_deep_chain(spark):
 
     with _pytest.raises(RuntimeError):
         connected_components(edges, max_iters=3, fallback_star=False)
+
+
+def test_pagerank_fixed_symmetry_and_hubs(spark):
+    from narowi_ocr_spark.operators.linkrank import (
+        RANK_SCALE,
+        pagerank_fixed,
+    )
+
+    # directed 3-ring: perfect symmetry -> all ranks stay equal
+    ring = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    nodes3 = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    ranks = {r["id"]: r["rank_scaled"] for r in pagerank_fixed(ring, nodes3).collect()}
+    assert len(set(ranks.values())) == 1
+    # each round loses at most a few integer-division units of 1e-9 mass
+    assert abs(ranks[0] - RANK_SCALE // 3) <= 10
+
+    # star: everyone links to 0, 0 links back to 1 -> 0 is the hub
+    star = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)], "src long, dst long"
+    )
+    nodes4 = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    r = {x["id"]: x["rank_scaled"] for x in pagerank_fixed(star, nodes4).collect()}
+    assert r[0] > r[1] > r[2] == r[3]
