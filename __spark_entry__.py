@@ -1944,6 +1944,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_pagerank"] = host_pagerank_q
 
+    def dataset_splits_q(spark, sf_dir):
+        """Deterministic train/valid/test assignment (2%/2% here so the
+        sf0.01 corpus lands docs in every split): pure md5 hex-range
+        predicate — no shuffle, stable across engines/reruns/partition
+        layouts (a doc can never migrate between splits)."""
+        from narowi_ocr_spark.operators.corpus import dataset_splits
+
+        docs = _docs(spark, sf_dir)
+        return dataset_splits(
+            docs, valid_frac=0.02, test_frac=0.02
+        ).select("doc_id", "split_key", "split")
+
+    q["dataset_splits"] = dataset_splits_q
+
+    def fixed_count_sample_q(spark, sf_dir):
+        """Exactly-5-docs-per-source deterministic sample (eval carving/
+        per-domain inspection): rank by md5(salt||id) within source,
+        keep the first 5. One window shuffle on source."""
+        from narowi_ocr_spark.operators.corpus import fixed_count_sample
+
+        return fixed_count_sample(_docs(spark, sf_dir), k=5).select(
+            "doc_id", "source", "sample_rank"
+        )
+
+    q["fixed_count_sample"] = fixed_count_sample_q
+
+    def winnow_near_dups_q(spark, sf_dir):
+        """MOSS winnowing-fingerprint near-dup pairs over the dup
+        corpus: corpus-wide common fingerprints (df > 25) dropped first
+        to bound the self-join, then pairs sharing ≥ 10 fingerprints
+        with set-jaccard. Catches long verbatim SPANS, complementing
+        MinHash's whole-document similarity."""
+        from narowi_ocr_spark.operators.dedup import winnow_near_pairs
+
+        corpus = _dup_corpus(_docs(spark, sf_dir))
+        return winnow_near_pairs(corpus, min_shared=10, max_df=25)
+
+    q["winnow_near_dups"] = winnow_near_dups_q
+
     return q
 
 
@@ -3386,6 +3425,73 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS source, rank AS rank_scaled,
                {_round4_sql(f'rank / {_RS}.0')} AS rank
         FROM r3
+    """
+
+    # dataset_splits: thresholds generated from the SAME function the
+    # Spark operator uses (cf. stratified_sample)
+    from narowi_ocr_spark.operators.corpus import (
+        _rate_to_hex_threshold as _rthex,
+    )
+
+    _t_valid = _rthex(0.02)
+    _t_test = _rthex(0.04)
+    o["dataset_splits"] = f"""
+        WITH k AS (
+          SELECT doc_id,
+                 substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS split_key
+          FROM documents)
+        SELECT doc_id, split_key,
+               CASE WHEN split_key < '{_t_valid}' THEN 'valid'
+                    WHEN split_key < '{_t_test}' THEN 'test'
+                    ELSE 'train' END AS split
+        FROM k
+    """
+
+    o["fixed_count_sample"] = """
+        WITH r AS (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY md5('fc0' || CAST(doc_id AS VARCHAR)) ASC,
+                                 doc_id) AS INT) AS sample_rank
+          FROM documents)
+        SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 5
+    """
+
+    o["winnow_near_dups"] = f"""
+        WITH {_DUP_CORPUS_SQL},
+        t AS (SELECT doc_id, lower(text) AS t, length(text) AS n
+              FROM corpus),
+        g AS (SELECT doc_id, t, n,
+                     CASE WHEN n - 7 >= 1 THEN
+                       list_transform(range(1, n - 7 + 1),
+                         i -> substr(md5(substr(t, i, 8)), 1, 8))
+                     ELSE CAST([] AS VARCHAR[]) END AS hs
+              FROM t),
+        f AS (SELECT doc_id,
+                     CASE WHEN n = 0 THEN CAST([] AS VARCHAR[])
+                          WHEN n - 10 < 1 THEN [substr(md5(t), 1, 8)]
+                          ELSE list_sort(list_distinct(
+                                 list_transform(range(1, n - 10 + 1),
+                                   i -> list_min(hs[i:i+3]))))
+                     END AS fps
+              FROM g),
+        fpx AS (SELECT doc_id AS id, unnest(fps) AS fp FROM f),
+        rare AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM fpx
+                                 GROUP BY 1) WHERE c <= 25),
+        kept AS (SELECT id, fpx.fp FROM fpx JOIN rare USING (fp)),
+        sizes AS (SELECT id, count(*) AS n_fp FROM kept GROUP BY 1),
+        sh AS (SELECT a.id AS id_a, b.id AS id_b,
+                      CAST(count(*) AS INT) AS n_shared
+               FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+               GROUP BY 1, 2 HAVING count(*) >= 10)
+        SELECT sh.id_a, sh.id_b, sh.n_shared,
+               {_round4_sql(
+                   'CAST(sh.n_shared AS DOUBLE) '
+                   '/ (sa.n_fp + sb.n_fp - sh.n_shared)'
+               )} AS jaccard
+        FROM sh JOIN sizes sa ON sa.id = sh.id_a
+                JOIN sizes sb ON sb.id = sh.id_b
     """
 
     return o

@@ -478,3 +478,56 @@ def pack_sequences(
     return packed.withColumn(
         "pack_slot", (F.row_number().over(slot_w) - 1).cast("int")
     )
+
+
+def dataset_splits(
+    df: DataFrame,
+    valid_frac: float = 0.01,
+    test_frac: float = 0.01,
+    id_col: str = "doc_id",
+    salt: str = "split0",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment — the split step every
+    training corpus runs ONCE and must never change across reruns,
+    engines, or repartitioning (a doc that migrates from test to train
+    between pipeline versions silently contaminates evaluation). Uses
+    the same md5(salt‖id) hex-threshold device as
+    ``stratified_sample``: the first 8 digest chars partition the
+    uniform hash space into [0, valid) → 'valid', [valid,
+    valid+test) → 'test', rest → 'train'.
+
+    Adds a ``split`` column; pure narrow projection, no shuffle, and
+    the predicate composes with scan pushdown when a consumer filters
+    one split."""
+    t_valid = _rate_to_hex_threshold(valid_frac)
+    t_test = _rate_to_hex_threshold(valid_frac + test_frac)
+    key = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    return df.withColumn("split_key", key).withColumn(
+        "split",
+        F.when(F.col("split_key") < t_valid, "valid")
+        .when(F.col("split_key") < t_test, "test")
+        .otherwise("train"),
+    )
+
+
+def fixed_count_sample(
+    df: DataFrame,
+    k: int = 5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "fc0",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (eval-set carving,
+    per-domain inspection samples): rank rows within each stratum by
+    md5(salt‖id) — a uniform, engine-independent order — and keep the
+    first k. Unlike rate-based sampling the count is exact per stratum;
+    unlike ORDER BY RANDOM() it is reproducible everywhere. One window
+    shuffle on the stratum column."""
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

@@ -452,3 +452,68 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def winnow_near_pairs(
+    df: DataFrame,
+    min_shared: int = 10,
+    max_df: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style near-duplicate pairs from winnowing fingerprints
+    (Schleimer et al., SIGMOD'03 — the plagiarism-detection member of
+    the dedup family; unlike MinHash's whole-document similarity, the
+    winnow guarantee is per-SUBSTRING: any shared run ≥ k+w-1 chars
+    yields a shared fingerprint, so it catches long verbatim spans
+    inside otherwise-different documents).
+
+    Returns (id_a, id_b, n_shared, jaccard) for pairs sharing at least
+    ``min_shared`` fingerprints (id_a < id_b), with jaccard over the
+    docs' fingerprint SETS.
+
+    Scale shape: only (id, fp8) pairs shuffle. The fp self-join is the
+    classic hot-key risk — boilerplate substrings appear corpus-wide —
+    so fingerprints hitting more than ``max_df`` documents are dropped
+    FIRST (one partial-agg count over the same exploded pass; the MOSS
+    service does exactly this with its "common code" threshold). That
+    bounds the join's per-key fanout at max_df² regardless of corpus
+    size."""
+    from narowi_ocr_spark.functions.textstats import winnow_fingerprints
+
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(text_col)).alias("fp"),
+    )
+    rare = fps.groupBy("fp").agg(F.count("*").alias("df_cnt")).where(
+        F.col("df_cnt") <= max_df
+    )
+    kept = fps.join(rare.select("fp"), "fp")
+    sizes = kept.groupBy("id").agg(F.count("*").alias("n_fp"))
+    shared = (
+        kept.alias("a")
+        .join(kept.alias("b"), "fp")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    from narowi_ocr_spark.functions.native import round4
+
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            round4(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
