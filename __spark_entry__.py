@@ -3046,12 +3046,18 @@ def oracle_sql() -> dict[str, str]:
     # passage_dedup: the packed key doc_id*2^24+idx mirrors
     # corpus.PASSAGE_IDX_BITS; DuckDB's parallel unnests zip the idx and
     # passage lists; slices are 1-based inclusive in both engines.
+    # original-case word split (matching is case-folded at the HASH,
+    # not in the text — mirrors corpus.passage_dedup)
+    _words_cased = (
+        "regexp_split_to_array("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
+    )
     o["passage_dedup"] = f"""
         WITH {_DUP_CORPUS_SQL},
         w AS (SELECT doc_id,
                      CASE WHEN length(trim(text)) = 0
                           THEN CAST([] AS VARCHAR[])
-                          ELSE {_WORDS_SQL} END AS ws
+                          ELSE {_words_cased} END AS ws
               FROM corpus),
         st AS (SELECT doc_id, ws,
                       CAST((len(ws) + 15) // 16 AS INT) AS n_passages
@@ -3062,7 +3068,7 @@ def oracle_sql() -> dict[str, str]:
                         i -> array_to_string(ws[(i*16+1):(i*16+16)], ' ')))
                         AS passage
                FROM st),
-        tr AS (SELECT doc_id, idx, passage, md5(passage) AS h,
+        tr AS (SELECT doc_id, idx, passage, md5(lower(passage)) AS h,
                       doc_id * 16777216 + idx AS pk
                FROM ex),
         fr AS (SELECT h, min(pk) AS first_pk FROM tr GROUP BY 1),
@@ -3103,9 +3109,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(({_MIX} * s.sq) // t.ssum AS BIGINT) AS weight_ppm,
                CAST(({_MIX} * s.n_tokens) // t.tsum AS BIGINT)
                  AS natural_ppm,
-               floor(CAST(({_MIX} * s.sq) // t.ssum AS DOUBLE)
-                     / CAST(({_MIX} * s.n_tokens) // t.tsum AS DOUBLE)
-                     * 10000.0 + 0.5) / 10000.0 AS boost
+               CASE WHEN ({_MIX} * s.n_tokens) // t.tsum > 0 THEN
+                 floor(CAST(({_MIX} * s.sq) // t.ssum AS DOUBLE)
+                       / CAST(({_MIX} * s.n_tokens) // t.tsum AS DOUBLE)
+                       * 10000.0 + 0.5) / 10000.0
+               END AS boost
         FROM s CROSS JOIN t
     """
 
@@ -3149,10 +3157,16 @@ def oracle_sql() -> dict[str, str]:
         )
 
     def _cosfp(a: str, b: str) -> str:
-        return _round4_sql(
+        # zero-norm vectors score a deterministic -1.0 (mirrors
+        # clustering.cosine_fp's degenerate-vector guard)
+        body = _round4_sql(
             f"CAST({_dotfp(a, b)} AS DOUBLE) / "
             f"(sqrt(CAST({_dotfp(a, a)} AS DOUBLE)) * "
             f"sqrt(CAST({_dotfp(b, b)} AS DOUBLE)))"
+        )
+        return (
+            f"CASE WHEN {_dotfp(a, a)} > 0 AND {_dotfp(b, b)} > 0 "
+            f"THEN {body} ELSE -1.0 END"
         )
 
     def _km_assign(cents: str) -> str:
@@ -3177,7 +3191,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["kmeans_cells"] = f"""
         WITH fx AS (SELECT vec_id AS id, {_fx_sql} AS fv FROM embeddings),
-        c0 AS (SELECT id AS cell, fv AS cv FROM fx WHERE id < 8),
+        c0 AS (SELECT id AS cell, fv AS cv FROM fx ORDER BY id LIMIT 8),
         a1 AS ({_km_assign('c0')}),
         c1 AS ({_km_update('a1')}),
         a2 AS ({_km_assign('c1')}),

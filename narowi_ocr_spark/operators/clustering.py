@@ -70,14 +70,19 @@ def dot_fp(a: Column, b: Column) -> Column:
 
 def cosine_fp(a: Column, b: Column) -> Column:
     """round4 cosine from exact integer dot/norms — bit-identical across
-    engines (three exact integers into one IEEE expression)."""
-    return round4(
-        dot_fp(a, b).cast("double")
-        / (
-            F.sqrt(dot_fp(a, a).cast("double"))
-            * F.sqrt(dot_fp(b, b).cast("double"))
-        )
-    )
+    engines (three exact integers into one IEEE expression). Degenerate
+    vectors (all |x| < 0.5/FP_SCALE quantize to the zero vector, whose
+    cosine is undefined) score a deterministic -1.0 — they rank below
+    every real similarity and tie-break to the lowest cell instead of
+    producing NULLs with engine-dependent ordering."""
+    na, nb = dot_fp(a, a), dot_fp(b, b)
+    return F.when(
+        (na > 0) & (nb > 0),
+        round4(
+            dot_fp(a, b).cast("double")
+            / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+        ),
+    ).otherwise(F.lit(-1.0))
 
 
 def _assign(fx: DataFrame, cents: DataFrame) -> DataFrame:
@@ -145,8 +150,13 @@ def kmeans_lloyd(
     fx = vectors.select(
         F.col(id_col).alias("id"), quantize(vec_col).alias("fv")
     )
-    cents = fx.where(F.col("id") < k).select(
-        F.col("id").alias("cell"), F.col("fv").alias("cv")
+    # the k LOWEST ids, whatever the id space looks like — a WHERE id<k
+    # filter would silently under-seed (or empty out) non-dense or
+    # non-zero-based id spaces
+    cents = (
+        fx.orderBy("id")
+        .limit(k)
+        .select(F.col("id").alias("cell"), F.col("fv").alias("cv"))
     )
     for _ in range(iters):
         cents = _update(_assign(fx, cents))

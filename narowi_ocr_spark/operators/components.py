@@ -203,9 +203,14 @@ def connected_components_star(
     ).unionByName(
         cur.select(F.col("dst").alias("id"), F.col("dst").alias("comp"))
     ).distinct()
+    # nodes whose only edges were self-loops vanished at canonicalization
+    # — they are still vertices of the input graph and must self-label
+    # (parity with connected_components, whose symmetric edge list keeps
+    # them); plus explicitly-passed isolated nodes
+    required = edges.select(F.col(src_col).alias("id")).unionByName(
+        edges.select(F.col(dst_col).alias("id"))
+    )
     if nodes is not None:
-        iso = nodes.select("id").exceptAll(labels.select("id")).distinct()
-        labels = labels.unionByName(
-            iso.select("id", F.col("id").alias("comp"))
-        )
-    return labels
+        required = required.unionByName(nodes.select("id"))
+    iso = required.distinct().exceptAll(labels.select("id")).distinct()
+    return labels.unionByName(iso.select("id", F.col("id").alias("comp")))

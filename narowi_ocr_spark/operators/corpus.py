@@ -263,6 +263,7 @@ def passage_dedup(
     passage_words: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    reassemble: bool = True,
 ) -> DataFrame:
     """Corpus-wide passage-level exact dedup — the C4 "three-sentence
     span" / CCNet paragraph-dedup pattern (Raffel et al. 2020 §2.2;
@@ -272,29 +273,34 @@ def passage_dedup(
     (ordered by (id, passage_idx)), and reassemble each document from
     its surviving passages.
 
-    Returns (id, n_passages, n_kept, text_dedup). Exact copies collapse
-    to n_kept=0; partially-overlapping documents keep only their novel
-    passages.
+    Returns (id, n_passages, n_kept, text_dedup) — or, with
+    ``reassemble=False``, (id, keep_idx) kept-index lists for callers
+    that only need the keep/drop decision. Exact copies collapse to
+    n_kept=0; partially-overlapping documents keep only their novel
+    passages. Matching is CASE-INSENSITIVE (the C4 convention) but the
+    surviving text keeps its ORIGINAL casing; reassembly joins passages
+    with single spaces, so original whitespace runs are normalized —
+    the one formatting change, inherent to word-level splitting.
 
     Scale shape — the reason this form works at 100 TB where a naive
     groupBy(passage_text) does not:
       * the word array is staged ONCE per doc in a projection, and
         passages are O(w) slices of it (no O(len²) re-splits);
-      * only (id, idx, md5) triples ever shuffle — passage TEXT never
-        leaves its scan stage in either direction;
-      * first-occurrence is a partial-aggregated groupBy(md5) over a
-        PACKED bigint key (id << 24 | idx), so min() is a map-side
-        combine, not a window sort;
-      * reassembly re-slices the original word array against the kept
-        index list — joining back an (id, array<int>) pair, never
-        strings.
-    Tokenization is lowercased, so the dedup is case-insensitive (the
-    C4 convention).
+      * the DEDUP DECISION dataflow never moves text: only
+        (id, idx, md5) triples shuffle, and first-occurrence is a
+        partial-aggregated groupBy(md5) over a PACKED bigint key
+        (id << 24 | idx) — map-side combine, not a window sort;
+      * reassembly co-locates the (id, array<int>) kept-index list with
+        the corpus via one id-keyed join — the only stage where the
+        tokenized text crosses an exchange. Bucket the corpus table by
+        id to make that join exchange-free (the repo's bucketed-join
+        plan test shows the shape), or pass ``reassemble=False`` and
+        semi-join the decision downstream.
     """
     w = passage_words
     staged = df.select(
         F.col(id_col).alias("id"),
-        words(F.lower(F.col(text_col))).alias("ws"),
+        words(F.col(text_col)).alias("ws"),
     ).select(
         "id",
         "ws",
@@ -320,7 +326,9 @@ def passage_dedup(
     triples = exploded.select(
         "id",
         "idx",
-        F.md5("passage").alias("h"),
+        # case-fold ONLY the hash input: dedup is case-insensitive, the
+        # surviving text is not case-mangled
+        F.md5(F.lower("passage")).alias("h"),
         (
             F.shiftleft(F.col("id").cast("long"), PASSAGE_IDX_BITS)
             + F.col("idx")
@@ -333,6 +341,8 @@ def passage_dedup(
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("idx")).alias("keep_idx"))
     )
+    if not reassemble:
+        return kept
     return staged.join(kept, "id", "left").select(
         "id",
         "n_passages",
@@ -404,28 +414,46 @@ def domain_mix_weights(
     )
     if alpha == 0.5:
         scaled = counts.withColumn("s", _exact_isqrt(F.col("n_tokens")))
-    else:
-        scaled = counts.withColumn(
-            "s",
-            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
-            .cast("long"),
+        totals = scaled.agg(
+            F.sum("s").alias("ssum"), F.sum("n_tokens").alias("tsum")
         )
-    totals = scaled.agg(
-        F.sum("s").alias("ssum"), F.sum("n_tokens").alias("tsum")
-    )
-    staged = scaled.crossJoin(F.broadcast(totals))
-    weight = F.expr(f"(CAST({MIX_SCALE} AS BIGINT) * s) div ssum").cast("long")
+        staged = scaled.crossJoin(F.broadcast(totals))
+        weight = F.expr(
+            f"(CAST({MIX_SCALE} AS BIGINT) * s) div ssum"
+        ).cast("long")
+        s_out = F.col("s")
+    else:
+        # double-precision path (documented: not oracle-exact across
+        # engines). The weight is computed from the UNTRUNCATED tempered
+        # count — flooring s first would distort small sources by
+        # integer-sized steps
+        scaled = counts.withColumn(
+            "s_d", F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+        )
+        totals = scaled.agg(
+            F.sum("s_d").alias("ssum_d"), F.sum("n_tokens").alias("tsum")
+        )
+        staged = scaled.crossJoin(F.broadcast(totals))
+        weight = F.floor(
+            F.lit(float(MIX_SCALE)) * F.col("s_d") / F.col("ssum_d")
+        ).cast("long")
+        s_out = F.floor("s_d").cast("long")
     natural = F.expr(
         f"(CAST({MIX_SCALE} AS BIGINT) * n_tokens) div tsum"
     ).cast("long")
+    # a source under 1 ppm of total tokens floors natural_ppm to 0 —
+    # boost is undefined there (NULL), not a division by zero
     return staged.select(
         "source",
         "n_docs",
         "n_tokens",
-        F.col("s").alias("sqrt_tokens"),
+        s_out.alias("sqrt_tokens"),
         weight.alias("weight_ppm"),
         natural.alias("natural_ppm"),
-        round4(weight.cast("double") / natural.cast("double")).alias("boost"),
+        F.when(
+            natural > 0,
+            round4(weight.cast("double") / natural.cast("double")),
+        ).alias("boost"),
     )
 
 

@@ -484,7 +484,10 @@ def winnow_near_pairs(
     fps = df.select(
         F.col(id_col).alias("id"),
         F.explode(winnow_fingerprints(text_col)).alias("fp"),
-    )
+        # materialize ONCE: the winnowing projection (O(len) md5s per
+        # doc) is the dominant cost and this frame feeds the df-count,
+        # the size table, and BOTH sides of the self-join
+    ).localCheckpoint(eager=True)
     rare = fps.groupBy("fp").agg(F.count("*").alias("df_cnt")).where(
         F.col("df_cnt") <= max_df
     )

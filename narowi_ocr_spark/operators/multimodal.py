@@ -186,7 +186,10 @@ def media_dedup(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
     """Exact dedup over BINARY media payloads — the multimodal twin of
-    text exact_dedup: group by content digest, keep the min-id copy.
+    ``dedup.exact_dedup`` (same keep-min-id-per-digest rule; kept
+    separate because the text op returns surviving ROWS while media
+    pipelines want the digest→keep_id decision table, payloads staying
+    in place): group by content digest, keep the min-id copy.
     The digest is computed in the scan projection so only
     (md5, id) pairs shuffle — payload bytes (images can be MBs) never
     leave their scan stage, which is the entire point at 100 TB of

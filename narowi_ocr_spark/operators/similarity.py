@@ -299,7 +299,7 @@ def bucketed_topk(
 
 def semantic_dedup(
     vectors: DataFrame,
-    threshold: float = 0.3,
+    threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -307,7 +307,11 @@ def semantic_dedup(
     arXiv:2303.09540): documents whose EMBEDDINGS are near-identical are
     redundant even when their text differs (templated pages, rewrites,
     translations-of-boilerplate), so cluster by embedding cosine and
-    keep one representative per cluster.
+    keep one representative per cluster. The default threshold (0.95)
+    targets near-IDENTICAL embeddings per the paper; lowering it merges
+    merely topically-related documents and, through the transitive
+    closure, can chain large fractions of a real corpus into one
+    cluster — tune against a held-out sample before dropping it.
 
     Composition of two already-scale-shaped pieces:
       1. ``embedding_near_dup_pairs`` — sign-LSH bucket self-join, so
