@@ -242,6 +242,15 @@ _DUP_CORPUS_SQL = (
 
 _WORDS_SQL = "regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
 
+# Fixed query set for the BM25 retrieval oracle (terms drawn from the
+# synthetic webtext vocabulary; shared verbatim by queries() and
+# oracle_sql() so both engines score the identical term table).
+BM25_QUERY_SET = [
+    ("q_join", ["join", "hash"]),
+    ("q_scan", ["vector", "scan", "merge"]),
+    ("q_cust", ["customer", "order", "stream"]),
+]
+
 
 def _shingles_sql(words: str = _WORDS_SQL, n: int = 3) -> str:
     return (
@@ -1983,6 +1992,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["winnow_near_dups"] = winnow_near_dups_q
 
+    def doc_chunks_q(spark, sf_dir):
+        """Sliding-window chunking (RAG / training-context prep): 32-token
+        windows at stride 24, tails kept. Pure projection+explode — zero
+        shuffles; the word array binds once per row."""
+        from narowi_ocr_spark.operators.retrieval import chunk_documents
+
+        return chunk_documents(_docs(spark, sf_dir), chunk_size=32, stride=24)
+
+    q["doc_chunks"] = doc_chunks_q
+
+    def bm25_topk_q(spark, sf_dir):
+        """BM25 top-10 retrieval for a fixed 3-query set over an
+        inverted-postings dataflow; integer fixed-point scoring makes the
+        int64 score (and hence ranking) bit-identical cross-engine."""
+        from narowi_ocr_spark.operators.retrieval import bm25_topk
+
+        return bm25_topk(_docs(spark, sf_dir), BM25_QUERY_SET, k=10)
+
+    q["bm25_topk"] = bm25_topk_q
+
     return q
 
 
@@ -3506,6 +3535,83 @@ def oracle_sql() -> dict[str, str]:
                )} AS jaccard
         FROM sh JOIN sizes sa ON sa.id = sh.id_a
                 JOIN sizes sb ON sb.id = sh.id_b
+    """
+
+    from narowi_ocr_spark.operators.retrieval import BM25_SCALE as _BM25_SCALE
+
+    # doc_chunks: 32-token windows at stride 24 over the raw (non-lowered)
+    # whitespace tokenization — mirrors retrieval.chunk_documents exactly.
+    # range(0, n, 24) = Spark sequence(0, n-1, 24); DuckDB 1-based
+    # inclusive slice ws[s+1:s+32] = Spark slice(ws, s+1, 32).
+    _raw_words = (
+        "regexp_split_to_array("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
+    )
+    o["doc_chunks"] = f"""
+        WITH w AS (
+          SELECT doc_id, {_raw_words} AS ws
+          FROM documents
+          WHERE length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0),
+        s AS (
+          SELECT doc_id, ws, len(ws) AS n,
+                 unnest(range(0, len(ws), 24)) AS start
+          FROM w)
+        SELECT doc_id,
+               CAST(start // 24 AS INT) AS chunk_id,
+               CAST(start AS INT) AS start_tok,
+               CAST(least(32, n - start) AS INT) AS n_tokens,
+               array_to_string(ws[start + 1:start + 32], ' ') AS chunk_text
+        FROM s
+    """
+
+    # bm25_topk: full integer fixed-point replica of retrieval.bm25_topk.
+    # Every // operand is non-negative, so DuckDB floor-div == Spark
+    # truncating div; integer sums are order-free, so score_sum is
+    # bit-identical no matter the partitioning.
+    _q_vals = ", ".join(
+        f"('{qid}', '{term}')"
+        for qid, terms in BM25_QUERY_SET
+        for term in sorted(set(terms))
+    )
+    o["bm25_topk"] = f"""
+        WITH dl AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN length({trimmed}) = 0 THEN 0
+                      ELSE len(regexp_split_to_array({trimmed}, '\\s+'))
+                      END AS BIGINT) AS dl
+          FROM documents),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+        w AS (SELECT doc_id,
+                     unnest(regexp_split_to_array({trimmed}, '\\s+')) AS term
+              FROM documents WHERE length({trimmed}) > 0),
+        post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+                 FROM w WHERE length(term) > 0 GROUP BY 1, 2),
+        q(query_id, term) AS (VALUES {_q_vals}),
+        tdf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM post GROUP BY 1),
+        per AS (
+          SELECT q.query_id, p.doc_id,
+                 (((CAST({_BM25_SCALE} AS BIGINT)
+                     * (2 * s.n_docs - 2 * t.df + 1)) // (2 * t.df + 1))
+                   * 22 * p.tf * s.total_len)
+                 // (10 * s.total_len * p.tf + 3 * s.total_len
+                     + 9 * d.dl * s.n_docs) AS term_score
+          FROM post p JOIN q ON p.term = q.term
+               JOIN tdf t ON p.term = t.term
+               JOIN dl d ON p.doc_id = d.doc_id
+               CROSS JOIN st s),
+        agg AS (SELECT query_id, doc_id,
+                       CAST(sum(term_score) AS BIGINT) AS score_sum
+                FROM per GROUP BY 1, 2),
+        r AS (SELECT query_id, doc_id, score_sum,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_sum DESC, doc_id ASC) AS INT)
+                       AS rank
+              FROM agg)
+        SELECT query_id, doc_id, score_sum,
+               CAST(score_sum AS DOUBLE) / {_BM25_SCALE}.0 AS bm25, rank
+        FROM r WHERE rank <= 10
     """
 
     return o
