@@ -2012,6 +2012,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_topk"] = bm25_topk_q
 
+    def events_heavy_hitters_q(spark, sf_dir):
+        """Sketch-then-verify frequent keys (share ≥ 3%) over a
+        √-collapsed user key (the raw testdata keys are uniform, so the
+        query synthesizes Zipf-ish skew deterministically: bucket k
+        holds ~2k+1 users). Phase 1 Misra-Gries bounds the candidate
+        set; phase 2 verifies EXACTLY, so the oracle is the plain
+        group-by — the sketch changes cost, never the answer."""
+        from narowi_ocr_spark.operators.skew import heavy_hitters
+        from narowi_ocr_spark.sources.tables import load_table
+
+        ev = load_table(spark, sf_dir, "events").select(
+            F.floor(F.sqrt(F.col("user_id").cast("double")))
+            .cast("long")
+            .alias("hh_key")
+        )
+        return heavy_hitters(ev, "hh_key", num=3, den=100)
+
+    q["events_heavy_hitters"] = events_heavy_hitters_q
+
+    def dsir_weights_q(spark, sf_dir):
+        """DSIR importance weights toward a 2-source target slice:
+        hashed-unigram bucket ratios in integer fixed-point (linear-
+        space mean ratio — bit-identical cross-engine; log-space is the
+        documented non-oracle swap)."""
+        from narowi_ocr_spark.operators.corpus import dsir_weights
+
+        return dsir_weights(_docs(spark, sf_dir), ["src0", "src1"])
+
+    q["dsir_weights"] = dsir_weights_q
+
+    def emb_gemm_topk_q(spark, sf_dir):
+        """Exact cosine top-3 via the int64-quantized GEMM kernel — the
+        BLAS-batched twin of emb_topk_exact (same query set); every
+        float64 intermediate is an exact integer < 2⁵³, so the score is
+        bit-identical to the DuckDB list-math replica."""
+        from narowi_ocr_spark.operators.similarity import gemm_topk
+
+        vecs = load_table(spark, sf_dir, "embeddings")
+        return gemm_topk(vecs, vecs.where(F.col("vec_id") < 5), k=3)
+
+    q["emb_gemm_topk"] = emb_gemm_topk_q
+
     return q
 
 
@@ -3612,6 +3654,83 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, doc_id, score_sum,
                CAST(score_sum AS DOUBLE) / {_BM25_SCALE}.0 AS bm25, rank
         FROM r WHERE rank <= 10
+    """
+
+    # events_heavy_hitters: the sketch phase only bounds cost — the
+    # verify phase is exact, so the oracle is the plain group-by-having.
+    o["events_heavy_hitters"] = """
+        WITH k AS (
+          SELECT CAST(floor(sqrt(CAST(user_id AS DOUBLE))) AS BIGINT)
+                   AS hh_key
+          FROM events),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM k),
+        c AS (SELECT hh_key, CAST(count(*) AS BIGINT) AS n_events
+              FROM k GROUP BY 1)
+        SELECT hh_key, n_events,
+               CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        FROM c CROSS JOIN tot
+        WHERE n_events * 100 >= 3 * total
+    """
+
+    # dsir_weights: integer fixed-point replica (Laplace-smoothed bucket
+    # ratio, non-negative // == Spark div, order-free int sums).
+    o["dsir_weights"] = f"""
+        WITH toks AS (
+          SELECT doc_id, source AS src,
+                 unnest(regexp_split_to_array({trimmed}, '\\s+')) AS term
+          FROM documents WHERE length({trimmed}) > 0),
+        tk AS (SELECT doc_id, src,
+                      CAST('0x' || substr(md5(term), 1, 4) AS BIGINT) % 256
+                        AS bucket
+               FROM toks WHERE length(term) > 0),
+        stats AS (SELECT bucket, CAST(count(*) AS BIGINT) AS r_cnt,
+                         CAST(sum(CASE WHEN src IN ('src0', 'src1')
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt
+                  FROM tk GROUP BY 1),
+        tot AS (SELECT CAST(sum(r_cnt) AS BIGINT) AS r_total,
+                       CAST(sum(t_cnt) AS BIGINT) AS t_total FROM stats),
+        ratio AS (SELECT bucket,
+                         (1000000 * (t_cnt + 1) * (r_total + 256))
+                         // ((r_cnt + 1) * (t_total + 256)) AS ratio_scaled
+                  FROM stats CROSS JOIN tot),
+        sc AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+                      CAST(sum(ratio_scaled) AS BIGINT) AS score_scaled
+               FROM tk JOIN ratio USING (bucket) GROUP BY 1)
+        SELECT doc_id, n_tokens, score_scaled,
+               CAST(score_scaled AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * 1000000.0) AS avg_ratio
+        FROM sc
+    """
+
+    # emb_gemm_topk: quantize to the int64 grid in DOUBLE (floor(x·1e6
+    # + 0.5) — exact integers < 2^53, so list_dot_product is exact and
+    # order-free, matching the numpy GEMM bit-for-bit).
+    _qz = (
+        "list_transform(embedding, x -> "
+        "floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5))"
+    )
+    o["emb_gemm_topk"] = f"""
+        WITH z AS (SELECT vec_id, {_qz} AS qv FROM embeddings),
+        n AS (SELECT vec_id, qv,
+                     list_dot_product(qv, qv) AS nsq FROM z),
+        scored AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                 list_dot_product(q.qv, v.qv) AS d,
+                 CASE WHEN sqrt(q.nsq * v.nsq) > 0.0
+                      THEN list_dot_product(q.qv, v.qv)
+                           / sqrt(q.nsq * v.nsq)
+                      ELSE 0.0 END AS cos_sim
+          FROM n q JOIN n v ON q.vec_id <> v.vec_id
+          WHERE q.vec_id < 5),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 CAST(d AS BIGINT) AS dot_q, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id ASC) AS INT)
+                   AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, dot_q, cos_sim, rank
+        FROM ranked WHERE rank <= 3
     """
 
     return o

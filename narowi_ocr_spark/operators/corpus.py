@@ -559,3 +559,99 @@ def fixed_count_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+DSIR_SCALE = 1_000_000
+DSIR_BUCKETS = 256
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_sources: list[str],
+    n_buckets: int = DSIR_BUCKETS,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling weights (Xie et al.,
+    NeurIPS 2023): score every document by how target-like its hashed
+    unigram distribution is, for sampling a raw crawl toward a trusted
+    domain mix.
+
+    LEARN: tokens hash into ``n_buckets`` buckets (first 4 hex digits of
+    md5 mod B); bucket counts are aggregated once over the target slice
+    (rows whose ``source`` ∈ target_sources) and once over the full
+    corpus — two tiny (≤B-row) tables. APPLY: each bucket's Laplace-
+    smoothed probability ratio p̂_target/p̂_raw is precomputed as ONE
+    int64 per bucket (fixed-point, ``DSIR_SCALE``), broadcast, and
+    summed per document.
+
+    DSIR proper scores with Σ log-ratios; log across engines is not
+    bit-reproducible (libm vs JVM), so the hash-checked score here is
+    the LINEAR-space mean ratio — same ordering signal at the extremes,
+    bit-identical everywhere (integer div + order-free integer sums). A
+    log-space variant is a one-line swap (F.log on the ratio before the
+    sum) where cross-engine bit-equality is not required.
+
+    Scale shape: one explode of (doc_id, bucket) int pairs — text never
+    leaves the scan; two ≤B-row broadcast aggs; one final groupBy(doc)
+    over int64 partials with map-side combine. Overflow headroom:
+    ratio_scaled < SCALE·(T_b+1)·(R_total+B) needs T_b·R_total < 9·10¹²
+    — per-bucket target counts up to ~10⁶ against ~10⁷ raw tokens; past
+    that, drop SCALE to 10³ or shard the learn step.
+
+    Returns (doc_id, n_tokens, score_scaled, avg_ratio) for documents
+    with ≥1 token: ``avg_ratio`` ≈ mean ratio = score_scaled/(n·SCALE).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("src"),
+        F.explode(words(F.col(text_col))).alias("term"),
+    ).where(F.length("term") > 0)
+    bucketed = toks.select(
+        "doc_id",
+        "src",
+        (
+            F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10)
+            .cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+
+    is_target = F.col("src").isin(*target_sources)
+    stats = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("r_cnt"),
+        F.sum(is_target.cast("long")).alias("t_cnt"),
+    )
+    totals = stats.agg(
+        F.sum("r_cnt").alias("r_total"), F.sum("t_cnt").alias("t_total")
+    )
+    ratio = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.expr(
+                f"(CAST({DSIR_SCALE} AS BIGINT) * (t_cnt + 1)"
+                f" * (r_total + {n_buckets}))"
+                f" div ((r_cnt + 1) * (t_total + {n_buckets}))"
+            ).alias("ratio_scaled"),
+        )
+    )
+
+    scored = (
+        bucketed.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.sum("ratio_scaled").cast("long").alias("score_scaled"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "score_scaled",
+        (
+            F.col("score_scaled").cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(float(DSIR_SCALE)))
+        ).alias("avg_ratio"),
+    )
