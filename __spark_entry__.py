@@ -2054,6 +2054,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_gemm_topk"] = emb_gemm_topk_q
 
+    def bpe_pairs_q(spark, sf_dir):
+        """Top-50 frequency-weighted adjacent char pairs — BPE's first
+        merge statistic, off the vocab table (one corpus-scale agg)."""
+        from narowi_ocr_spark.operators.tokenizer import bpe_pair_stats
+
+        return bpe_pair_stats(_docs(spark, sf_dir), k=50)
+
+    q["bpe_pairs"] = bpe_pairs_q
+
+    def bpe_merges_q(spark, sf_dir):
+        """First 8 learned BPE merges. Inherently iterative (merge i+1's
+        counts depend on merge i), so no single-SQL oracle exists — the
+        driver records the rows-only check; the algorithm itself is
+        pinned by tests/test_tokenizer_rangejoin.py's golden merges."""
+        from narowi_ocr_spark.operators.tokenizer import bpe_learn
+
+        return bpe_learn(_docs(spark, sf_dir), n_merges=8)
+
+    q["bpe_merges"] = bpe_merges_q
+
+    def events_range_join_q(spark, sf_dir):
+        """Interval join (overlapping value bands × events) via bucket
+        decomposition — a hash equi-join on the bucket id instead of
+        Spark's BroadcastNestedLoopJoin for BETWEEN predicates; exact
+        [lo, hi) re-check after the join. Decimal-exact value sums."""
+        from narowi_ocr_spark.operators.rangejoin import bucketed_range_join
+
+        ev = load_table(spark, sf_dir, "events")
+        ranges = spark.range(20).select(
+            F.col("id").alias("range_id"),
+            (F.col("id") * F.lit(25.0)).alias("lo"),
+            (F.col("id") * F.lit(25.0) + F.lit(60.0)).alias("hi"),
+        )
+        j = bucketed_range_join(ev, ranges, "value", bucket_width=50.0)
+        return j.groupBy("range_id", "lo", "hi").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+
+    q["events_range_join"] = events_range_join_q
+
     return q
 
 
@@ -3731,6 +3774,56 @@ def oracle_sql() -> dict[str, str]:
           FROM scored)
         SELECT query_id, neighbor_id, dot_q, cos_sim, rank
         FROM ranked WHERE rank <= 3
+    """
+
+    # bpe_pairs: same tokenization as token_counts (trim + \s+ split),
+    # then per-word adjacent char pairs weighted by word frequency.
+    # range(1, len) is [1, len) so each i yields a 2-char substr; the
+    # (count desc, first-char, pair) order is total, so rank is
+    # deterministic in both engines.
+    o["bpe_pairs"] = f"""
+        WITH w AS (
+          SELECT unnest(regexp_split_to_array({trimmed}, '\\s+')) AS word
+          FROM documents WHERE length({trimmed}) > 0),
+        wf AS (SELECT word, count(*) AS freq
+               FROM w WHERE length(word) > 0 GROUP BY word),
+        pairs AS (
+          SELECT freq,
+                 unnest(list_transform(range(1, length(word)),
+                        i -> substr(word, CAST(i AS INT), 2))) AS pair
+          FROM wf WHERE length(word) >= 2),
+        counts AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+                   FROM pairs GROUP BY pair),
+        ranked AS (
+          SELECT pair, pair_count,
+                 CAST(row_number() OVER (
+                        ORDER BY pair_count DESC,
+                                 substr(pair, 1, 1) ASC, pair ASC) AS INT)
+                   AS rank
+          FROM counts)
+        SELECT substr(pair, 1, 1) AS lhs, substr(pair, 2, 1) AS rhs,
+               pair_count, rank
+        FROM ranked WHERE rank <= 50
+    """
+
+    # bpe_merges: inherently iterative — no single-SQL oracle (rows-only).
+
+    # events_range_join: the oracle states the interval join directly
+    # (DuckDB's optimizer handles the BETWEEN join at this scale); the
+    # Spark side decomposes it into a bucket equi-join. Same decimal-sum
+    # recipe as events_histogram.
+    o["events_range_join"] = """
+        WITH r AS (
+          SELECT CAST(i AS BIGINT) AS range_id,
+                 CAST(i AS DOUBLE) * 25.0 AS lo,
+                 CAST(i AS DOUBLE) * 25.0 + 60.0 AS hi
+          FROM generate_series(0, 19) t(i))
+        SELECT r.range_id, r.lo, r.hi,
+               count(*) AS n_events,
+               CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_value
+        FROM events e JOIN r ON r.lo <= e.value AND e.value < r.hi
+        GROUP BY 1, 2, 3
     """
 
     return o

@@ -253,6 +253,46 @@ def main() -> None:
         extra_set=True,
     )
 
+    from narowi_ocr_spark.operators.corpus import dsir_weights
+    from narowi_ocr_spark.operators.retrieval import bm25_topk, chunk_documents
+    from narowi_ocr_spark.operators.similarity import gemm_topk
+    from narowi_ocr_spark.operators.skew import heavy_hitters
+
+    bench(
+        "doc_chunks",
+        lambda: materialize(chunk_documents(docs, chunk_size=32, stride=24)),
+        extra_set=True,
+    )
+    bench(
+        "bm25_topk",
+        lambda: materialize(bm25_topk(docs, entrymod.BM25_QUERY_SET, k=10)),
+        extra_set=True,
+    )
+    bench(
+        "dsir_weights",
+        lambda: materialize(dsir_weights(docs, ["src0", "src1"])),
+        extra_set=True,
+    )
+    bench(
+        "ann_gemm_topk",
+        lambda: materialize(gemm_topk(vecs, qv, k=10)),
+        extra_set=True,
+    )
+    _hh_events = (
+        load_table(spark, sf_dir, "events")
+        .repartition(cpus)
+        .select(
+            F.floor(F.sqrt(F.col("user_id").cast("double")))
+            .cast("long")
+            .alias("hh_key")
+        )
+    )
+    bench(
+        "heavy_hitters",
+        lambda: materialize(heavy_hitters(_hh_events, "hh_key", num=3, den=100)),
+        extra_set=True,
+    )
+
     qs = entrymod.queries()
     bench("tpch_q1", lambda: materialize(qs["tpch_q1"](spark, sf_dir)))
     bench("events_hourly", lambda: materialize(qs["events_hourly"](spark, sf_dir)))

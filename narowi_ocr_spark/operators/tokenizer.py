@@ -1,0 +1,143 @@
+"""Tokenizer-training support: corpus word frequencies, BPE pair
+statistics, and a byte-pair-encoding merge learner (Sennrich et al.,
+"Neural Machine Translation of Rare Words with Subword Units", ACL
+2016 — the algorithm behind GPT-2/LLaMA-family tokenizers).
+
+Scale design (the shape every production tokenizer trainer uses): the
+CORPUS-scale work is exactly one distributed aggregation — tokens →
+(word, freq) with map-side partial aggregation, so the shuffle carries
+the distinct-vocabulary, not the token stream. Everything after
+operates on the vocabulary table, which is tiny relative to the corpus
+(a 100 TB crawl has ~10⁷ distinct words ≈ a few hundred MB): pair
+statistics stay distributed (explode per-word adjacent pairs, weight by
+freq, one more map-side-combined agg), while the inherently sequential
+merge loop (`bpe_learn`) collects the vocabulary to the driver and runs
+the merges in memory — n_merges Spark jobs over 100 TB would be the
+wrong plan; one corpus pass + driver-side vocab iteration is the right
+one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from narowi_ocr_spark.functions.native import bind_once
+from narowi_ocr_spark.functions.textstats import words
+
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the one corpus-scale reduction.
+    Explode happens before groupBy, so partial aggregation collapses
+    each partition to its distinct words before the shuffle."""
+    return (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def _chars(word: Column) -> Column:
+    return F.filter(F.split(word, ""), lambda c: F.length(c) > 0)
+
+
+def _adjacent_pairs(cs: Column) -> Column:
+    k = F.size(cs)
+    return F.when(
+        k >= 2,
+        F.transform(
+            F.sequence(F.lit(1), k - 1),
+            lambda i: F.concat(F.element_at(cs, i), F.element_at(cs, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_pair_stats(
+    df: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Top-k adjacent character-pair counts, frequency-weighted — the
+    statistic BPE's first merge step maximizes. Counts overlapping
+    occurrences ("aaa" holds the pair (a,a) twice), like the reference
+    BPE algorithm.
+
+    Returns (lhs, rhs, pair_count, rank), rank by (count desc, lhs,
+    rhs) — a total order, deterministic in every engine.
+
+    Scale shape: pairs explode off the VOCAB table (not the corpus), so
+    the second shuffle is bounded by |distinct pairs| ≤ |alphabet|² per
+    partition after map-side combine. The char array binds once per
+    word (``bind_once``), so pair construction is O(word length), not
+    O(length²).
+    """
+    wf = word_freqs(df, text_col)
+    pairs = wf.select(
+        "freq",
+        F.explode(bind_once(_chars(F.col("word")), _adjacent_pairs)).alias(
+            "pair"
+        ),
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("pair_count")
+    )
+    w = Window.orderBy(
+        F.desc("pair_count"), F.asc(F.substring("pair", 1, 1)), F.asc("pair")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.substring("pair", 1, 1).alias("lhs"),
+            F.substring("pair", 2, 1).alias("rhs"),
+            "pair_count",
+            "rank",
+        )
+    )
+
+
+def bpe_learn(
+    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges: one distributed (word, freq) pass,
+    then the sequential merge loop over the collected vocabulary (see
+    module docstring for why the loop belongs on the driver). Ties
+    break deterministically by (count desc, pair lexicographic asc).
+
+    Returns (merge_rank, lhs, rhs, pair_count): merge ``i`` concatenates
+    symbols lhs+rhs, where both sides may themselves be earlier merges
+    — exactly the table a BPE tokenizer persists.
+    """
+    spark = df.sparkSession
+    vocab = [
+        (tuple(r["word"]), r["freq"]) for r in word_freqs(df, text_col).collect()
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab:
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + freq
+        if not pair_counts:
+            break
+        (lhs, rhs), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((step, lhs, rhs, cnt))
+        merged = lhs + rhs
+        new_vocab = []
+        for syms, freq in vocab:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((tuple(out), freq))
+        vocab = new_vocab
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )

@@ -1,0 +1,91 @@
+"""BPE tokenizer-support operators and the bucketed range join."""
+
+import pytest
+
+from narowi_ocr_spark.operators.rangejoin import bucketed_range_join
+from narowi_ocr_spark.operators.tokenizer import (
+    bpe_learn,
+    bpe_pair_stats,
+    word_freqs,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "low low low lower lowest"),
+        (1, "new newer newest"),
+        (2, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_freqs(spark, corpus):
+    wf = {r.word: r.freq for r in word_freqs(corpus).collect()}
+    assert wf["low"] == 3 and wf["lower"] == 1 and wf["new"] == 1
+
+
+def test_bpe_pair_stats_weighted_and_overlapping(spark, corpus):
+    out = {(r.lhs, r.rhs): (r.pair_count, r.rank)
+           for r in bpe_pair_stats(corpus, k=50).collect()}
+    # 'lo' occurs once per low/lower/lowest occurrence = 3+1+1 = 5
+    assert out[("l", "o")][0] == 5
+    assert out[("o", "w")][0] == 5
+    # 'ne' from new/newer/newest = 3; 'ew' likewise
+    assert out[("n", "e")][0] == 3
+    # top rank is a count-5 pair with lexicographic tie-break l<o
+    assert out[("l", "o")][1] == 1
+
+    # overlapping pairs counted per occurrence
+    df = spark.createDataFrame([(0, "aaa aaa")], "doc_id long, text string")
+    o2 = {(r.lhs, r.rhs): r.pair_count for r in bpe_pair_stats(df).collect()}
+    assert o2[("a", "a")] == 4  # 2 occurrences x 2 docs of word 'aaa'
+
+
+def test_bpe_learn_merges(spark, corpus):
+    merges = bpe_learn(corpus, n_merges=4).collect()
+    assert [m.merge_rank for m in merges] == [1, 2, 3, 4]
+    # step 1 merges the top pair (l,o); step 2 then sees symbol 'lo'
+    m1 = merges[0]
+    assert (m1.lhs, m1.rhs, m1.pair_count) == ("l", "o", 5)
+    m2 = merges[1]
+    assert (m2.lhs, m2.rhs, m2.pair_count) == ("lo", "w", 5)
+    # later merges may combine multi-char symbols
+    assert all(m.pair_count > 0 for m in merges)
+
+
+def test_bpe_learn_empty_and_exhaustion(spark):
+    df = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    merges = bpe_learn(df, n_merges=10).collect()
+    # 'ab' has exactly one pair; after merging there is nothing left
+    assert len(merges) == 1
+    assert (merges[0].lhs, merges[0].rhs) == ("a", "b")
+
+
+def test_bucketed_range_join_matches_naive(spark):
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 24.9, 25.0, 49.9, 50.0,
+                                              74.9, 75.0, 99.9, 100.0, 125.0])],
+        "pid long, v double",
+    )
+    rng = spark.createDataFrame(
+        [(0, 0.0, 50.0), (1, 25.0, 75.0), (2, 50.0, 100.0), (3, 90.0, 90.0)],
+        "range_id long, lo double, hi double",
+    )
+    got = {(r.pid, r.range_id) for r in
+           bucketed_range_join(pts, rng, "v", bucket_width=40.0).collect()}
+    naive = {(p, q) for p, pv in [(r.pid, r.v) for r in pts.collect()]
+             for q, lo, hi in [(r.range_id, r.lo, r.hi) for r in rng.collect()]
+             if lo <= pv < hi}
+    assert got == naive
+    # boundary semantics: hi exclusive, lo inclusive, empty range matches none
+    assert (4, 0) not in got and (4, 2) in got and (2, 1) in got
+    assert not any(q == 3 for _, q in got)
+
+
+def test_bucketed_range_join_shuffle_variant(spark):
+    pts = spark.createDataFrame([(0, 10.0)], "pid long, v double")
+    rng = spark.createDataFrame([(0, 5.0, 15.0)], "range_id long, lo double, hi double")
+    out = bucketed_range_join(pts, rng, "v", bucket_width=4.0,
+                              broadcast_ranges=False).collect()
+    assert len(out) == 1 and out[0].range_id == 0
