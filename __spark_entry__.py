@@ -251,6 +251,27 @@ BM25_QUERY_SET = [
     ("q_cust", ["customer", "order", "stream"]),
 ]
 
+# Messy-URL fixture for the url_normalize query: one spelling per
+# canonicalization rule (case host, default/explicit port, fragment,
+# tracking params, unsorted/duplicate/empty query, multi-label public
+# suffix, single-label host). Shared verbatim by queries() and
+# oracle_sql(); the per-case expected outputs are pinned by
+# tests/test_urls_shards_join.py.
+URL_DEMO_CASES = [
+    "HTTP://Example.COM:80/Path/Index.html?b=2&utm_source=x&a=1#frag",
+    "https://News.BBC.CO.UK:443/world?id=7",
+    "https://sub.shop.example.co.jp/items?utm_campaign=a&z=9&y=8",
+    "http://example.org",
+    "https://example.com:8443/secure?gclid=abc",
+    "http://www.data.gov/?fbclid=zz&q=spark",
+    "HTTPS://A.B.C.Example.COM/deep/path/#x",
+    "http://localhost:8080/test?x=1&x=0",
+    "https://media.example.com.au/video?ref=home&id=3",
+    "http://Example.Com/a%20b?UTM_x=1&c=3",
+    "https://shop.example.co.uk/cart?item=5&utm_medium=email&item=2",
+    "http://api.internal.example.com:80/v1/get?",
+]
+
 
 def _shingles_sql(words: str = _WORDS_SQL, n: int = 3) -> str:
     return (
@@ -2097,6 +2118,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_range_join"] = events_range_join_q
 
+    def url_normalize_q(spark, sf_dir):
+        """Crawl-frontier URL canonicalization: messy spellings (case
+        hosts, tracking params, fragments, default ports, unsorted
+        queries) collapse to one canonical key + registered domain.
+        Pure Catalyst expressions — runs inside any existing stage."""
+        from narowi_ocr_spark.operators.urls import (
+            canonical_url,
+            registered_domain,
+            url_host,
+        )
+
+        cases = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(URL_DEMO_CASES)],
+            "idx int, url string",
+        )
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            (F.col("doc_id") % len(URL_DEMO_CASES)).cast("int").alias("idx"),
+        )
+        j = d.join(F.broadcast(cases), "idx").drop("idx")
+        host = url_host(F.col("url"))
+        return j.select(
+            "doc_id",
+            "url",
+            canonical_url(F.col("url")).alias("norm_url"),
+            host.alias("host"),
+            registered_domain(host).alias("reg_domain"),
+        )
+
+    q["url_normalize"] = url_normalize_q
+
+    def shard_assign_q(spark, sf_dir):
+        """Deterministic training-order sharding: md5-derived shard +
+        within-shard rank. The window partitions BY SHARD, so the sort
+        parallelism equals the shard count — no global-order stage."""
+        from narowi_ocr_spark.operators.shards import shard_assign
+
+        d = _docs(spark, sf_dir).select("doc_id")
+        return shard_assign(d, hex_digits=2, salt="epoch0")
+
+    q["shard_assign"] = shard_assign_q
+
+    def stream_attribution_q(spark, sf_dir):
+        """Stream-stream event-time interval join (view→purchase within
+        1 hour, both sides watermarked so join state stays bounded by
+        the horizon). availableNow drain; inner-join rows emit as they
+        match, so no flush sentinel is needed."""
+        from narowi_ocr_spark.streaming.joins import attribute_stream
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type", "value"
+        )
+        src = tempfile.mkdtemp(prefix="narowi_attr_src_")
+        ev.coalesce(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp_ntz, event_type string,"
+                " value double"
+            )
+            .parquet(src)
+            .select(
+                "user_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_type",
+                "value",
+            )
+        )
+        name = "stream_attr_" + uuid.uuid4().hex[:8]
+        sq = (
+            attribute_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="narowi_attr_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return spark.table(name)
+
+    q["stream_attribution"] = stream_attribution_q
+
     return q
 
 
@@ -3824,6 +3930,108 @@ def oracle_sql() -> dict[str, str]:
                  AS sum_value
         FROM events e JOIN r ON r.lo <= e.value AND e.value < r.hi
         GROUP BY 1, 2, 3
+    """
+
+    # url_normalize: an independent DuckDB statement of the same
+    # canonicalization rules (regexp parts → drop tracking params →
+    # byte-sort the rest → default-port/path normalization → suffix-
+    # table registered domain).
+    url_rows = ",\n    ".join(
+        f"({i}, {_sq(u)})" for i, u in enumerate(URL_DEMO_CASES)
+    )
+    _sfx = ", ".join(
+        f"'{s}'"
+        for s in (
+            "co.uk", "org.uk", "ac.uk", "com.au", "net.au",
+            "co.jp", "co.in", "com.br", "co.nz", "com.cn",
+        )
+    )
+    o["url_normalize"] = f"""
+        WITH cases(idx, url) AS (VALUES {url_rows}),
+        j AS (SELECT d.doc_id, c.url
+              FROM documents d
+              JOIN cases c ON CAST(d.doc_id % {len(URL_DEMO_CASES)} AS INT)
+                              = c.idx),
+        parts AS (
+          SELECT doc_id, url,
+                 regexp_replace(regexp_replace(url, '#.*$', ''),
+                                '\\?.*$', '') AS prequery,
+                 regexp_extract(regexp_replace(url, '#.*$', ''),
+                                '\\?(.*)$', 1) AS qs
+          FROM j),
+        p2 AS (
+          SELECT *,
+                 lower(regexp_extract(prequery,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 regexp_extract(prequery,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1) AS auth,
+                 regexp_extract(prequery,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$', 1) AS path
+          FROM parts),
+        p3 AS (
+          SELECT *,
+                 lower(regexp_replace(auth, ':[0-9]+$', '')) AS host,
+                 regexp_extract(auth, ':([0-9]+)$', 1) AS port
+          FROM p2),
+        qp AS (
+          SELECT *,
+                 array_to_string(list_sort(list_filter(
+                   string_split(qs, '&'),
+                   x -> length(x) > 0 AND NOT regexp_matches(x,
+                        '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))),
+                   '&') AS cq
+          FROM p3),
+        norm AS (
+          SELECT doc_id, url, host,
+                 scheme || '://' || host ||
+                 CASE WHEN port <> '' AND NOT (
+                        (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443'))
+                      THEN ':' || port ELSE '' END ||
+                 CASE WHEN path = '' THEN '/' ELSE path END ||
+                 CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS norm_url,
+                 string_split(host, '.') AS labels
+          FROM qp)
+        SELECT doc_id, url, norm_url, host,
+               CASE WHEN len(labels) <= 1 THEN host
+                    WHEN len(labels) >= 3
+                         AND labels[-2] || '.' || labels[-1] IN ({_sfx})
+                      THEN labels[-3] || '.' || labels[-2] || '.'
+                           || labels[-1]
+                    ELSE labels[-2] || '.' || labels[-1] END AS reg_domain
+        FROM norm
+    """
+
+    # shard_assign: md5 digest → two hex digits → 256 shards; rank by
+    # (digest, doc_id) inside each shard. strpos over the hex alphabet
+    # replaces conv(), which DuckDB lacks.
+    o["shard_assign"] = """
+        WITH h AS (
+          SELECT doc_id,
+                 md5('epoch0' || CAST(doc_id AS VARCHAR)) AS digest
+          FROM documents),
+        s AS (
+          SELECT doc_id, digest,
+                 CAST((strpos('0123456789abcdef', substr(digest, 1, 1)) - 1)
+                        * 16
+                      + strpos('0123456789abcdef', substr(digest, 2, 1)) - 1
+                      AS INT) AS shard
+          FROM h)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                      ORDER BY digest, doc_id) AS INT) AS pos
+        FROM s
+    """
+
+    # stream_attribution: the batch statement of the stream-stream
+    # interval join (inner join emission is watermark-independent, so
+    # the availableNow drain equals the static join exactly).
+    o["stream_attribution"] = """
+        SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts, p.value
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
     """
 
     return o

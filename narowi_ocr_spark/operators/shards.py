@@ -1,0 +1,65 @@
+"""Deterministic training-order sharding: the step that turns a curated
+corpus into the shuffled shard files a trainer streams.
+
+Training wants the corpus in pseudo-random order, reproducibly, and at
+100 TB a global sort or a global row_number (one-partition window) is
+off the table. The standard distributed answer — used here — is
+hash-derived order: every doc gets a digest md5(salt || id); the shard
+is a few hex digits of the digest, the position within the shard is the
+rank of the full digest INSIDE that shard. Reading shards in
+(shard asc, pos asc) order replays one fixed global permutation;
+changing ``salt`` yields an independent permutation (a new epoch)
+without touching the data.
+
+Scale shape: one narrow projection (md5 + digit lookup) and one window
+partitioned BY SHARD — each shard ranks independently, so the sort
+parallelism equals the shard count and no single-partition stage ever
+appears. Writing with ``partitionBy(shard)`` then gives one output
+directory per shard with rows already in stream order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_digit_value(c: Column) -> Column:
+    # array_position over the 16-char alphabet (1-based, so -1); avoids
+    # conv(), which the DuckDB oracle dialect lacks.
+    return F.array_position(F.array(*[F.lit(ch) for ch in _HEX]), c) - 1
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hex_digits: int = 1,
+    salt: str = "epoch0",
+) -> DataFrame:
+    """Assign (shard, pos) to every row of ``df``.
+
+    ``hex_digits`` ∈ {1, 2}: 16 or 256 shards (production corpora use
+    256–4096; the digit-compose expression extends mechanically).
+    Returns the input columns plus ``shard`` (int) and ``pos`` (int,
+    1-based rank inside the shard). Digest ties are impossible for
+    distinct ids, but ``id_col`` breaks them deterministically anyway.
+    """
+    if hex_digits not in (1, 2):
+        raise ValueError("hex_digits must be 1 or 2")
+    digest = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    d = df.withColumn("_digest", digest)
+    shard = _hex_digit_value(F.substring("_digest", 1, 1))
+    if hex_digits == 2:
+        shard = shard * 16 + _hex_digit_value(F.substring("_digest", 2, 1))
+    d = d.withColumn("shard", shard.cast("int"))
+    w = Window.partitionBy("shard").orderBy("_digest", id_col)
+    return d.withColumn("pos", F.row_number().over(w)).drop("_digest")
+
+
+def shard_sizes(assigned: DataFrame) -> DataFrame:
+    """Rows per shard — the balance check (md5 digits are uniform, so
+    max/mean converges to 1 as shards fill; verify before writing)."""
+    return assigned.groupBy("shard").agg(F.count("*").alias("n_docs"))

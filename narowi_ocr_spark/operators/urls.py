@@ -1,0 +1,136 @@
+"""URL canonicalization for crawl curation: fragment/tracking-param
+stripping, host normalization, and registered-domain extraction.
+
+Why this is a first-class op in a web-scale pipeline: crawl frontiers
+and dedup keys are URL-keyed, and the same page is fetched under
+dozens of spellings (case-variant hosts, utm_* tracking params,
+fragments, default ports, shuffled query order). Canonicalizing BEFORE
+the URL-keyed shuffle collapses those spellings into one key, which
+both shrinks the dedup state and defuses the per-host skew that raw
+URLs carry.
+
+Scale shape: every function here is a pure Catalyst expression chain
+(regexp_extract / split / filter / array_sort / concat) — narrow,
+whole-stage-codegen'd, zero Python at runtime, usable inside any
+existing stage without adding a shuffle.
+
+The registered-domain step uses a deliberately small built-in
+multi-label-suffix table (the public-suffix list is ~10k entries; at
+production scale you'd broadcast-join the full PSL — the expression
+shape is identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Query params that identify a tracking/attribution spelling, not a
+# distinct resource. Case-sensitive by design (the canonical utm_*
+# params are lowercase; an 'UTM_X' param is somebody's API, keep it).
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+# Multi-label public suffixes the registered-domain heuristic knows.
+MULTI_LABEL_SUFFIXES = [
+    "co.uk",
+    "org.uk",
+    "ac.uk",
+    "com.au",
+    "net.au",
+    "co.jp",
+    "co.in",
+    "com.br",
+    "co.nz",
+    "com.cn",
+]
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def _pre_query(u: Column) -> Column:
+    return F.regexp_replace(F.regexp_replace(u, r"#.*$", ""), r"\?.*$", "")
+
+
+def url_query(u: Column) -> Column:
+    """Raw query string ('' when absent), fragment already stripped."""
+    return F.regexp_extract(F.regexp_replace(u, r"#.*$", ""), r"\?(.*)$", 1)
+
+
+def url_scheme(u: Column) -> Column:
+    return F.lower(F.regexp_extract(_pre_query(u), _SCHEME_RE, 1))
+
+
+def _authority(u: Column) -> Column:
+    return F.regexp_extract(_pre_query(u), _SCHEME_RE + r"([^/]*)", 2)
+
+
+def url_host(u: Column) -> Column:
+    """Lowercased host with any :port suffix removed."""
+    return F.lower(F.regexp_replace(_authority(u), r":\d+$", ""))
+
+
+def url_port(u: Column) -> Column:
+    """Explicit port as a string ('' when absent)."""
+    return F.regexp_extract(_authority(u), r":(\d+)$", 1)
+
+
+def url_path(u: Column) -> Column:
+    """Path starting at '/'; '' when absent (normalized to '/' by
+    :func:`canonical_url`)."""
+    return F.regexp_extract(_pre_query(u), _SCHEME_RE + r"[^/]*(/.*)?$", 2)
+
+
+def clean_query(u: Column) -> Column:
+    """Sorted '&'-joined query params with tracking params removed;
+    '' when nothing survives. Sorting makes param order canonical
+    (byte order — identical in Spark's array_sort and DuckDB's
+    list_sort); duplicate keys are preserved."""
+    parts = F.filter(
+        F.split(url_query(u), "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    return F.array_join(F.array_sort(parts), "&")
+
+
+def canonical_url(u: Column) -> Column:
+    """One canonical spelling per resource: lowercase scheme+host, no
+    fragment, default ports (http:80 / https:443) dropped, '' path →
+    '/', tracking params removed, remaining params byte-sorted."""
+    scheme = url_scheme(u)
+    port = url_port(u)
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port != "") & ~default_port, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    path = url_path(u)
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    q = clean_query(u)
+    q_part = F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), url_host(u), port_part, path_part, q_part
+    )
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 under the built-in suffix table: last 2 labels, or last 3
+    when the last 2 form a known multi-label suffix (bbc.co.uk, not
+    co.uk). Single-label hosts (localhost) pass through unchanged."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    is_multi = last2.isin(*MULTI_LABEL_SUFFIXES)
+    return (
+        F.when(n <= 1, host)
+        .when((n >= 3) & is_multi, last3)
+        .otherwise(last2)
+    )

@@ -1,0 +1,202 @@
+"""URL canonicalization, training-shard assignment, and the
+stream-stream attribution join (streaming result == batch twin)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from narowi_ocr_spark.operators.shards import shard_assign, shard_sizes
+from narowi_ocr_spark.operators.urls import (
+    canonical_url,
+    registered_domain,
+    url_host,
+)
+from narowi_ocr_spark.streaming.joins import attribute_batch, attribute_stream
+
+URL_CASES = [
+    # (raw, canonical, host, registered_domain)
+    (
+        "HTTP://Example.COM:80/Path/Index.html?b=2&utm_source=x&a=1#frag",
+        "http://example.com/Path/Index.html?a=1&b=2",
+        "example.com",
+        "example.com",
+    ),
+    (
+        "https://News.BBC.CO.UK:443/world?id=7",
+        "https://news.bbc.co.uk/world?id=7",
+        "news.bbc.co.uk",
+        "bbc.co.uk",
+    ),
+    (
+        "https://sub.shop.example.co.jp/items?utm_campaign=a&z=9&y=8",
+        "https://sub.shop.example.co.jp/items?y=8&z=9",
+        "sub.shop.example.co.jp",
+        "example.co.jp",
+    ),
+    ("http://example.org", "http://example.org/", "example.org", "example.org"),
+    (
+        "https://example.com:8443/secure?gclid=abc",
+        "https://example.com:8443/secure",
+        "example.com",
+        "example.com",
+    ),
+    (
+        "http://www.data.gov/?fbclid=zz&q=spark",
+        "http://www.data.gov/?q=spark",
+        "www.data.gov",
+        "data.gov",
+    ),
+    (
+        "HTTPS://A.B.C.Example.COM/deep/path/#x",
+        "https://a.b.c.example.com/deep/path/",
+        "a.b.c.example.com",
+        "example.com",
+    ),
+    (
+        "http://localhost:8080/test?x=1&x=0",
+        "http://localhost:8080/test?x=0&x=1",
+        "localhost",
+        "localhost",
+    ),
+    (
+        "https://media.example.com.au/video?ref=home&id=3",
+        "https://media.example.com.au/video?id=3",
+        "media.example.com.au",
+        "example.com.au",
+    ),
+    (
+        # tracking match is case-sensitive: UTM_x is kept, and 'U' < 'c'
+        # in byte order
+        "http://Example.Com/a%20b?UTM_x=1&c=3",
+        "http://example.com/a%20b?UTM_x=1&c=3",
+        "example.com",
+        "example.com",
+    ),
+    (
+        "https://shop.example.co.uk/cart?item=5&utm_medium=email&item=2",
+        "https://shop.example.co.uk/cart?item=2&item=5",
+        "shop.example.co.uk",
+        "example.co.uk",
+    ),
+    (
+        "http://api.internal.example.com:80/v1/get?",
+        "http://api.internal.example.com/v1/get",
+        "api.internal.example.com",
+        "example.com",
+    ),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame(
+        [(i, r) for i, (r, _, _, _) in enumerate(URL_CASES)], "i int, url string"
+    )
+    got = {
+        r["i"]: (r["norm"], r["host"], r["rd"])
+        for r in df.select(
+            "i",
+            canonical_url(F.col("url")).alias("norm"),
+            url_host(F.col("url")).alias("host"),
+            registered_domain(url_host(F.col("url"))).alias("rd"),
+        ).collect()
+    }
+    for i, (_, want_norm, want_host, want_rd) in enumerate(URL_CASES):
+        assert got[i] == (want_norm, want_host, want_rd), f"case {i}"
+
+
+def test_canonical_url_idempotent(spark):
+    """Canonicalizing a canonical URL is a no-op."""
+    df = spark.createDataFrame(
+        [(r,) for r, _, _, _ in URL_CASES], "url string"
+    ).select(canonical_url(F.col("url")).alias("c1"))
+    bad = df.where(canonical_url(F.col("c1")) != F.col("c1")).count()
+    assert bad == 0
+
+
+def test_shard_assign_partition_and_order(spark):
+    n = 400
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    a = shard_assign(df, hex_digits=1, salt="epoch0").collect()
+    assert len(a) == n
+    by_shard: dict[int, list] = {}
+    for r in a:
+        assert 0 <= r["shard"] < 16
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # positions are exactly 1..len(shard) — a dense per-shard rank
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # deterministic under re-run; different salt = different permutation
+    b = shard_assign(df, hex_digits=1, salt="epoch0").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_assign(df, hex_digits=1, salt="epoch1").collect()
+    }
+    moved = sum(
+        1 for r in a if (r["shard"], r["pos"]) != c[r["doc_id"]]
+    )
+    assert moved > n // 2
+
+
+def test_shard_assign_256_balance(spark):
+    df = spark.range(6400).select(F.col("id").alias("doc_id"))
+    sizes = shard_sizes(shard_assign(df, hex_digits=2)).collect()
+    assert len(sizes) > 200  # nearly all 256 shards hit at 25 docs/shard
+    assert max(r["n_docs"] for r in sizes) < 6400 // 256 * 4
+
+
+def _synth_events(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(40):
+        for k in range(6):
+            kind = "view" if (u + k) % 3 != 0 else "purchase"
+            rows.append(
+                (u, t0 + datetime.timedelta(minutes=7 * u + 13 * k), kind, float(k))
+            )
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_attribution_stream_matches_batch(spark):
+    ev = _synth_events(spark)
+    want = sorted(
+        map(tuple, attribute_batch(ev).collect())
+    )
+    assert len(want) > 50  # non-trivial join
+    src = tempfile.mkdtemp(prefix="attr_src_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp_ntz, event_type string, value double"
+        )
+        .parquet(src)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            "value",
+        )
+    )
+    name = "attr_" + uuid.uuid4().hex[:8]
+    sq = (
+        attribute_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="attr_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    got = sorted(map(tuple, spark.table(name).collect()))
+    assert got == want
