@@ -2123,11 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hosts, tracking params, fragments, default ports, unsorted
         queries) collapse to one canonical key + registered domain.
         Pure Catalyst expressions — runs inside any existing stage."""
-        from narowi_ocr_spark.operators.urls import (
-            canonical_url,
-            registered_domain,
-            url_host,
-        )
+        from narowi_ocr_spark.operators.urls import url_struct
 
         cases = spark.createDataFrame(
             [(i, u) for i, u in enumerate(URL_DEMO_CASES)],
@@ -2138,13 +2134,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("doc_id") % len(URL_DEMO_CASES)).cast("int").alias("idx"),
         )
         j = d.join(F.broadcast(cases), "idx").drop("idx")
-        host = url_host(F.col("url"))
-        return j.select(
+        # stage the parse struct behind a projection boundary
+        # (multi-referenced non-cheap column → CollapseProject keeps
+        # the stages separate → ONE parse per row for three outputs)
+        return j.withColumn("_p", url_struct(F.col("url"))).select(
             "doc_id",
             "url",
-            canonical_url(F.col("url")).alias("norm_url"),
-            host.alias("host"),
-            registered_domain(host).alias("reg_domain"),
+            F.col("_p.norm_url").alias("norm_url"),
+            F.col("_p.host").alias("host"),
+            F.col("_p.reg_domain").alias("reg_domain"),
         )
 
     q["url_normalize"] = url_normalize_q

@@ -22,8 +22,10 @@ shape is identical).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from narowi_ocr_spark.functions.native import bind_once
 
 # Query params that identify a tracking/attribution spelling, not a
 # distinct resource. Case-sensitive by design (the canonical utm_*
@@ -116,21 +118,105 @@ def canonical_url(u: Column) -> Column:
 def registered_domain(host: Column) -> Column:
     """eTLD+1 under the built-in suffix table: last 2 labels, or last 3
     when the last 2 form a known multi-label suffix (bbc.co.uk, not
-    co.uk). Single-label hosts (localhost) pass through unchanged."""
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    last2 = F.concat_ws(
-        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    co.uk). Single-label hosts (localhost) pass through unchanged.
+    The label array binds once per row — each of the six references is
+    a lambda-variable lookup, not a re-split."""
+
+    def build(labels: Column) -> Column:
+        n = F.size(labels)
+        last2 = F.concat_ws(
+            ".", F.element_at(labels, -2), F.element_at(labels, -1)
+        )
+        last3 = F.concat_ws(
+            ".",
+            F.element_at(labels, -3),
+            F.element_at(labels, -2),
+            F.element_at(labels, -1),
+        )
+        is_multi = last2.isin(*MULTI_LABEL_SUFFIXES)
+        return (
+            F.when(n <= 1, F.array_join(labels, "."))
+            .when((n >= 3) & is_multi, last3)
+            .otherwise(last2)
+        )
+
+    return bind_once(F.split(host, r"\."), build)
+
+
+def url_struct(u: Column) -> Column:
+    """Every parsed + canonical part as ONE struct column:
+    (scheme, host, port, path, query, norm_url, reg_domain).
+
+    This is the form to use when deriving several URL columns at once:
+    the scalar helpers above are independent Columns, so a SELECT that
+    uses five of them re-runs the shared base regexes five times after
+    CollapseProject re-inlines them (no common-subexpression
+    elimination in interpreted projections). Here each stage binds once
+    (``bind_once``): fragment-strip runs once, authority/scheme/path
+    extraction once, and every downstream reference is an O(1) lambda-
+    variable lookup.
+    """
+    base = F.regexp_replace(u, r"#.*$", "")
+    pre = F.struct(
+        F.regexp_replace(base, r"\?.*$", "").alias("prequery"),
+        F.regexp_extract(base, r"\?(.*)$", 1).alias("qs"),
     )
-    last3 = F.concat_ws(
-        ".",
-        F.element_at(labels, -3),
-        F.element_at(labels, -2),
-        F.element_at(labels, -1),
-    )
-    is_multi = last2.isin(*MULTI_LABEL_SUFFIXES)
-    return (
-        F.when(n <= 1, host)
-        .when((n >= 3) & is_multi, last3)
-        .otherwise(last2)
-    )
+
+    def outer(b: Column) -> Column:
+        prequery = b["prequery"]
+        parts = F.filter(
+            F.split(b["qs"], "&"),
+            lambda p: (F.length(p) > 0) & ~p.rlike(TRACKING_PARAM_RE),
+        )
+        auth = F.regexp_extract(prequery, _SCHEME_RE + r"([^/]*)", 2)
+        mid = F.struct(
+            F.lower(F.regexp_extract(prequery, _SCHEME_RE, 1)).alias(
+                "scheme"
+            ),
+            F.lower(F.regexp_replace(auth, r":\d+$", "")).alias("host"),
+            F.regexp_extract(auth, r":(\d+)$", 1).alias("port"),
+            F.regexp_extract(
+                prequery, _SCHEME_RE + r"[^/]*(/.*)?$", 2
+            ).alias("path"),
+            F.array_join(F.array_sort(parts), "&").alias("query"),
+        )
+
+        def inner(c: Column) -> Column:
+            scheme, host, port = c["scheme"], c["host"], c["port"]
+            default_port = ((scheme == "http") & (port == "80")) | (
+                (scheme == "https") & (port == "443")
+            )
+            norm = F.concat(
+                scheme,
+                F.lit("://"),
+                host,
+                F.when(
+                    (port != "") & ~default_port,
+                    F.concat(F.lit(":"), port),
+                ).otherwise(F.lit("")),
+                F.when(c["path"] == "", F.lit("/")).otherwise(c["path"]),
+                F.when(
+                    c["query"] != "", F.concat(F.lit("?"), c["query"])
+                ).otherwise(F.lit("")),
+            )
+            return F.struct(
+                scheme.alias("scheme"),
+                host.alias("host"),
+                port.alias("port"),
+                c["path"].alias("path"),
+                c["query"].alias("query"),
+                norm.alias("norm_url"),
+                registered_domain(host).alias("reg_domain"),
+            )
+
+        return bind_once(mid, inner)
+
+    return bind_once(pre, outer)
+
+
+def with_url_parts(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_parts"
+) -> DataFrame:
+    """Stage :func:`url_struct` as a column — the multi-output form of
+    URL canonicalization (one parse per row, N outputs)."""
+    return df.withColumn(out_col, url_struct(F.col(url_col)))

@@ -243,3 +243,99 @@ def test_distinct_then_count_splits_hot_keys(spark):
     first, second = exchanges[1], exchanges[0]
     assert "k#" in first and "v#" in first, first
     assert "v#" not in second, second
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The bucket decomposition's whole point: a BETWEEN join plans as
+    a broadcast HASH join on the bucket id, never BNLJ/cartesian; with
+    broadcast off it's still an equi-join (sort-merge or shuffled
+    hash) on the bucket key."""
+    from narowi_ocr_spark.operators.rangejoin import bucketed_range_join
+
+    points = spark.range(1000).select((F.col("id") % 500).cast("double").alias("v"))
+    ranges = spark.range(20).select(
+        F.col("id").alias("range_id"),
+        (F.col("id") * 25.0).alias("lo"),
+        (F.col("id") * 25.0 + 60.0).alias("hi"),
+    )
+    plan = _physical_plan(bucketed_range_join(points, ranges, "v"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    plan2 = _physical_plan(
+        bucketed_range_join(points, ranges, "v", broadcast_ranges=False)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan2, plan2
+    assert "CartesianProduct" not in plan2, plan2
+    # without the hint the planner may still auto-broadcast the tiny
+    # side; the invariant is an EQUI join strategy on the bucket key
+    assert (
+        "SortMergeJoin" in plan2
+        or "ShuffledHashJoin" in plan2
+        or "BroadcastHashJoin" in plan2
+    ), plan2
+
+
+def test_url_canonicalization_is_narrow_single_parse(spark, tmp_path):
+    """url_struct staged behind a projection boundary over a parquet
+    scan: no shuffle, no Python boundary, and the parse runs ONCE per
+    row — the port-extraction regex must appear exactly once in the
+    physical plan even though three outputs consume the struct."""
+    from narowi_ocr_spark.operators.urls import with_url_parts
+
+    path = str(tmp_path / "urls")
+    spark.createDataFrame(
+        [(f"https://Host{i}.Example.COM/p?utm_source=x&a={i}",) for i in range(50)],
+        "url string",
+    ).write.parquet(path)
+    df = with_url_parts(spark.read.parquet(path), out_col="_p").select(
+        F.col("_p.norm_url").alias("norm"),
+        F.col("_p.host").alias("host"),
+        F.col("_p.reg_domain").alias("rd"),
+    )
+    plan = _physical_plan(df)
+    assert "Exchange" not in plan, plan
+    for marker in ("MapInArrow", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, plan
+    assert plan.count(r":(\d+)$") == 1, plan
+
+
+def test_shard_assign_exactly_one_exchange_keyed_on_shard(spark):
+    """Training-order sharding must never plan a global sort or a
+    single-partition window: its ONE exchange hashes on the shard
+    column, and each shard ranks independently."""
+    from narowi_ocr_spark.operators.shards import shard_assign
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    plan = _physical_plan(shard_assign(df, hex_digits=2))
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange" in l and "Reused" not in l
+    ]
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning" in exchanges[0] and "shard#" in exchanges[0], (
+        exchanges[0]
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_attribution_batch_is_equi_join_on_user(spark):
+    """The attribution twin must key its join on user_id (hash/merge
+    equi-join) with the interval predicate as a residual condition —
+    not degrade to a nested loop."""
+    import datetime
+
+    from narowi_ocr_spark.streaming.joins import attribute_batch
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (i % 10, t0 + datetime.timedelta(minutes=i), "view" if i % 2 else "purchase", 1.0)
+            for i in range(100)
+        ],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    plan = _physical_plan(attribute_batch(ev))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -4,11 +4,9 @@ stream-stream attribution join (streaming result == batch twin)."""
 from __future__ import annotations
 
 import datetime
-import os
 import tempfile
 import uuid
 
-import pytest
 from pyspark.sql import functions as F
 
 from narowi_ocr_spark.operators.shards import shard_assign, shard_sizes
@@ -200,3 +198,26 @@ def test_attribution_stream_matches_batch(spark):
     sq.awaitTermination(300)
     got = sorted(map(tuple, spark.table(name).collect()))
     assert got == want
+
+
+def test_url_struct_matches_scalar_functions(spark):
+    """The bind-once struct form is value-identical to the scalar
+    helpers for every fixture case."""
+    from narowi_ocr_spark.operators.urls import url_struct
+
+    df = spark.createDataFrame(
+        [(r,) for r, _, _, _ in URL_CASES], "url string"
+    )
+    bad = (
+        df.withColumn("_p", url_struct(F.col("url")))
+        .where(
+            (F.col("_p.norm_url") != canonical_url(F.col("url")))
+            | (F.col("_p.host") != url_host(F.col("url")))
+            | (
+                F.col("_p.reg_domain")
+                != registered_domain(url_host(F.col("url")))
+            )
+        )
+        .count()
+    )
+    assert bad == 0
