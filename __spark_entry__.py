@@ -2118,6 +2118,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_range_join"] = events_range_join_q
 
+    def cooc_pmi_q(spark, sf_dir):
+        """Top-50 windowed co-occurrence pairs with fixed-point PMI lift
+        (GloVe/word2vec corpus statistic) over the documents table."""
+        from narowi_ocr_spark.operators.corpus import cooccurrence_topk
+
+        return cooccurrence_topk(_docs(spark, sf_dir), k=50, window=3)
+
+    q["cooc_pmi"] = cooc_pmi_q
+
+    def weighted_sample_q(spark, sf_dir):
+        """Deterministic weight-proportional Poisson sample (by n_chars)
+        with integer Horvitz-Thompson reweights."""
+        from narowi_ocr_spark.operators.corpus import weighted_sample
+
+        return weighted_sample(
+            _docs(spark, sf_dir), expected_rows=60, weight_col="n_chars",
+            salt="ws0",
+        )
+
+    q["weighted_sample"] = weighted_sample_q
+
+    def lexical_diversity_q(spark, sf_dir):
+        """Per-document Gini-Simpson lexical diversity (integer-exact,
+        NULL for sub-2-token docs)."""
+        from narowi_ocr_spark.operators.corpus import lexical_diversity
+
+        return lexical_diversity(_docs(spark, sf_dir))
+
+    q["lexical_diversity"] = lexical_diversity_q
+
     def url_normalize_q(spark, sf_dir):
         """Crawl-frontier URL canonicalization: messy spellings (case
         hosts, tracking params, fragments, default ports, unsorted
@@ -4019,6 +4049,94 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (PARTITION BY shard
                       ORDER BY digest, doc_id) AS INT) AS pos
         FROM s
+    """
+
+    # cooc_pmi: windowed skip-gram pairs via nested list lambdas (DuckDB
+    # range(a,b) is half-open and empty when a>=b, so no reverse-sequence
+    # guard is needed on this side); same truncating fixed-point lift
+    # order as the Spark expression (all operands non-negative, so
+    # // == div). Sums are cast to BIGINT (DuckDB sum() yields HUGEINT).
+    o["cooc_pmi"] = f"""
+        WITH d AS (
+          SELECT regexp_split_to_array(lower({trimmed}), '\\s+') AS w
+          FROM documents WHERE length({trimmed}) > 0),
+        pr AS (
+          SELECT unnest(flatten(list_transform(range(1, len(w)), i ->
+                   list_transform(range(i + 1, least(i + 3, len(w)) + 1),
+                     j -> struct_pack(a := w[i], b := w[j]))))) AS p
+          FROM d WHERE len(w) >= 2),
+        pc AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT)
+                 AS pair_count FROM pr GROUP BY 1, 2),
+        uni AS (SELECT unnest(w) AS term FROM d),
+        uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+               FROM uni GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uc),
+        ptot AS (SELECT CAST(sum(pair_count) AS BIGINT) AS n_pair FROM pc),
+        scored AS (
+          SELECT pc.a, pc.b, pc.pair_count,
+                 (((((1000000 * pc.pair_count) // ua.c) * n_tok)
+                   // n_pair) * n_tok) // ub.c AS lift_scaled
+          FROM pc JOIN uc ua ON pc.a = ua.term
+                  JOIN uc ub ON pc.b = ub.term
+          CROSS JOIN tot CROSS JOIN ptot),
+        ranked AS (
+          SELECT a, b, pair_count, CAST(lift_scaled AS BIGINT)
+                   AS lift_scaled,
+                 CAST(row_number() OVER (
+                        ORDER BY pair_count DESC, a ASC, b ASC) AS INT)
+                   AS rank
+          FROM scored)
+        SELECT a, b, pair_count, lift_scaled, rank
+        FROM ranked WHERE rank <= 50
+    """
+
+    # weighted_sample: pure function of (salt, doc_id) — same md5-prefix
+    # uniform, same least-capped integer threshold, same HT fixed point.
+    o["weighted_sample"] = """
+        WITH tot AS (
+          SELECT CAST(sum(CASE WHEN n_chars > 0 THEN n_chars ELSE 0 END)
+                   AS BIGINT) AS sum_w
+          FROM documents),
+        k AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                 CAST('0x' || substr(
+                       md5('ws0' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) AS sample_u,
+                 least(CAST(4294967296 AS BIGINT),
+                       (60 * CAST(n_chars AS BIGINT) * 4294967296)
+                         // sum_w) AS inc_scaled
+          FROM documents CROSS JOIN tot)
+        SELECT doc_id, weight, sample_u, inc_scaled,
+               CAST((4294967296 * 1000000) // inc_scaled AS BIGINT)
+                 AS ht_scaled,
+               CAST((4294967296 * 1000000) // inc_scaled AS DOUBLE)
+                 / 1000000.0 AS ht_weight
+        FROM k WHERE weight > 0 AND sample_u < inc_scaled
+    """
+
+    # lexical_diversity: order-free integer sums; NULL (not 0) below 2
+    # tokens in both engines.
+    o["lexical_diversity"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower({trimmed}), '\\s+'))
+                   AS term
+          FROM documents WHERE length({trimmed}) > 0),
+        pt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+               FROM toks GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS nd,
+                       CAST(sum(c * (c - 1)) AS BIGINT) AS rep
+                FROM pt GROUP BY 1)
+        SELECT doc_id, CAST(n AS INT) AS n_tokens,
+               CAST(nd AS INT) AS n_distinct,
+               CASE WHEN n >= 2 THEN CAST(
+                 (1000000 * (n * (n - 1) - rep)) // (n * (n - 1))
+                 AS BIGINT) END AS div_scaled,
+               CASE WHEN n >= 2 THEN CAST(
+                 (1000000 * (n * (n - 1) - rep)) // (n * (n - 1))
+                 AS DOUBLE) / 1000000.0 END AS diversity
+        FROM agg
     """
 
     # stream_attribution: the batch statement of the stream-stream

@@ -293,6 +293,28 @@ def main() -> None:
         extra_set=True,
     )
 
+    from narowi_ocr_spark.operators.corpus import (
+        cooccurrence_topk,
+        lexical_diversity,
+        weighted_sample,
+    )
+
+    bench(
+        "cooc_pmi",
+        lambda: materialize(cooccurrence_topk(docs, k=50, window=3)),
+        extra_set=True,
+    )
+    bench(
+        "weighted_sample",
+        lambda: materialize(weighted_sample(docs, expected_rows=60)),
+        extra_set=True,
+    )
+    bench(
+        "lexical_diversity",
+        lambda: materialize(lexical_diversity(docs)),
+        extra_set=True,
+    )
+
     qs = entrymod.queries()
     bench("tpch_q1", lambda: materialize(qs["tpch_q1"](spark, sf_dir)))
     bench("events_hourly", lambda: materialize(qs["events_hourly"](spark, sf_dir)))

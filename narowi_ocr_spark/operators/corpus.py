@@ -655,3 +655,238 @@ def dsir_weights(
             / (F.col("n_tokens").cast("double") * F.lit(float(DSIR_SCALE)))
         ).alias("avg_ratio"),
     )
+
+
+# ------------------------------------------------ co-occurrence / PMI
+
+PMI_SCALE = 1_000_000
+COOC_WINDOW = 3
+
+
+def cooccurrence_topk(
+    df: DataFrame,
+    k: int = 50,
+    window: int = COOC_WINDOW,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k windowed word co-occurrence pairs with a fixed-point PMI
+    lift — the corpus statistic behind GloVe/word2vec-style embedding
+    training and collocation mining (Church & Hanks, "Word association
+    norms, mutual information, and lexicography", CL 1990).
+
+    A pair (a, b) is counted once per position pair (i, j) with
+    j - i ∈ [1, window] — the standard directed skip-gram window. The
+    lift is PMI's argument before the log, in fixed point so it is
+    bit-identical across engines (log itself is libm-dependent):
+
+        lift = P(a,b) / (P(a)·P(b))
+             = (c_ab / n_pair) · n_tok² / (c_a · c_b)
+
+        lift_scaled = (((((SCALE·c_ab) div c_a) · n_tok) div n_pair)
+                       · n_tok) div c_b
+
+    evaluated in exactly that truncating order (all operands are
+    non-negative, so Spark ``div`` == DuckDB ``//``). Callers wanting
+    log-PMI apply log(lift_scaled / SCALE) downstream where cross-engine
+    bit-equality is not required. Overflow headroom: the first factor is
+    ≤ SCALE·window (c_ab ≤ window·c_a), so the largest intermediate is
+    ~SCALE·window·n_tok — safe through ~10¹² tokens; beyond that drop
+    SCALE to 10³.
+
+    Scale shape: the word array is staged once per row (projection
+    boundary, words() never re-inlined per pair); pair generation is a
+    narrow O(window·len) HOF over bound array references; counting is
+    two partial-agg shuffles (terms, pairs) where only small (string,
+    count) rows move — text never shuffles. The unigram joins key on the
+    word (vocabulary-sized, AQE broadcasts when small) and the two
+    1-row totals are explicit broadcasts. Top-k is the distributed
+    TakeOrderedAndProject pattern, never a full global sort.
+    """
+    staged = df.select(words(F.lower(F.col(text_col))).alias("w")).where(
+        F.size("w") >= 1
+    )
+    uni = (
+        staged.select(F.explode("w").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+
+    def _pairs(w):
+        n = F.size(w)
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.least(i + F.lit(window), n)),
+                    lambda j: F.struct(
+                        F.element_at(w, i).alias("a"),
+                        F.element_at(w, j).alias("b"),
+                    ),
+                ),
+            )
+        )
+
+    pc = (
+        staged.where(F.size("w") >= 2)
+        .select(F.explode(_pairs(F.col("w"))).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").cast("long").alias("pair_count"))
+    )
+    n_pair = pc.agg(F.sum("pair_count").alias("n_pair"))
+    scored = (
+        pc.join(uni.select(F.col("term").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("term").alias("b"), F.col("c").alias("c_b")), "b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair))
+        .select(
+            "a",
+            "b",
+            "pair_count",
+            F.expr(
+                f"((((({PMI_SCALE} * pair_count) div c_a) * n_tok)"
+                " div n_pair) * n_tok) div c_b"
+            ).alias("lift_scaled"),
+        )
+    )
+    top = scored.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b")).limit(k)
+    rank_w = Window.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+    return top.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+
+
+# --------------------------------------------- weighted Poisson sample
+
+WS_U_SPACE = 16**8  # md5-prefix uniform space: u ∈ [0, 2³²)
+WS_HT_SCALE = 1_000_000
+
+
+def weighted_sample(
+    df: DataFrame,
+    expected_rows: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "ws0",
+) -> DataFrame:
+    """Deterministic weight-proportional Poisson sample with
+    Horvitz-Thompson reweights — "sample big documents more, then
+    correct the statistics" (the standard unequal-probability survey
+    design; Horvitz & Thompson, JASA 1952). Used in curation to carve
+    inspection/eval subsets whose token mass, not row count, matches a
+    target.
+
+    Each row is kept independently with inclusion probability
+    p_i = min(1, expected_rows · w_i / Σw) — so the expected sample size
+    is ``expected_rows`` and the expected sampled WEIGHT mass is
+    proportional per stratum. The decision is a pure function of
+    (salt, id): u_i = first 8 md5 hex chars as an integer is compared
+    against the fixed-point threshold
+
+        inc_scaled = min(2³², (expected_rows · w_i · 2³²) div Σw)
+
+    Non-positive weights never sample. ``ht_scaled`` = (2³²·10⁶) div
+    inc_scaled is the fixed-point inverse inclusion probability: summing
+    ht_weight·x over the sample unbiasedly estimates Σx over the corpus.
+
+    Every quantity is 64-bit integer arithmetic (bit-identical across
+    engines, partitionings, and cluster sizes — the resumability
+    property sampleBy's seeded RNG lacks). Overflow bound:
+    expected_rows · max(w) must stay below 2³¹ (≈2·10⁹); for larger
+    targets pre-divide the weights. Scale shape: one 1-row total
+    broadcast; the filter is a narrow projection over the scan — no
+    shuffle at all.
+    """
+    w = F.col(weight_col).cast("long")
+    tot = df.agg(
+        F.sum(F.when(w > 0, w).otherwise(F.lit(0))).alias("sum_w")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = df.crossJoin(F.broadcast(tot)).select(
+        F.col(id_col),
+        w.alias("weight"),
+        u.alias("sample_u"),
+        F.expr(
+            f"least(CAST({WS_U_SPACE} AS BIGINT),"
+            f" (CAST({expected_rows} AS BIGINT)"
+            f" * CAST({weight_col} AS BIGINT) * {WS_U_SPACE}) div sum_w)"
+        ).alias("inc_scaled"),
+    )
+    kept = keyed.where(
+        (F.col("weight") > 0) & (F.col("sample_u") < F.col("inc_scaled"))
+    )
+    return kept.select(
+        id_col,
+        "weight",
+        "sample_u",
+        "inc_scaled",
+        F.expr(f"({WS_U_SPACE}L * {WS_HT_SCALE}L) div inc_scaled").alias(
+            "ht_scaled"
+        ),
+        (
+            F.expr(f"({WS_U_SPACE}L * {WS_HT_SCALE}L) div inc_scaled").cast(
+                "double"
+            )
+            / F.lit(float(WS_HT_SCALE))
+        ).alias("ht_weight"),
+    )
+
+
+# ------------------------------------------- lexical diversity (Simpson)
+
+DIV_SCALE = 1_000_000
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gini-Simpson lexical diversity — the probability
+    that two token draws WITHOUT replacement are different words:
+
+        D = 1 - Σ c_t(c_t-1) / (n(n-1))
+
+    (the unbiased finite-sample form of 1-Σp²; Simpson, "Measurement of
+    diversity", Nature 1949). Low D flags keyword-stuffed / template /
+    looped text that length-based repetition filters miss — the
+    complement of ``with_repetition_stats``'s max-run and top-fraction
+    signals. Integer-exact: div_scaled = SCALE·(n(n-1) − Σc(c-1)) div
+    (n(n-1)), NULL for docs with < 2 tokens (the statistic is undefined
+    there, and NULL-vs-0 matters downstream: 0 means "pure repetition").
+
+    Scale shape: one explode to (doc_id, term), two partial-agg
+    shuffles keyed on (doc_id, term) then doc_id — only (id, count)
+    pairs move, text never shuffles. Σc(c-1) and n are order-free
+    integer sums, so the result is partitioning-independent. Overflow:
+    n(n-1)·SCALE needs n < 3·10⁶ tokens per doc — far above any real
+    web document; chunk pathological docs first (``chunk_documents``).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    )
+    per_term = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    agg = per_term.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("rep_mass"),
+    )
+    div_scaled = F.expr(
+        f"({DIV_SCALE} * (n_tokens * (n_tokens - 1) - rep_mass))"
+        " div (n_tokens * (n_tokens - 1))"
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_distinct").cast("int").alias("n_distinct"),
+        F.when(F.col("n_tokens") >= 2, div_scaled).alias("div_scaled"),
+        F.when(
+            F.col("n_tokens") >= 2,
+            div_scaled.cast("double") / F.lit(float(DIV_SCALE)),
+        ).alias("diversity"),
+    )
