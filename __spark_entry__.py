@@ -2148,6 +2148,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lexical_diversity"] = lexical_diversity_q
 
+    def corpus_dup_fraction_q(spark, sf_dir):
+        """Per-document fraction of 3-gram occurrences duplicated in at
+        least one other document (RefinedWeb/Dolma cross-corpus
+        boilerplate-mass signal; only md5 digests shuffle)."""
+        from narowi_ocr_spark.operators.corpus import corpus_dup_fraction
+
+        return corpus_dup_fraction(_docs(spark, sf_dir), n=3)
+
+    q["corpus_dup_fraction"] = corpus_dup_fraction_q
+
     def url_normalize_q(spark, sf_dir):
         """Crawl-frontier URL canonicalization: messy spellings (case
         hosts, tracking params, fragments, default ports, unsorted
@@ -4136,6 +4146,36 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n >= 2 THEN CAST(
                  (1000000 * (n * (n - 1) - rep)) // (n * (n - 1))
                  AS DOUBLE) / 1000000.0 END AS diversity
+        FROM agg
+    """
+
+    # corpus_dup_fraction: df(g) counts distinct docs per 3-gram (one row
+    # per (doc, gram) group = one distinct doc); occurrences keep
+    # multiplicity. Same inclusive-slice n-grams as decontamination.
+    o["corpus_dup_fraction"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower({trimmed}), '\\s+') AS w
+          FROM documents WHERE length({trimmed}) > 0),
+        g AS (
+          SELECT doc_id,
+                 md5(unnest(list_transform(range(1, len(w) - 1),
+                     i -> array_to_string(w[i:i+2], ' ')))) AS fp
+          FROM d WHERE len(w) >= 3),
+        per_doc AS (SELECT doc_id, fp, CAST(count(*) AS BIGINT) AS occ_cnt
+                    FROM g GROUP BY 1, 2),
+        dfc AS (SELECT fp, CAST(count(*) AS BIGINT) AS df_docs
+                FROM per_doc GROUP BY 1),
+        agg AS (
+          SELECT doc_id, CAST(sum(occ_cnt) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN df_docs >= 2 THEN occ_cnt ELSE 0 END)
+                   AS BIGINT) AS dup_grams
+          FROM per_doc JOIN dfc USING (fp) GROUP BY 1)
+        SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+               CAST(dup_grams AS INT) AS dup_grams,
+               (1000000 * dup_grams) // n_grams AS dup_frac_scaled,
+               CAST((1000000 * dup_grams) // n_grams AS DOUBLE)
+                 / 1000000.0 AS dup_frac
         FROM agg
     """
 

@@ -314,6 +314,13 @@ def main() -> None:
         lambda: materialize(lexical_diversity(docs)),
         extra_set=True,
     )
+    from narowi_ocr_spark.operators.corpus import corpus_dup_fraction
+
+    bench(
+        "corpus_dup_fraction",
+        lambda: materialize(corpus_dup_fraction(docs, n=3)),
+        extra_set=True,
+    )
 
     qs = entrymod.queries()
     bench("tpch_q1", lambda: materialize(qs["tpch_q1"](spark, sf_dir)))

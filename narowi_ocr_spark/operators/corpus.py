@@ -890,3 +890,69 @@ def lexical_diversity(
             div_scaled.cast("double") / F.lit(float(DIV_SCALE)),
         ).alias("diversity"),
     )
+
+
+# -------------------------------------- corpus-wide duplicated n-grams
+
+DUPF_SCALE = 1_000_000
+
+
+def corpus_dup_fraction(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fraction of n-gram occurrences whose n-gram also
+    appears in at least one OTHER document — the cross-corpus
+    complement of the within-document Gopher repetition stats, and the
+    curation signal behind RefinedWeb/Dolma's "duplicated n-gram mass"
+    filters (Penedo et al., "The RefinedWeb dataset", NeurIPS 2023):
+    boilerplate-heavy documents score high even when each is internally
+    clean.
+
+    Definition (crisp so both engines agree exactly): an n-gram's doc
+    frequency df(g) counts DISTINCT documents containing g; a document's
+    dup_grams is the number of its n-gram OCCURRENCES (multiplicity
+    kept) with df(g) ≥ 2; dup_frac_scaled = SCALE·dup_grams div
+    n_grams. Documents with fewer than n tokens have no n-grams and are
+    absent from the output.
+
+    Scale shape: n-grams are md5-digested at the scan, so only
+    (doc_id, 32-hex) pairs ever shuffle — never gram text. Three
+    partial-agg shuffles: (doc, fp) occurrence counts, fp doc
+    frequency (derived from the first — each (doc, fp) row counts one
+    distinct doc, no extra distinct pass), and the final per-doc
+    rollup; the df join keys on the digest and AQE handles hot
+    boilerplate grams. All counts are order-free integer sums —
+    partition-independent, bit-identical across engines.
+    """
+    occ = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(ngrams(text_col, n), F.md5)).alias("fp"),
+    )
+    per_doc = occ.groupBy("doc_id", "fp").agg(
+        F.count("*").cast("long").alias("occ_cnt")
+    )
+    df_cnt = per_doc.groupBy("fp").agg(
+        F.count("*").cast("long").alias("df_docs")
+    )
+    joined = per_doc.join(df_cnt, "fp")
+    agg = joined.groupBy("doc_id").agg(
+        F.sum("occ_cnt").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("df_docs") >= 2, F.col("occ_cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_grams"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_grams").cast("int").alias("n_grams"),
+        F.col("dup_grams").cast("int").alias("dup_grams"),
+        F.expr(f"({DUPF_SCALE} * dup_grams) div n_grams").alias(
+            "dup_frac_scaled"
+        ),
+        (
+            F.expr(f"({DUPF_SCALE} * dup_grams) div n_grams").cast("double")
+            / F.lit(float(DUPF_SCALE))
+        ).alias("dup_frac"),
+    )

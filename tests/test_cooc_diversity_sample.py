@@ -127,3 +127,38 @@ def test_lexical_diversity_reference(spark):
     assert got[3].div_scaled is None and got[3].diversity is None
     assert got[4].div_scaled == 0
     assert got[2].n_tokens == 4 and got[2].n_distinct == 2
+
+
+def _py_dupfrac(texts, n):
+    grams = {i: [" ".join(ws) for ws in zip(*[t.lower().split()[k:] for k in range(n)])]
+             for i, t in enumerate(texts)}
+    docs_of = {}
+    for i, gs in grams.items():
+        for g in set(gs):
+            docs_of.setdefault(g, set()).add(i)
+    out = {}
+    for i, gs in grams.items():
+        if not gs:
+            continue
+        dup = sum(1 for g in gs if len(docs_of[g]) >= 2)
+        out[i] = (len(gs), dup, (1_000_000 * dup) // len(gs))
+    return out
+
+
+def test_corpus_dup_fraction_reference(spark):
+    from narowi_ocr_spark.operators.corpus import corpus_dup_fraction
+
+    texts = [
+        "the cat sat on the mat today",     # shares "the cat sat" with doc 2
+        "dogs bark loudly at night",        # unique
+        "he said the cat sat on a rug",     # shares with doc 0
+        "tiny",                             # < n tokens: absent
+        "the cat sat the cat sat",          # internal repeat + cross-doc dup
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        r.doc_id: (r.n_grams, r.dup_grams, r.dup_frac_scaled)
+        for r in corpus_dup_fraction(df, n=3).collect()
+    }
+    assert got == _py_dupfrac(texts, 3)
+    assert 3 not in got
