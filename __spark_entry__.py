@@ -2241,6 +2241,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_attribution"] = stream_attribution_q
 
+    def stream_attribution_outer_q(spark, sf_dir):
+        """leftOuter stream-stream interval join: every view emits
+        exactly once — matched views with their purchases, unmatched
+        views with NULL purchase columns once the watermark proves no
+        future match. A far-future sentinel on BOTH sides (the global
+        watermark is the min across the two watermarked columns) lets
+        the availableNow drain flush every real view's NULL row."""
+        import datetime
+
+        from narowi_ocr_spark.streaming.joins import attribute_stream
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type", "value"
+        )
+        flush_ts = ev.agg(F.max("ts")).first()[0] + datetime.timedelta(
+            days=2
+        )
+        sentinel = spark.createDataFrame(
+            [(-1, "view", 0.0), (-1, "purchase", 0.0)],
+            "user_id long, event_type string, value double",
+        ).select(
+            "user_id",
+            F.lit(flush_ts).cast(ev.schema["ts"].dataType).alias("ts"),
+            "event_type",
+            "value",
+        )
+        src = tempfile.mkdtemp(prefix="narowi_attro_src_")
+        ev.unionByName(sentinel).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp_ntz, event_type string,"
+                " value double"
+            )
+            .parquet(src)
+            .select(
+                "user_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_type",
+                "value",
+            )
+        )
+        name = "stream_attro_" + uuid.uuid4().hex[:8]
+        sq = (
+            attribute_stream(stream, how="leftOuter")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="narowi_attro_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return spark.table(name).where(F.col("user_id") >= 0)
+
+    q["stream_attribution_outer"] = stream_attribution_outer_q
+
     return q
 
 
@@ -4188,6 +4249,17 @@ def oracle_sql() -> dict[str, str]:
           ON v.user_id = p.user_id
          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
         WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """
+
+    # stream_attribution_outer: batch LEFT JOIN twin — unmatched views
+    # carry NULL purchase columns; the streaming side's sentinel rows
+    # (user_id = -1) are filtered before comparison.
+    o["stream_attribution_outer"] = """
+        SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts, p.value
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id
+         AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
     """
 
     return o

@@ -45,12 +45,29 @@ def attribute_stream(
     events: DataFrame,
     horizon: str = DEFAULT_HORIZON,
     watermark: str = DEFAULT_WATERMARK,
+    how: str = "inner",
 ) -> DataFrame:
     """All (view, purchase) pairs of one user with the purchase inside
     (view_ts, view_ts + horizon]. ``events`` is a STREAMING frame with
     (user_id, ts timestamp, event_type, value); both derived sides get
     the same watermark, and the time-range predicate is what bounds the
-    join state (see module docstring)."""
+    join state (see module docstring).
+
+    ``how='leftOuter'`` additionally emits every UNATTRIBUTED view once,
+    with NULL purchase columns — the conversion-funnel "view that never
+    converted" row. Outer emission is watermark-DEPENDENT (unlike inner
+    matches, which emit as both sides arrive): a view's NULL row can
+    only be produced once the eviction watermark proves no future
+    purchase can match, i.e. in the first micro-batch whose starting
+    watermark has passed view_ts + horizon (availableNow runs a final
+    no-data batch precisely so this terminal flush happens; a live job
+    relies on later batches advancing the watermark). State stays
+    O(horizon window) either way. Operational caveat: with two
+    watermarked columns the GLOBAL watermark is their MINIMUM
+    (``spark.sql.streaming.multipleWatermarkPolicy`` defaults to
+    ``min``), so a drain/flush sentinel must advance BOTH sides — a
+    view-only sentinel leaves the global watermark pinned at the
+    purchase side and no NULL row ever emits."""
     views, purchases = _sides(events)
     v = views.withWatermark("view_ts", watermark)
     p = purchases.withWatermark("purchase_ts", watermark)
@@ -62,16 +79,17 @@ def attribute_stream(
             <= v["view_ts"] + F.expr(f"INTERVAL {horizon}")
         )
     )
-    return v.join(p, cond, "inner").select(
+    return v.join(p, cond, how).select(
         v["user_id"], "view_ts", "purchase_ts", "value"
     )
 
 
 def attribute_batch(
-    events: DataFrame, horizon: str = DEFAULT_HORIZON
+    events: DataFrame, horizon: str = DEFAULT_HORIZON, how: str = "inner"
 ) -> DataFrame:
     """Static twin of :func:`attribute_stream` — same predicate, same
-    output schema, ordinary hash join."""
+    output schema, ordinary hash join (``how='left'`` for the outer
+    twin)."""
     views, purchases = _sides(events)
     cond = (
         (views["user_id"] == purchases["user_id"])
@@ -81,6 +99,6 @@ def attribute_batch(
             <= views["view_ts"] + F.expr(f"INTERVAL {horizon}")
         )
     )
-    return views.join(purchases, cond, "inner").select(
+    return views.join(purchases, cond, how).select(
         views["user_id"], "view_ts", "purchase_ts", "value"
     )

@@ -221,3 +221,53 @@ def test_url_struct_matches_scalar_functions(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_attribution_outer_stream_matches_batch(spark):
+    """leftOuter stream-stream join: unmatched views emit exactly one
+    NULL-purchase row once the watermark passes view_ts + horizon (the
+    far-future sentinel view pushes the final watermark past every real
+    view; availableNow's terminal no-data batch performs the flush)."""
+    ev = _synth_events(spark)
+    want = sorted(map(repr, attribute_batch(ev, how="left").collect()))
+    n_null = sum("purchase_ts=None" in r for r in want)
+    assert n_null > 10  # unmatched views exist in the fixture
+    flush_ts = ev.agg(F.max("ts")).first()[0] + datetime.timedelta(days=2)
+    # one sentinel PER SIDE: the global watermark is the MIN across the
+    # two withWatermark columns, so a view-only sentinel would leave the
+    # purchase-side watermark (and thus the global one) behind
+    sentinel = spark.createDataFrame(
+        [(-1, flush_ts, "view", 0.0), (-1, flush_ts, "purchase", 0.0)],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    src = tempfile.mkdtemp(prefix="attr_outer_src_")
+    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp_ntz, event_type string, value double"
+        )
+        .parquet(src)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            "value",
+        )
+    )
+    name = "attr_outer_" + uuid.uuid4().hex[:8]
+    sq = (
+        attribute_stream(stream, how="leftOuter")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="attr_outer_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    got = sorted(
+        map(repr, spark.table(name).where(F.col("user_id") >= 0).collect())
+    )
+    assert got == want
