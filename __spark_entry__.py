@@ -2302,6 +2302,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_attribution_outer"] = stream_attribution_outer_q
 
+    def incremental_near_dup_q(spark, sf_dir):
+        """Crawl-refresh near-dedup: an incoming batch (odd doc_ids plus
+        tailed near-copies of indexed docs) checked against the corpus
+        index (even doc_ids) — band equi-join candidates, shingle-
+        Jaccard verified at 0.5."""
+        from narowi_ocr_spark.operators.dedup import incremental_near_dup
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = docs.where(F.col("doc_id") % 2 == 0)
+        newb = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+            docs.where(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
+            )
+        )
+        return incremental_near_dup(newb, idx, threshold=0.5)
+
+    q["incremental_near_dup"] = incremental_near_dup_q
+
     return q
 
 
@@ -4249,6 +4268,46 @@ def oracle_sql() -> dict[str, str]:
           ON v.user_id = p.user_id
          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
         WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """
+
+    # incremental_near_dup: the minhash/band machinery instantiated
+    # twice (index = even ids, batch = odd ids ∪ tailed copies of every
+    # 20th indexed doc); candidates are NEW×INDEX band matches only.
+    _inc_band_i = "\nUNION ALL\n".join(
+        f"SELECT id, {b} AS band_idx, {expr} AS band_hash FROM sgi"
+        for b, expr in enumerate(_bands_sql())
+    )
+    _inc_band_n = "\nUNION ALL\n".join(
+        f"SELECT id, {b} AS band_idx, {expr} AS band_hash FROM sgn"
+        for b, expr in enumerate(_bands_sql())
+    )
+    _inc_jacc = _round4_sql(
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)"
+    )
+    o["incremental_near_dup"] = f"""
+        WITH idx AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        newb AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+          UNION ALL
+          SELECT doc_id + 300000, text || {_sq(NEAR_DUP_TAIL)}
+          FROM documents WHERE doc_id % 20 = 0),
+        shi AS (SELECT doc_id AS id, {_shingles_sql()} AS sh FROM idx),
+        shn AS (SELECT doc_id AS id, {_shingles_sql()} AS sh FROM newb),
+        sgi AS (SELECT id, {_minhash_sql()} AS sig FROM shi),
+        sgn AS (SELECT id, {_minhash_sql()} AS sig FROM shn),
+        bi AS ({_inc_band_i}),
+        bn AS ({_inc_band_n}),
+        cand AS (
+          SELECT DISTINCT n.id AS new_id, i.id AS index_id
+          FROM bn n JOIN bi i
+            ON n.band_idx = i.band_idx AND n.band_hash = i.band_hash)
+        SELECT c.new_id, c.index_id, {_inc_jacc} AS jaccard
+        FROM cand c
+        JOIN shn a ON a.id = c.new_id
+        JOIN shi b ON b.id = c.index_id
+        WHERE {_inc_jacc} >= 0.5
     """
 
     # stream_attribution_outer: batch LEFT JOIN twin — unmatched views

@@ -520,3 +520,69 @@ def winnow_near_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Crawl-refresh NEAR-dedup — the MinHash twin of
+    ``incremental_dedup``: which documents of an incoming batch
+    near-duplicate something already in the corpus index? Returns
+    (new_id, index_id, jaccard) for verified pairs with n-gram Jaccard
+    ≥ ``threshold``; ``new_id``s absent from the result are genuinely
+    novel content and proceed to extraction.
+
+    Dataflow: both sides reduce to (id, band_idx, band_hash) triples
+    (``with_minhash_bands`` — explode → codegen md5 → partial-agg min,
+    only ~48-byte rows shuffle); candidates come from the band
+    equi-join NEW × INDEX (never new×new or index×index — re-crawls
+    only need novelty vs the corpus, which is what keeps this linear in
+    the batch, not the corpus); verification joins shingle arrays to
+    candidates only.
+
+    Production shape: the index side's band triples and shingle-digest
+    arrays are PERSISTED tables (written bucketed by (band_idx,
+    band_hash) and id respectively), so the candidate join is
+    co-located with no exchange on the corpus side and each refresh
+    recomputes signatures only for the new batch; this function derives
+    them from ``index_docs`` inline because the dev harness has no
+    persistent store. After the run, union the novel docs' bands into
+    the index — exactly the fingerprint-index lifecycle of
+    ``build_fingerprint_index``.
+    """
+    bn = with_minhash_bands(new_docs, text_col, id_col)
+    bi = with_minhash_bands(index_docs, text_col, id_col)
+    cand = (
+        bn.alias("n")
+        .join(
+            bi.alias("i"),
+            (F.col("n.band_idx") == F.col("i.band_idx"))
+            & (F.col("n.band_hash") == F.col("i.band_hash")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"), F.col("i.id").alias("index_id")
+        )
+        .distinct()
+    )
+    shn = new_docs.select(
+        F.col(id_col).alias("new_id"), shingles(text_col).alias("sh_a")
+    )
+    shi = index_docs.select(
+        F.col(id_col).alias("index_id"), shingles(text_col).alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(shn, "new_id")
+        .join(shi, "index_id")
+        .select(
+            "new_id",
+            "index_id",
+            round4(inter / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -162,3 +162,26 @@ def test_corpus_dup_fraction_reference(spark):
     }
     assert got == _py_dupfrac(texts, 3)
     assert 3 not in got
+
+
+def test_incremental_near_dup_semantics(spark):
+    from narowi_ocr_spark.operators.dedup import incremental_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    idx = spark.createDataFrame(
+        [Row(doc_id=0, text=base), Row(doc_id=1, text="completely unrelated corpus entry about spark shuffles")]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=base + " extra tail"),       # near-dup of idx 0
+            Row(doc_id=101, text="novel content nothing shares these words"),
+            # two identical NEW docs: near-dups of each other but of nothing
+            # indexed — must NOT appear (batch-internal dedup is a separate op)
+            Row(doc_id=102, text="twin text unique to the new batch right here"),
+            Row(doc_id=103, text="twin text unique to the new batch right here"),
+        ]
+    )
+    got = incremental_near_dup(new, idx, threshold=0.5).collect()
+    pairs = {(r.new_id, r.index_id) for r in got}
+    assert (100, 0) in pairs
+    assert all(n == 100 for n, _ in pairs), pairs  # 101/102/103 novel vs index
