@@ -2321,6 +2321,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_near_dup"] = incremental_near_dup_q
 
+    def ann_recall_q(spark, sf_dir):
+        """Recall@3 of the sign-LSH bucketed ANN path against the exact
+        broadcast ranking, per query (vec_id < 20 query set)."""
+        from narowi_ocr_spark.operators.similarity import ann_recall
+
+        vecs = load_table(spark, sf_dir, "embeddings")
+        queries_df = vecs.where(F.col("vec_id") < 20)
+        return ann_recall(vecs, queries_df, k=3)
+
+    q["ann_recall"] = ann_recall_q
+
     return q
 
 
@@ -4308,6 +4319,49 @@ def oracle_sql() -> dict[str, str]:
         JOIN shn a ON a.id = c.new_id
         JOIN shi b ON b.id = c.index_id
         WHERE {_inc_jacc} >= 0.5
+    """
+
+    # ann_recall: exact and bucketed rankings restated as CTEs (same
+    # fragments as emb_topk_exact / emb_ann_bucketed, query set
+    # vec_id < 20 for both), then a per-query hit count.
+    o["ann_recall"] = f"""
+        WITH ex_scored AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                 {_cos_sql('q.embedding', 'v.embedding')} AS cos_sim
+          FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+          WHERE q.vec_id < 20),
+        ex AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM ex_scored),
+        b AS (SELECT vec_id, embedding, {_bucket_sql()} AS bucket
+              FROM embeddings),
+        an_scored AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                 {_cos_sql('q.embedding', 'v.embedding')} AS cos_sim
+          FROM b q JOIN b v
+            ON q.bucket = v.bucket AND q.vec_id <> v.vec_id
+          WHERE q.vec_id < 20),
+        an AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM an_scored),
+        agg AS (
+          SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+                 CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+          FROM (SELECT * FROM ex WHERE rank <= 3) e
+          LEFT JOIN (SELECT * FROM an WHERE rank <= 3) a
+            ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+          GROUP BY 1)
+        SELECT query_id, CAST(n_exact AS INT) AS n_exact,
+               CAST(n_found AS INT) AS n_found,
+               (1000000 * n_found) // n_exact AS recall_scaled,
+               CAST((1000000 * n_found) // n_exact AS DOUBLE)
+                 / 1000000.0 AS recall
+        FROM agg
     """
 
     # stream_attribution_outer: batch LEFT JOIN twin — unmatched views

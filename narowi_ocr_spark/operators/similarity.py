@@ -486,3 +486,65 @@ def gemm_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dot_q", "cos_sim", "rank")
     )
+
+
+RECALL_SCALE = 1_000_000
+
+
+def ann_recall(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    approx=None,
+) -> DataFrame:
+    """Recall@k of an approximate ANN strategy against the exact
+    ranking, per query — the evaluation harness that turns "the bucketed
+    path is probably fine" into a number before a 100 TB index build
+    commits to a geometry (planes per LSH bucket, IVF probe count).
+
+    Returns (query_id, n_exact, n_found, recall_scaled, recall):
+    ``n_exact`` is the exact top-k size (k, unless the corpus is
+    smaller), ``n_found`` how many of those ids the approximate result
+    also returned, recall their ratio (fixed-point div, then the exact
+    double twin). Both rankings use the same deterministic total order
+    (round4 cosine desc, id asc), so the comparison is reproducible
+    across engines and partitionings.
+
+    Scale shape: this is an EVAL operator — run it on a few hundred
+    SAMPLED queries (e.g. ``fixed_count_sample``), where the exact side
+    is a broadcast-join scan of the corpus (the corpus never shuffles)
+    and the approximate side is whatever the production path costs. The
+    id-pair join between the two k-row-per-query results is trivial.
+    """
+    if approx is None:
+        approx = bucketed_topk
+    exact = brute_force_topk(vectors, queries, k, id_col, vec_col)
+    ann = approx(vectors, queries, k, id_col, vec_col)
+    hits = exact.select("query_id", "neighbor_id").join(
+        ann.select(
+            F.col("query_id").alias("aq"),
+            F.col("neighbor_id").alias("an"),
+            F.lit(1).alias("_hit"),
+        ),
+        (F.col("query_id") == F.col("aq"))
+        & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    agg = hits.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_found"),
+    )
+    return agg.select(
+        "query_id",
+        F.col("n_exact").cast("int").alias("n_exact"),
+        F.col("n_found").cast("int").alias("n_found"),
+        F.expr(f"({RECALL_SCALE} * n_found) div n_exact").alias(
+            "recall_scaled"
+        ),
+        (
+            F.expr(f"({RECALL_SCALE} * n_found) div n_exact").cast("double")
+            / F.lit(float(RECALL_SCALE))
+        ).alias("recall"),
+    )

@@ -6,6 +6,7 @@ import hashlib
 from collections import Counter
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from narowi_ocr_spark.operators.corpus import (
     PMI_SCALE,
@@ -185,3 +186,20 @@ def test_incremental_near_dup_semantics(spark):
     pairs = {(r.new_id, r.index_id) for r in got}
     assert (100, 0) in pairs
     assert all(n == 100 for n, _ in pairs), pairs  # 101/102/103 novel vs index
+
+
+def test_ann_recall_bounds_and_self_agreement(spark):
+    from narowi_ocr_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = vecs.where(F.col("vec_id") < 4)
+    # exact-vs-exact recall is 1.0 for every query by construction
+    self_r = ann_recall(vecs, qs, k=3, approx=brute_force_topk).collect()
+    assert len(self_r) == 4
+    assert all(r.recall == 1.0 and r.n_found == r.n_exact == 3 for r in self_r)
+    # bucketed recall is bounded in [0, 1] and n_found <= n_exact
+    buck = ann_recall(vecs, qs, k=3).collect()
+    assert all(0.0 <= r.recall <= 1.0 and r.n_found <= r.n_exact for r in buck)
