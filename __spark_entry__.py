@@ -242,6 +242,47 @@ _DUP_CORPUS_SQL = (
 
 _WORDS_SQL = "regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
 
+# Deterministic multiscript rows for the script-profile / lang-ID-v2
+# queries: documents.parquet is Latin-script synthetic English, so rows
+# doc_id<12 are re-texted (not appended) with one fixed snippet per
+# language and unioned back at doc_id+900000. Indexed by doc_id, shared
+# verbatim by queries() and oracle_sql().
+SCRIPT_SNIPPETS = [
+    "и в не на что с это как по но",          # 0 ru
+    "і в не на що з це як по але",             # 1 uk
+    "これは日本語のテキストです",                  # 2 ja (kana+han)
+    "这是一个中文文本",                           # 3 zh (han only)
+    "이것은 한국어 텍스트입니다",                   # 4 ko
+    "هذا نص باللغة العربية",                    # 5 ar
+    "זהו טקסט בעברית",                          # 6 he
+    "यह हिंदी में पाठ है",                        # 7 hi
+    "αυτό είναι ένα ελληνικό κείμενο",          # 8 el
+    "el que los de en un por no y las",         # 9 es
+    "o os um uma não com para mais dos como",   # 10 pt
+    "de het een van niet met voor dat zijn ook",  # 11 nl
+]
+
+
+def _multiscript_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ 12 fixed-language rows derived from doc_id<12."""
+    base = docs.select("doc_id", "text")
+    arr = F.array(*[F.lit(s) for s in SCRIPT_SNIPPETS])
+    aug = base.where(F.col("doc_id") < len(SCRIPT_SNIPPETS)).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.element_at(arr, (F.col("doc_id") + 1).cast("int")).alias("text"),
+    )
+    return base.unionAll(aug)
+
+
+_MULTISCRIPT_SQL = (
+    "mscorpus AS (\n"
+    "  SELECT doc_id, text FROM documents\n"
+    "  UNION ALL SELECT doc_id + 900000, ["
+    + ", ".join(_sq(s) for s in SCRIPT_SNIPPETS)
+    + "][CAST(doc_id + 1 AS INT)]\n"
+    f"  FROM documents WHERE doc_id < {len(SCRIPT_SNIPPETS)})"
+)
+
 # Fixed query set for the BM25 retrieval oracle (terms drawn from the
 # synthetic webtext vocabulary; shared verbatim by queries() and
 # oracle_sql() so both engines score the identical term table).
@@ -839,6 +880,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_id"] = lang_id_q
 
+    # Script-gated language ID over a corpus with real non-Latin rows
+    # (SCRIPT_SNIPPETS): per-script char counts → dominant script →
+    # script-local stopword vote. Pure codegen exprs, one narrow pass.
+    from narowi_ocr_spark.functions.scripts import (
+        SCRIPT_RANGES,
+        with_lang_id_v2,
+        with_script_profile,
+    )
+
+    def script_mix(spark, sf_dir):
+        return with_script_profile(
+            _multiscript_corpus(_docs(spark, sf_dir))
+        ).select("doc_id", *[f"n_{s}" for s in SCRIPT_RANGES], "script")
+
+    q["script_mix"] = script_mix
+
+    def lang_id_v2(spark, sf_dir):
+        return with_lang_id_v2(_multiscript_corpus(_docs(spark, sf_dir))).select(
+            "doc_id", "lang_pred2"
+        )
+
+    q["lang_id_v2"] = lang_id_v2
+
     def curation_pipeline(spark, sf_dir):
         """End-to-end corpus curation: lang-ID gate → quality gate →
         exact dedup (keep min-id representative). The composition the
@@ -933,6 +997,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_components"] = dedup_components
+
+    def dedup_rep_quality(spark, sf_dir):
+        """Quality-aware near-dup collapse: same LSH→connected-components
+        labeling, but the kept representative per cluster is the highest
+        quality-score document (tie → min doc_id), not the min-id one —
+        what a training-data pipeline actually wants to keep. One extra
+        broadcast-sized join against the per-doc quality projection plus
+        one per-component window; text never shuffles."""
+        from narowi_ocr_spark.operators.components import connected_components
+
+        corpus = _dup_corpus(_docs(spark, sf_dir))
+        pairs = lsh_candidate_pairs(corpus)
+        nodes = corpus.select(F.col("doc_id").alias("id"))
+        comps = connected_components(pairs, nodes=nodes)
+        scored = with_text_stats(corpus).select(
+            F.col("doc_id").alias("id"), "q"
+        )
+        w = Window.partitionBy("comp").orderBy(F.desc("q"), F.asc("id"))
+        return (
+            comps.join(scored, "id")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                F.col("comp").alias("component"),
+                F.col("id").alias("rep_id"),
+                "q",
+            )
+        )
+
+    q["dedup_rep_quality"] = dedup_rep_quality
 
     def repetition_stats(spark, sf_dir):
         """Gopher-style within-document repetition signals (dup-n-gram
@@ -1837,6 +1931,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_histogram"] = events_histogram_q
 
+    def events_zorder_q(spark, sf_dir):
+        """Z-order (Morton) clustering key over (user_id, event-hour):
+        the multi-dimensional data-layout primitive behind Delta
+        OPTIMIZE ZORDER / Iceberg sort orders. The z computation is pure
+        integer bit-twiddling (codegen, engine-bit-identical); the write
+        path (repartitionByRange(z) + sortWithinPartitions, exercised by
+        tests/test_layout.py) makes BOTH dimensions' per-file min/max
+        stats tight so either predicate prunes files at 100 TB."""
+        from narowi_ocr_spark.operators.layout import morton2
+
+        ev = load_table(spark, sf_dir, "events")
+        a = (F.col("user_id") % 65536).alias("u16")
+        b = (
+            (F.floor(F.unix_timestamp("ts") / 3600) % 65536)
+            .cast("long")
+            .alias("h16")
+        )
+        staged = ev.select("event_id", a, b)
+        return staged.select(
+            "event_id", "u16", "h16", morton2("u16", "h16").alias("z")
+        )
+
+    q["events_zorder"] = events_zorder_q
+
     def events_funnel_q(spark, sf_dir):
         """view→purchase conversion funnel per user: first view, first
         purchase strictly after it, and whether conversion happened
@@ -2696,6 +2814,83 @@ def oracle_sql() -> dict[str, str]:
         FROM h
     """
 
+    # ---- script profile + script-gated lang id -------------------------
+    from narowi_ocr_spark.functions.scripts import (
+        CYRILLIC_STOPWORDS,
+        LATIN_STOPWORDS,
+        SCRIPT_RANGES,
+        _SCRIPT_TO_LANG,
+    )
+
+    def _script_n_sql(name: str) -> str:
+        pat = "[" + SCRIPT_RANGES[name].replace("'", "''") + "]"
+        return f"(length(text) - length(regexp_replace(text, '{pat}', '', 'g')))"
+
+    _scripts = list(SCRIPT_RANGES)
+    _n_cols = ",\n               ".join(
+        f"{_script_n_sql(s)} AS n_{s}" for s in _scripts
+    )
+    _best_n = "greatest(" + ", ".join(f"n_{s}" for s in _scripts) + ")"
+    _dom_case = (
+        f"CASE WHEN {_best_n} = 0 THEN 'none' "
+        + " ".join(f"WHEN n_{s} = {_best_n} THEN '{s}'" for s in _scripts)
+        + " END"
+    )
+    o["script_mix"] = f"""
+        WITH {_MULTISCRIPT_SQL},
+        s AS (
+          SELECT doc_id,
+               {_n_cols}
+          FROM mscorpus)
+        SELECT doc_id, {', '.join('n_' + s for s in _scripts)},
+               {_dom_case} AS script
+        FROM s
+    """
+
+    def _lex_hits_sql(ws: list[str]) -> str:
+        lst = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in ws) + "]"
+        return f"len(list_intersect(dtoks, {lst}))"
+
+    def _vote_case(lex: dict[str, list[str]], pfx: str) -> str:
+        best = "greatest(" + ", ".join(f"{pfx}{lg}" for lg in lex) + ")"
+        return (
+            f"CASE WHEN {best} = 0 THEN 'und' "
+            + " ".join(f"WHEN {pfx}{lg} = {best} THEN '{lg}'" for lg in lex)
+            + " END"
+        )
+
+    _lat_hits = ",\n               ".join(
+        f"{_lex_hits_sql(ws)} AS hl_{lg}" for lg, ws in LATIN_STOPWORDS.items()
+    )
+    _cyr_hits = ",\n               ".join(
+        f"{_lex_hits_sql(ws)} AS hc_{lg}" for lg, ws in CYRILLIC_STOPWORDS.items()
+    )
+    _single = " ".join(
+        f"WHEN {_dom_case} = '{sc}' THEN '{lg}'" for sc, lg in _SCRIPT_TO_LANG.items()
+    )
+    o["lang_id_v2"] = f"""
+        WITH {_MULTISCRIPT_SQL},
+        s AS (
+          SELECT doc_id, text,
+               {_n_cols},
+               list_distinct({_WORDS_SQL}) AS dtoks
+          FROM mscorpus),
+        h AS (
+          SELECT *,
+               {_lat_hits},
+               {_cyr_hits}
+          FROM s)
+        SELECT doc_id,
+               CASE WHEN n_kana > 0 THEN 'ja'
+                    WHEN {_best_n} = 0 THEN 'und'
+                    WHEN {_dom_case} = 'han' THEN 'zh'
+                    WHEN {_dom_case} = 'cyrillic' THEN {_vote_case(CYRILLIC_STOPWORDS, 'hc_')}
+                    WHEN {_dom_case} = 'latin' THEN {_vote_case(LATIN_STOPWORDS, 'hl_')}
+                    {_single}
+                    ELSE 'und' END AS lang_pred2
+        FROM h
+    """
+
     o["quality_scores"] = f"""
         WITH s AS (
           SELECT doc_id,
@@ -2896,6 +3091,31 @@ def oracle_sql() -> dict[str, str]:
           UNION
           SELECT e.d, c.r FROM closure c JOIN edges e ON e.s = c.id)
         SELECT id, min(r) AS component FROM closure GROUP BY id
+    """
+
+    o["dedup_rep_quality"] = f"""
+        WITH RECURSIVE {_DUP_CORPUS_SQL},
+        {sig_cte},
+        bands AS ({band_union}),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.id < b.id),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        closure(id, r) AS (
+          SELECT doc_id, doc_id FROM corpus
+          UNION
+          SELECT e.d, c.r FROM closure c JOIN edges e ON e.s = c.id)
+        , comps AS (SELECT id, min(r) AS component FROM closure GROUP BY id)
+        , scored AS (SELECT doc_id AS id, {_q_sql} AS q FROM corpus)
+        , ranked AS (
+          SELECT c.component, c.id, s.q,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY s.q DESC, c.id) AS rn
+          FROM comps c JOIN scored s ON s.id = c.id)
+        SELECT component, id AS rep_id, q FROM ranked WHERE rn = 1
     """
 
     o["repetition_stats"] = f"""
@@ -3694,6 +3914,18 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
+    """
+
+    from narowi_ocr_spark.operators.layout import morton2_sql
+
+    o["events_zorder"] = f"""
+        WITH s AS (
+          SELECT event_id,
+                 user_id % 65536 AS u16,
+                 CAST(floor(epoch(ts) / 3600) AS BIGINT) % 65536 AS h16
+          FROM events)
+        SELECT event_id, u16, h16, {morton2_sql('u16', 'h16')} AS z
+        FROM s
     """
 
     o["events_funnel"] = """
