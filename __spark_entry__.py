@@ -283,6 +283,12 @@ _MULTISCRIPT_SQL = (
     f"  FROM documents WHERE doc_id < {len(SCRIPT_SNIPPETS)})"
 )
 
+# Per-source token budgets for the token_budget_sample query: varied so
+# different sources exhaust at different depths; sources outside the map
+# fall back to the query's default_budget. Shared by queries() and
+# oracle_sql().
+TOKEN_BUDGETS = {f"src{i}": 400 + 350 * (i % 4) for i in range(20)}
+
 # Fixed query set for the BM25 retrieval oracle (terms drawn from the
 # synthetic webtext vocabulary; shared verbatim by queries() and
 # oracle_sql() so both engines score the identical term table).
@@ -1027,6 +1033,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_rep_quality"] = dedup_rep_quality
+
+    def adaptive_quality_gate_q(spark, sf_dir):
+        """Per-source quality percentile gate (CCNet-style): keep the
+        top 40% of each source by quality score rather than one global
+        threshold, so noisy and clean sources filter at the same rate.
+        Gate runs on a (id, source, q) projection — text never enters
+        the window shuffle."""
+        from narowi_ocr_spark.operators.corpus import adaptive_quality_gate
+
+        scored = with_text_stats(_docs(spark, sf_dir)).select(
+            "doc_id", "source", "q"
+        )
+        return adaptive_quality_gate(scored, keep_frac=0.4).select(
+            "doc_id", "source", "q", "q_rank"
+        )
+
+    q["adaptive_quality_gate"] = adaptive_quality_gate_q
+
+    def token_budget_sample_q(spark, sf_dir):
+        """Mixture assembly to explicit per-source token budgets:
+        deterministic md5-ordered admission until each source's budget
+        is spent (greedy, one window pass). The budgets map is what
+        domain_mix_weights × a global token target produces."""
+        from narowi_ocr_spark.operators.corpus import token_budget_sample
+
+        scored = with_text_stats(_docs(spark, sf_dir)).select(
+            "doc_id", "source", "n_tokens"
+        )
+        return token_budget_sample(
+            scored, TOKEN_BUDGETS, default_budget=600
+        ).select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+
+    q["token_budget_sample"] = token_budget_sample_q
 
     def repetition_stats(spark, sf_dir):
         """Gopher-style within-document repetition signals (dup-n-gram
@@ -3116,6 +3160,39 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY s.q DESC, c.id) AS rn
           FROM comps c JOIN scored s ON s.id = c.id)
         SELECT component, id AS rep_id, q FROM ranked WHERE rn = 1
+    """
+
+    o["adaptive_quality_gate"] = f"""
+        WITH s AS (SELECT doc_id, source, {_q_sql} AS q FROM documents),
+        r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY q DESC, doc_id) AS q_rank,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM s)
+        SELECT doc_id, source, q, q_rank
+        FROM r WHERE q_rank <= ceil(0.4 * n)
+    """
+
+    _budget_case = (
+        "coalesce(CASE source "
+        + " ".join(f"WHEN '{s}' THEN {b}" for s, b in TOKEN_BUDGETS.items())
+        + " END, 600)"
+    )
+    o["token_budget_sample"] = f"""
+        WITH s AS (
+          SELECT doc_id, source, {_ntok_sql} AS n_tokens,
+                 md5('tb0' || CAST(doc_id AS VARCHAR)) AS k
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source
+                      ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tokens,
+                 {_budget_case} AS b
+          FROM s)
+        SELECT doc_id, source, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens - n_tokens < b
     """
 
     o["repetition_stats"] = f"""

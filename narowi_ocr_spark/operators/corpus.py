@@ -956,3 +956,86 @@ def corpus_dup_fraction(
             / F.lit(float(DUPF_SCALE))
         ).alias("dup_frac"),
     )
+
+
+def adaptive_quality_gate(
+    scored: DataFrame,
+    keep_frac: float = 0.5,
+    strata_col: str = "source",
+    q_col: str = "q",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source quality gate calibrated to the SOURCE's own quality
+    distribution: keep the top ``keep_frac`` of each stratum by score
+    (ties → min id), instead of one global threshold.
+
+    A global cutoff over-filters clean-but-plain sources and under-
+    filters noisy ones; percentile gating (the CCNet per-language-bucket
+    pattern) equalizes the survivorship rate. Exact-count semantics:
+    ceil(keep_frac · n) rows survive per stratum — deterministic and
+    engine-independent, unlike percent_rank at duplicate scores.
+
+    One window shuffle on the stratum column; text columns pass through
+    untouched (at scale, gate on a (id, source, q) projection and
+    semi-join the survivors back so text never shuffles).
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(q_col).desc(), F.col(id_col)
+    )
+    n = F.count("*").over(Window.partitionBy(strata_col))
+    keep_n = F.ceil(F.lit(keep_frac) * n.cast("double"))
+    return (
+        scored.withColumn("q_rank", F.row_number().over(w))
+        .withColumn("_keep_n", keep_n)
+        .where(F.col("q_rank") <= F.col("_keep_n"))
+        .drop("_keep_n")
+    )
+
+
+def token_budget_sample(
+    docs_with_tokens: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    strata_col: str = "source",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "tb0",
+) -> DataFrame:
+    """Assemble a training mixture to an explicit per-source TOKEN
+    budget: within each source, order documents by md5(salt‖id) (a
+    uniform, reproducible shuffle) and admit documents while the
+    running token total is below the source's budget.
+
+    Admission rule: a document enters iff the budget was not yet
+    exhausted when it arrived (cumulative tokens of PRIOR docs
+    < budget) — so the final admitted document may overshoot by part of
+    one document, the standard greedy semantics that keeps the decision
+    per-row and one-pass. Mixture weights (e.g. from
+    ``domain_mix_weights``) times a global token target give the
+    ``budgets`` map.
+
+    One window shuffle on the stratum column; the cumulative sum is a
+    running aggregate inside the sorted partition, no second exchange.
+    """
+    bmap = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    budget = F.coalesce(
+        bmap.getItem(F.col(strata_col)), F.lit(default_budget)
+    ).cast("long")
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(key.asc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    return (
+        docs_with_tokens.withColumn("cum_tokens", cum)
+        .withColumn("_budget", budget)
+        .where(
+            (F.col("cum_tokens") - F.col(tokens_col).cast("long"))
+            < F.col("_budget")
+        )
+        .drop("_budget")
+    )

@@ -1,0 +1,90 @@
+"""Per-source quality gate + token-budget mixture sampling
+(operators/corpus.py: adaptive_quality_gate, token_budget_sample)."""
+
+from pyspark.sql import functions as F
+
+from narowi_ocr_spark.operators.corpus import (
+    adaptive_quality_gate,
+    token_budget_sample,
+)
+
+
+def _scored(spark):
+    # two sources with opposite quality regimes: a global threshold
+    # would keep all of 'hi' and none of 'lo'
+    rows = [(i, "hi", 0.8 + 0.01 * i) for i in range(10)] + [
+        (100 + i, "lo", 0.1 + 0.01 * i) for i in range(10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, q double")
+
+
+def test_gate_keeps_exact_fraction_per_source(spark):
+    out = adaptive_quality_gate(_scored(spark), keep_frac=0.3)
+    per = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {"hi": 3, "lo": 3}  # ceil(0.3*10) each, NOT 6/0
+
+
+def test_gate_keeps_top_scores(spark):
+    out = adaptive_quality_gate(_scored(spark), keep_frac=0.3)
+    lo_kept = sorted(
+        r["doc_id"] for r in out.where("source = 'lo'").collect()
+    )
+    assert lo_kept == [107, 108, 109]  # highest q in 'lo'
+
+
+def test_gate_tie_break_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "s", 0.5) for i in range(4)], "doc_id long, source string, q double"
+    )
+    out = adaptive_quality_gate(df, keep_frac=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 1]  # min ids win ties
+
+
+def _toks(spark):
+    rows = [(i, "a", 100) for i in range(10)] + [(100 + i, "b", 100) for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+
+
+def test_budget_admits_prefix_and_bounds_overshoot(spark):
+    out = token_budget_sample(_toks(spark), {"a": 250, "b": 1000})
+    agg = {
+        r["source"]: (r["n"], r["tot"])
+        for r in out.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("tot"))
+        .collect()
+    }
+    # 'a': admitted while cum-prior < 250 → 3 docs (0,100,200 prior) = 300 tokens:
+    # overshoot strictly less than one document
+    assert agg["a"] == (3, 300)
+    assert agg["b"] == (10, 1000)  # budget ≥ corpus → everything admitted
+
+
+def test_budget_zero_admits_nothing_and_default_applies(spark):
+    df = _toks(spark)
+    out = token_budget_sample(df, {"a": 0}, default_budget=150)
+    agg = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert "a" not in agg  # zero budget: no admissions
+    assert agg["b"] == 2  # default 150 → 2 docs (prior 0 and 100 < 150)
+
+
+def test_budget_admission_is_hash_prefix(spark):
+    """Admitted set must be a prefix of the md5-ordered sequence — no
+    doc admitted after a rejected one within a source."""
+    out = token_budget_sample(_toks(spark), {"a": 450, "b": 450})
+    rows = out.withColumn(
+        "k", F.md5(F.concat(F.lit("tb0"), F.col("doc_id").cast("string")))
+    ).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["k"], r["doc_id"], r["cum_tokens"]))
+    for src, lst in by_src.items():
+        lst.sort()
+        cums = [c for _, _, c in lst]
+        assert cums == sorted(cums)
+        assert cums[-1] - 100 < 450  # last admission started inside budget
