@@ -976,6 +976,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["jaccard_near_dups"] = jaccard_near_dups
 
+    def dedup_eval_q(spark, sf_dir):
+        """Geometry-sizing harness: precision/recall (ppm fixed point)
+        of the LSH candidate generator vs exact all-pairs Jaccard ground
+        truth on a deterministic 25% md5 sample — ann_recall's twin for
+        the dedup family. The O(n²) truth join is confined to the
+        sample by construction."""
+        from narowi_ocr_spark.operators.dedup import dedup_eval
+
+        return dedup_eval(_dup_corpus(_docs(spark, sf_dir)))
+
+    q["dedup_eval"] = dedup_eval_q
+
     def simhash_q(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         return with_simhash(docs).select(F.col("id").alias("doc_id"), "h")
@@ -3096,6 +3108,42 @@ def oracle_sql() -> dict[str, str]:
         JOIN sh_docs sb ON sb.id = p.id_b
         WHERE {_round4_sql("CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
                            " / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)")} >= 0.5
+    """
+
+    _jac_expr = (
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)"
+    )
+    o["dedup_eval"] = f"""
+        WITH {_DUP_CORPUS_SQL},
+        samp AS (
+          SELECT doc_id, text FROM corpus
+          WHERE md5('de0' || CAST(doc_id AS VARCHAR)) < '4'),
+        sh_docs AS (SELECT doc_id AS id, {_shingles_sql()} AS sh FROM samp),
+        sigs AS (SELECT id, {_minhash_sql()} AS sig FROM sh_docs),
+        bands AS ({band_union}),
+        truth AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM sh_docs a JOIN sh_docs b ON a.id < b.id
+          WHERE {_round4_sql(_jac_expr)} >= 0.5),
+        pred AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.id < b.id),
+        hit AS (
+          SELECT p.id_a FROM pred p
+          JOIN truth t ON t.id_a = p.id_a AND t.id_b = p.id_b),
+        c AS (
+          SELECT (SELECT count(*) FROM truth) AS n_truth,
+                 (SELECT count(*) FROM pred) AS n_pred,
+                 (SELECT count(*) FROM hit) AS n_hit)
+        SELECT n_truth, n_pred, n_hit,
+               CASE WHEN n_pred = 0 THEN NULL
+                    ELSE (1000000 * n_hit) // n_pred END AS precision_ppm,
+               CASE WHEN n_truth = 0 THEN NULL
+                    ELSE (1000000 * n_hit) // n_truth END AS recall_ppm
+        FROM c
     """
 
     o["simhash"] = f"SELECT doc_id, {_simhash_sql()} AS h FROM documents"

@@ -586,3 +586,66 @@ def incremental_near_dup(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    salt: str = "de0",
+    hex_lt: str = "4",
+) -> DataFrame:
+    """Precision/recall of MinHash-LSH candidate generation against
+    exact all-pairs n-gram Jaccard ground truth — the harness that sizes
+    the (NUM_PERM, bands, rows) geometry, mirroring ``ann_recall`` for
+    the dedup family.
+
+    Ground truth needs ALL pairs, which is O(n²) by definition, so the
+    evaluation runs on a deterministic md5 sample (hex-prefix predicate:
+    reproducible across engines and partitionings). At 100 TB you size
+    the SAMPLE (e.g. 100k docs), never the corpus: the quadratic term is
+    confined to the eval job, and the measured precision/recall of the
+    geometry transfers to the full corpus.
+
+    Returns ONE row: n_truth, n_pred, n_hit, precision_ppm, recall_ppm
+    (parts-per-million integer fixed point: exact cross-engine, no float
+    division drift).
+    """
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    sampled = df.where(key < F.lit(hex_lt))
+    sh = sampled.select(F.col(id_col).alias("id"), shingles(text_col).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+    union = F.size(F.array_union("a.sh", "b.sh")).cast("double")
+    truth = (
+        a.join(b, F.col("a.id") < F.col("b.id"))  # eval-only all-pairs
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            round4(inter / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    pred = lsh_candidate_pairs(sampled, text_col, id_col)
+    hit = pred.join(truth.select("id_a", "id_b"), ["id_a", "id_b"])
+    nt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    np_ = pred.agg(F.count("*").cast("long").alias("n_pred"))
+    nh = hit.agg(F.count("*").cast("long").alias("n_hit"))
+    return (
+        nt.crossJoin(np_)
+        .crossJoin(nh)
+        .select(
+            "n_truth",
+            "n_pred",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_pred = 0 THEN NULL"
+                " ELSE (1000000 * n_hit) div n_pred END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN n_truth = 0 THEN NULL"
+                " ELSE (1000000 * n_hit) div n_truth END"
+            ).alias("recall_ppm"),
+        )
+    )
