@@ -588,6 +588,112 @@ def incremental_near_dup(
     )
 
 
+# ------------------------------------------- bloom-pruned incremental
+
+def bloom_build(
+    index: DataFrame, fp_col: str = "fp", m_bits: int = 1 << 14, k: int = 5
+) -> DataFrame:
+    """Distributed Bloom-filter build over a corpus fingerprint index:
+    explode the ``k`` probe positions per fingerprint, OR the bits into
+    64-bit words with a partial-aggregating ``bit_or``, then densify
+    into ONE ``array<long>`` row of ``m_bits/64`` words.
+
+    Scale shape: the only shuffle moves ``(word_idx, word_bits)`` pairs
+    — at most ``m_bits/64`` distinct groups regardless of index size —
+    and map-side combine collapses each partition to ≤ ``m_bits/64``
+    rows before the exchange. The finished bitmap is broadcast-sized by
+    construction (2²⁷ bits = 16 MB covers ~10⁹ fingerprints at ~1% FPR
+    with k=9; size via m/n = -ln(p)/ln²2, k = (m/n)·ln 2).
+
+    Bloom filters of two indexes OR-merge (``bloom_merge``), so a crawl
+    pipeline maintains the bitmap INCREMENTALLY alongside the index —
+    each refresh ORs in the new batch's bits instead of rebuilding.
+    Uses ``xxhash64`` (no oracle-parity constraint: the filter only
+    prunes, it never appears in query output)."""
+    n_words = m_bits // 64
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(fp_col), F.lit(i)), F.lit(m_bits))
+                for i in range(k)
+            ]
+        )
+    ).alias("pos")
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")
+    word_rows = (
+        index.select(pos)
+        .select(F.shiftright(F.col("pos"), 6).alias("w"), bit.alias("m"))
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("mm"), i.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+    return word_rows.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("mm")
+    ).select(dense.alias("bitmap"))
+
+
+def bloom_merge(a: Column | str, b: Column | str) -> Column:
+    """OR-merge two equal-geometry Bloom bitmaps (array<long>)."""
+    return F.zip_with(_col(a), _col(b), lambda x, y: x.bitwiseOR(y))
+
+
+def bloom_might_contain(
+    bitmap: str = "bitmap", fp: str = "fp", m_bits: int = 1 << 14, k: int = 5
+) -> Column:
+    """True iff all ``k`` probe bits for ``fp`` are set — one Catalyst
+    expression over the broadcast bitmap, no shuffle, no Python.
+    ``bitmap``/``fp`` are column NAMES (the probe literals must be typed
+    identically to ``bloom_build``'s: integer ``i``, so the xxhash64
+    seeds agree)."""
+    terms = []
+    for i in range(k):
+        p = f"pmod(xxhash64({fp}, {i}), {m_bits})"
+        word = f"element_at({bitmap}, CAST(shiftright({p}, 6) AS INT) + 1)"
+        mask = f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({p}, 64) AS INT))"
+        terms.append(f"(({word} & {mask}) != 0)")
+    return F.expr(" AND ".join(terms))
+
+
+def incremental_dedup_bloom(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 14,
+    k: int = 5,
+) -> DataFrame:
+    """``incremental_dedup`` with a Bloom-filter fast path: batch
+    fingerprints whose probe bits are not all set are DEFINITELY absent
+    from the index (no false negatives) and skip the anti-join
+    entirely; only the maybe-duplicate remainder — the true-dup
+    fraction plus the filter's ~1% false positives — pays for the exact
+    anti-join against the index. Output is EXACTLY ``incremental_dedup``'s
+    (the filter only routes rows, it never decides).
+
+    Why this matters at 100 TB: the fingerprint index is corpus-sized,
+    but the bitmap is megabytes and OR-maintained incrementally
+    (``bloom_merge``), so a mostly-novel crawl batch resolves almost
+    entirely against a broadcast bitmap — the per-batch anti-join
+    touches only the candidate sliver, and partition-prunes the
+    fp-bucketed index to matching buckets."""
+    fps = new_docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    batch_reps = fps.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    bloom = bloom_build(index, m_bits=m_bits, k=k)
+    probed = batch_reps.crossJoin(F.broadcast(bloom))
+    maybe = bloom_might_contain("bitmap", "fp", m_bits, k)
+    definitely_new = probed.where(~maybe).select("fp", id_col)
+    candidates = probed.where(maybe).select("fp", id_col)
+    fresh = definitely_new.unionByName(candidates.join(index, "fp", "left_anti"))
+    return fresh.join(new_docs, id_col).select(
+        id_col, "fp", *[c for c in new_docs.columns if c != id_col]
+    )
+
+
 def dedup_eval(
     df: DataFrame,
     text_col: str = "text",
