@@ -1693,6 +1693,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_extract"] = stream_extract
 
+    def stream_dedup(spark, sf_dir):
+        """Crawl-frontier streaming dedup (dropDuplicatesWithinWatermark,
+        24h horizon) over a 4-micro-batch file stream:
+          b1: every doc at ts0(doc_id) plus byte-identical duplicate rows
+              (every 3rd doc) — within-batch dups collapse; duplicates are
+              identical rows so the within-batch tie is value-deterministic;
+          b2: re-arrivals of every 7th doc at ts0+2h (within horizon →
+              guaranteed dropped) + a sentinel key at +80h that advances
+              the event-time watermark past every original's expiry;
+          b3: the sentinel again at +81h (dropped as a within-horizon dup;
+              the batch also gives state eviction a boundary to run on);
+          b4: re-crawls of every 5th doc at +60h — ABOVE the watermark and
+              past the originals' 24h state TTL → treated as fresh.
+        Survivors are exactly: all originals at ts0, the sentinel, and the
+        b4 re-crawls — a closed-form oracle. State is bounded by the
+        horizon (one entry per key per 24h), which is what makes this
+        viable on an unbounded 100 TB/day crawl where plain
+        dropDuplicates would accrete state forever."""
+        import glob
+        import os
+
+        from narowi_ocr_spark.streaming import dedup_stream
+
+        ids = _docs(spark, sf_dir).select("doc_id")
+        ts0 = F.expr(
+            "timestampadd(SECOND, doc_id, TIMESTAMP '2024-01-01 00:00:00')"
+        )
+        originals = ids.select("doc_id", ts0.alias("ts"))
+        b1 = originals.unionAll(originals.where(F.col("doc_id") % 3 == 0))
+        b2 = (
+            ids.where(F.col("doc_id") % 7 == 0)
+            .select(
+                "doc_id",
+                F.expr(
+                    "timestampadd(HOUR, 2, timestampadd(SECOND, doc_id,"
+                    " TIMESTAMP '2024-01-01 00:00:00'))"
+                ).alias("ts"),
+            )
+            .unionAll(
+                spark.sql(
+                    "SELECT CAST(-1 AS BIGINT) doc_id,"
+                    " TIMESTAMP '2024-01-04 08:00:00' ts"
+                )
+            )
+        )
+        b3 = spark.sql(
+            "SELECT CAST(-1 AS BIGINT) doc_id, TIMESTAMP '2024-01-04 09:00:00' ts"
+        )
+        b4 = ids.where(F.col("doc_id") % 5 == 0).select(
+            "doc_id", F.expr("TIMESTAMP '2024-01-03 12:00:00'").alias("ts")
+        )
+        src = tempfile.mkdtemp(prefix="narowi_sdedup_src_")
+        for i, batch in enumerate([b1, b2, b3, b4]):
+            d = tempfile.mkdtemp(prefix="narowi_sdedup_b_")
+            batch.coalesce(1).write.mode("overwrite").parquet(d)
+            for fpath in glob.glob(os.path.join(d, "part-*.parquet")):
+                tgt = os.path.join(src, f"b{i}_" + os.path.basename(fpath))
+                os.rename(fpath, tgt)
+                # explicit mtimes: the file source drains oldest-first
+                os.utime(tgt, (1700000000 + i, 1700000000 + i))
+        stream = (
+            spark.readStream.schema("doc_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        result = dedup_stream(stream, key_cols=["doc_id"], ts_col="ts")
+        name = "stream_dedup_" + uuid.uuid4().hex[:8]
+        sq = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="narowi_sdedup_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return spark.table(name).select("doc_id", "ts")
+
+    q["stream_dedup"] = stream_dedup
+
     def sessions_stateful(spark, sf_dir):
         """Custom stateful streaming operator (applyInPandasWithState):
         gap-based sessionization with per-user state + event-time timeout.
@@ -3758,6 +3840,22 @@ def oracle_sql() -> dict[str, str]:
 
     o["stream_extract"] = f"""
         SELECT doc_id, {_STRIP_SQL} AS extracted_text FROM documents
+    """
+
+    # stream_dedup survivors in closed form: originals + sentinel + the
+    # post-eviction re-crawl batch (see the queries() docstring for the
+    # 4-batch construction).
+    o["stream_dedup"] = """
+        SELECT doc_id,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + doc_id * INTERVAL 1 SECOND AS ts
+        FROM documents
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS doc_id,
+               TIMESTAMP '2024-01-04 08:00:00' AS ts
+        UNION ALL
+        SELECT doc_id, TIMESTAMP '2024-01-03 12:00:00' AS ts
+        FROM documents WHERE doc_id % 5 = 0
     """
 
     # passage_dedup: the packed key doc_id*2^24+idx mirrors
