@@ -191,6 +191,26 @@ def main() -> None:
 
     corpus = entrymod._dup_corpus(docs)
     bench("exact_dedup", lambda: materialize(exact_dedup(corpus)))
+
+    from narowi_ocr_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_dedup,
+        incremental_dedup_bloom,
+    )
+
+    # crawl-refresh twins: the Bloom variant routes definitely-new
+    # fingerprints past the anti-join (output identical by construction)
+    _idx = build_fingerprint_index(docs)
+    bench(
+        "incr_dedup_exact",
+        lambda: materialize(incremental_dedup(corpus, _idx)),
+        extra_set=True,
+    )
+    bench(
+        "incr_dedup_bloom",
+        lambda: materialize(incremental_dedup_bloom(corpus, _idx)),
+        extra_set=True,
+    )
     bench("minhash_lsh_pairs", lambda: materialize(lsh_candidate_pairs(corpus)))
     from narowi_ocr_spark.operators.dedup import (
         PROD_NUM_PERM,

@@ -3,5 +3,6 @@
 from narowi_ocr_spark.streaming.stream import (  # noqa: F401
     dedup_stream,
     run_extraction_stream,
+    run_ingest_stream,
     stream_pages,
 )

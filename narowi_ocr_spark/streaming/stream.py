@@ -129,6 +129,82 @@ def run_extraction_stream(
     return batches_seen
 
 
+def run_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "url",
+    timeout_s: int = 300,
+    source: DataFrame | None = None,
+) -> list[int]:
+    """Resumable crawl-ingest job — the composition the whole dedup
+    family exists for. Per micro-batch:
+
+      1. in-batch exact dedup (min-``id_col`` representative per content
+         fingerprint, as in ``exact_dedup``);
+      2. left-anti join against the PERSISTED fingerprint index, which
+         accumulates across batches AND across runs — re-crawled content
+         from last week's run is dropped here;
+      3. survivors land idempotently in ``out_dir/batch_id=<id>``
+         (overwrite, same contract as ``run_extraction_stream``);
+      4. survivors' fingerprints are appended to the index as an
+         ``index_dir/batch_id=<id>`` delta — ALSO overwrite-idempotent,
+         so a re-delivered batch (crash between data commit and
+         checkpoint commit) rewrites its own delta instead of
+         double-inserting fingerprints.
+
+    Returns the batch ids processed this run (empty on a pure resume —
+    the checkpoint prevented re-processing; test-asserted).
+
+    Scale notes: only (id, fp) pairs shuffle — payloads stay columnar in
+    the batch until the final id-join pullback inside
+    ``incremental_dedup``. The per-batch index read is a parquet scan of
+    fingerprints only; in production the index is written bucketed by
+    ``fp`` so the anti-join co-locates, and the Bloom-pruned variant
+    (``incremental_dedup_bloom``) screens mostly-novel batches against a
+    broadcast bitmap maintained incrementally by OR-merge. In-horizon
+    URL-level dedup (``dedup_stream``) composes upstream of this sink to
+    drop same-key re-crawls before they are even fingerprinted.
+
+    ``source`` overrides the default pages-schema file stream (any
+    streaming DataFrame with ``id_col`` and ``text_col``)."""
+    from narowi_ocr_spark.operators.dedup import incremental_dedup
+
+    pages = source if source is not None else stream_pages(spark, src_dir)
+    batches_seen: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batches_seen.append(batch_id)
+        spark_ = batch_df.sparkSession
+        try:
+            index = spark_.read.parquet(index_dir).select("fp")
+        except Exception:  # first batch of the first run: no index yet
+            index = spark_.createDataFrame([], "fp string")
+        fresh = incremental_dedup(batch_df, index, text_col, id_col)
+        fresh.persist()
+        try:
+            fresh.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
+            fresh.select("fp").distinct().write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"batch_id={batch_id}")
+            )
+        finally:
+            fresh.unpersist()
+
+    q = (
+        pages.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return batches_seen
+
+
 def hourly_counts_stream(
     events: DataFrame,
     ts_col: str = "ts",

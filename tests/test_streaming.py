@@ -43,6 +43,84 @@ def test_available_now_and_resume(spark, tmp_path):
     assert len(batch_dirs) == len({e["batch_id"] for e in entries})
 
 
+def test_ingest_stream_dedups_across_batches_and_runs(spark, tmp_path):
+    """End-to-end resumable ingest: per-batch exact dedup + anti-join
+    against the persisted fingerprint index. Content seen in an earlier
+    batch OR an earlier RUN never lands twice; the index accumulates as
+    idempotent per-batch deltas; a pure resume processes nothing."""
+    import glob
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.streaming import run_ingest_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    schema = "url string, text string"
+
+    def add_file(rows, tag):
+        d = str(tmp_path / ("stage_" + tag))
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        for f in glob.glob(d + "/part-*.parquet"):
+            os.rename(f, os.path.join(src, f"{tag}_" + os.path.basename(f)))
+        _time.sleep(1.1)  # distinct mtimes → stable batch order
+
+    add_file([Row(url="u/a", text="alpha"), Row(url="u/b", text="beta")], "b0")
+    add_file(
+        [Row(url="u/b2", text="beta"), Row(url="u/c", text="gamma")], "b1"
+    )
+    add_file(
+        [Row(url="u/a2", text="alpha"), Row(url="u/d", text="delta")], "b2"
+    )
+
+    def src_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    batches = run_ingest_stream(
+        spark, src, out, idx, ckpt, timeout_s=180, source=src_stream()
+    )
+    assert len(batches) == 3
+    got = {(r["url"], r["text"]) for r in spark.read.parquet(out).collect()}
+    assert got == {
+        ("u/a", "alpha"),
+        ("u/b", "beta"),
+        ("u/c", "gamma"),
+        ("u/d", "delta"),
+    }
+    assert spark.read.parquet(idx).select("fp").distinct().count() == 4
+
+    # pure resume: nothing reprocessed, outputs unchanged
+    assert (
+        run_ingest_stream(
+            spark, src, out, idx, ckpt, timeout_s=180, source=src_stream()
+        )
+        == []
+    )
+    assert spark.read.parquet(out).count() == 4
+
+    # next RUN: a new file with one seen + one novel text — the
+    # cross-run index drops the re-crawl
+    add_file(
+        [Row(url="u/d2", text="delta"), Row(url="u/e", text="epsilon")],
+        "b3",
+    )
+    run_ingest_stream(
+        spark, src, out, idx, ckpt, timeout_s=180, source=src_stream()
+    )
+    got2 = {(r["url"], r["text"]) for r in spark.read.parquet(out).collect()}
+    assert got2 == got | {("u/e", "epsilon")}
+    assert spark.read.parquet(idx).select("fp").distinct().count() == 5
+
+
 def test_stream_dedup_drops_recrawls(spark, tmp_path):
     """In-stream URL dedup: duplicated pages within the watermark
     horizon are extracted exactly once (the crawl-frontier dedup gate
