@@ -1432,6 +1432,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessions"] = events_sessions
 
+    def events_sessions_native(spark, sf_dir):
+        """Third sessionization twin: Spark's built-in session_window
+        (gap-merged event-time windows). Semantics differ from the
+        lag/sum twin at EXACT-gap boundaries — session windows are
+        half-open, so a 1800s gap splits here (>=) where the batch twin
+        keeps (>); the oracle models the >= rule. One shuffle keyed on
+        (user_id); the window merge is the aggregation itself."""
+        ev = load_table(spark, sf_dir, "events")
+        return (
+            ev.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    q["events_sessions_native"] = events_sessions_native
+
+    def merge_upserts(spark, sf_dir):
+        """CDC changelog → snapshot (the MERGE pattern): events recast
+        as a change stream — key = event_id mod 997 (~10 versions per
+        key), op = delete on 'error' events else upsert, sequence =
+        (ts, event_id). Last writer wins via max_by partial-agg (one
+        shuffle of (key, winner) pairs, no sort); keys whose final
+        change is a delete vanish from the snapshot."""
+        from narowi_ocr_spark.operators.cdc import merge_changelog
+
+        ch = load_table(spark, sf_dir, "events").select(
+            (F.col("event_id") % 997).alias("key"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            "value",
+        )
+        return merge_changelog(ch, ["key"], ["ts", "event_id"])
+
+    q["merge_upserts"] = merge_upserts
+
     def events_json(spark, sf_dir):
         ev = load_table(spark, sf_dir, "events")
         k = F.get_json_object("props", "$.k").cast("int")
@@ -3715,6 +3759,41 @@ def oracle_sql() -> dict[str, str]:
           FROM flagged)
         SELECT user_id, session_idx, count(*) AS n_events, min(ts) AS session_start
         FROM sess GROUP BY user_id, session_idx
+    """
+
+    # events_sessions_native: session_window's half-open windows split
+    # at gap >= 1800 (vs the lag/sum twin's strict >); end = last + gap.
+    o["events_sessions_native"] = """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts)) >= 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sidx
+          FROM flagged)
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sidx
+    """
+
+    o["merge_upserts"] = """
+        WITH ch AS (
+          SELECT event_id % 997 AS key, ts, event_id,
+                 CASE WHEN event_type = 'error' THEN 'delete'
+                      ELSE 'upsert' END AS op,
+                 value
+          FROM events),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY key
+                      ORDER BY ts DESC, event_id DESC) AS rn
+          FROM ch)
+        SELECT key, ts, event_id, value FROM r WHERE rn = 1 AND op <> 'delete'
     """
 
     # sessions_stateful: same 30-min-gap sessions, but the Spark side is
