@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from narowi_ocr_spark.functions.native import validate_temperature_format
+from narowi_ocr_spark.functions.native import (
+    round4,
+    validate_temperature_format,
+)
 from narowi_ocr_spark.functions.numbers import extract_numbers
 from narowi_ocr_spark.functions.patterns import NUMBER_PATTERNS
 from narowi_ocr_spark.functions.readings import extract_readings
@@ -1475,6 +1478,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return merge_changelog(ch, ["key"], ["ts", "event_id"])
 
     q["merge_upserts"] = merge_upserts
+
+    def events_moving_avg(spark, sf_dir):
+        """Trailing 7-day moving average of daily revenue per event
+        type — a RANGE-frame event-time window (rangeBetween on epoch
+        seconds), the canonical time-series rollup the tumbling
+        `events_hourly` cannot express. Daily sums in decimal for
+        cross-engine exactness; the frame sum stays decimal until one
+        final double division. One shuffle for the daily groupBy, one
+        sort per event_type partition for the frame."""
+        ev = load_table(spark, sf_dir, "events")
+        daily = ev.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(F.col("day").cast("timestamp").cast("long"))
+            .rangeBetween(-6 * 86400, 0)
+        )
+        return daily.select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.col("rev").cast("double").alias("day_rev"),
+            round4(
+                F.sum("rev").over(w).cast("double")
+                / F.count("*").over(w).cast("double")
+            ).alias("avg7_rev"),
+            F.count("*").over(w).alias("n_days"),
+        )
+
+    q["events_moving_avg"] = events_moving_avg
 
     def events_json(spark, sf_dir):
         ev = load_table(spark, sf_dir, "events")
@@ -3780,6 +3813,21 @@ def oracle_sql() -> dict[str, str]:
                max(ts) + INTERVAL 30 MINUTE AS session_end,
                count(*) AS n_events
         FROM sess GROUP BY user_id, sidx
+    """
+
+    o["events_moving_avg"] = f"""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS rev
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, CAST(day AS VARCHAR) AS day,
+               CAST(rev AS DOUBLE) AS day_rev,
+               {_round4_sql("CAST(SUM(rev) OVER w AS DOUBLE)"
+                            " / CAST(COUNT(*) OVER w AS DOUBLE)")} AS avg7_rev,
+               COUNT(*) OVER w AS n_days
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
     """
 
     o["merge_upserts"] = """
