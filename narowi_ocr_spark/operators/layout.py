@@ -81,6 +81,48 @@ def zorder_layout(
     return out.repartitionByRange(n_files, F.col(z_col)).sortWithinPartitions(z_col)
 
 
+def compact_parquet(
+    spark,
+    src_dir: str,
+    out_dir: str,
+    sort_col: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-files compaction — the maintenance op every incrementally
+    written table (streaming sinks, per-batch ingest deltas) needs:
+    rewrite ``src_dir`` into ``ceil(total_bytes / target)`` files,
+    range-partitioned and sorted on ``sort_col`` so every output file
+    covers a disjoint key range (parquet footer min/max become usable
+    for file skipping, which per-batch append files destroy).
+
+    File sizing comes from the SOURCE's on-disk bytes (the only honest
+    estimate before rewriting — compressed size in ≈ compressed size
+    out for the same codec). Local-fs walk here; on a cluster the same
+    number comes from Hadoop `listStatus` or table-format statistics.
+
+    Returns the number of output files written.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    (
+        spark.read.parquet(src_dir)
+        .repartitionByRange(n_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return n_files
+
+
 def layout_stats(df: DataFrame, a: str, b: str, z_col: str = "z") -> DataFrame:
     """Per-partition min/max envelopes for both dimensions — the exact
     numbers a file-skipping planner would read from parquet footers.

@@ -100,3 +100,46 @@ def test_zorder_file_prune_simulation(spark):
     l_touch = touched(lstats, 0, 7)
     assert z_touch < l_touch, (z_touch, l_touch)
     assert l_touch == 16  # single-dim layout prunes nothing on b
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """64 per-batch append files compact to the size-targeted count,
+    rows preserved, and each output file covers a DISJOINT key range
+    (footer min/max become usable for file skipping)."""
+    import glob
+
+    from narowi_ocr_spark.operators.layout import compact_parquet
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    # 64 tiny appended files, keys interleaved across files (worst case
+    # for footer pruning: every file spans the whole key range)
+    for b in range(8):
+        spark.range(b, 4096, 8).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS payload"
+        ).coalesce(8).write.mode("append").parquet(src)
+    n_src = len(glob.glob(src + "/part-*.parquet"))
+    assert n_src >= 32
+
+    total = sum(
+        __import__("os").path.getsize(f)
+        for f in glob.glob(src + "/part-*.parquet")
+    )
+    target = total // 4  # expect exactly 4 output files (ceil may give 5)
+    n_out = compact_parquet(spark, src, out, "k", target_file_bytes=target)
+    files_out = glob.glob(out + "/part-*.parquet")
+    assert len(files_out) == n_out <= 5
+    assert len(files_out) < n_src / 4
+
+    assert spark.read.parquet(out).count() == 4096
+    # disjoint sorted ranges per file
+    ranges = sorted(
+        tuple(
+            spark.read.parquet(f)
+            .agg(F.min("k"), F.max("k"))
+            .collect()[0]
+        )
+        for f in files_out
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1 < lo2
