@@ -1794,6 +1794,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from narowi_ocr_spark.streaming import dedup_stream
 
         ids = _docs(spark, sf_dir).select("doc_id")
+        # ts0 spans doc_id SECONDS past the epoch while the eviction
+        # sentinel sits at fixed +80h: originals must expire (ts0+24h)
+        # before the post-sentinel watermark (+56h) or the b4 re-crawls
+        # hit live state and the closed-form oracle silently diverges.
+        # Fail loudly instead if a larger corpus breaks the bound.
+        max_id = ids.agg(F.max("doc_id")).first()[0]
+        assert max_id < 32 * 3600, (
+            f"stream_dedup timestamp construction assumes doc_id < "
+            f"{32 * 3600} (ts0 + 24h must precede the +56h watermark); "
+            f"got max doc_id {max_id} — derive the sentinel offsets "
+            f"from max(doc_id) before running at this scale"
+        )
         ts0 = F.expr(
             "timestampadd(SECOND, doc_id, TIMESTAMP '2024-01-01 00:00:00')"
         )

@@ -42,7 +42,11 @@ def merge_changelog(
         F.max_by(F.struct(*payload), F.struct(*seq_cols)).alias("_w")
     )
     flat = winner.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
-    return flat.where(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+    # null-safe: a NULL op means upsert (the common CDC encoding that
+    # only stamps deletes) — a bare `!=` would evaluate NULL and
+    # silently drop the key as if deleted
+    keep = F.col(op_col).isNull() | (F.col(op_col) != F.lit(delete_op))
+    return flat.where(keep).drop(op_col)
 
 
 def snapshot_with_base(
@@ -65,7 +69,13 @@ def snapshot_with_base(
     columns where present.
     """
     merged = merge_changelog(changes, key_cols, seq_cols, op_col, delete_op)
+    missing = [c for c in base.columns if c not in merged.columns]
+    if missing:
+        raise ValueError(
+            "changelog is missing base snapshot columns "
+            f"{missing}: applying it would silently drop them from "
+            "every row (output contract is the base schema)"
+        )
     changed_keys = changes.select(*key_cols).distinct()
     untouched = base.join(changed_keys, key_cols, "left_anti")
-    common = [c for c in untouched.columns if c in merged.columns]
-    return untouched.select(*common).unionByName(merged.select(*common))
+    return untouched.unionByName(merged.select(*base.columns))

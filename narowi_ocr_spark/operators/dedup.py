@@ -655,6 +655,11 @@ def bloom_build(
     each refresh ORs in the new batch's bits instead of rebuilding.
     Uses ``xxhash64`` (no oracle-parity constraint: the filter only
     prunes, it never appears in query output)."""
+    assert m_bits % 64 == 0, (
+        "m_bits must be a multiple of 64 — probe positions beyond the "
+        "last full word would index past the dense bitmap (NULL probes "
+        "silently drop rows from BOTH routes of the bloom split)"
+    )
     n_words = m_bits // 64
     pos = F.explode(
         F.array(
@@ -695,6 +700,7 @@ def bloom_might_contain(
     ``bitmap``/``fp`` are column NAMES (the probe literals must be typed
     identically to ``bloom_build``'s: integer ``i``, so the xxhash64
     seeds agree)."""
+    assert m_bits % 64 == 0, "m_bits must match bloom_build's (×64) geometry"
     terms = []
     for i in range(k):
         p = f"pmod(xxhash64({fp}, {i}), {m_bits})"
@@ -727,7 +733,12 @@ def incremental_dedup_bloom(
     touches only the candidate sliver, and partition-prunes the
     fp-bucketed index to matching buckets."""
     fps = new_docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
-    batch_reps = fps.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    # materialize the batch reps once: the maybe/definitely split below
+    # consumes them through TWO filters, which would otherwise re-run
+    # the md5 fingerprint scan and the groupBy exchange per branch
+    batch_reps = (
+        fps.groupBy("fp").agg(F.min(id_col).alias(id_col)).localCheckpoint()
+    )
     bloom = bloom_build(index, m_bits=m_bits, k=k)
     probed = batch_reps.crossJoin(F.broadcast(bloom))
     maybe = bloom_might_contain("bitmap", "fp", m_bits, k)
@@ -777,8 +788,14 @@ def dedup_eval(
             round4(inter / union).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        # materialized once: consumed by both the hit join and n_truth —
+        # without this the O(n²) truth join runs twice (same pattern as
+        # winnow_near_pairs above)
+        .localCheckpoint(eager=True)
     )
-    pred = lsh_candidate_pairs(sampled, text_col, id_col)
+    pred = lsh_candidate_pairs(sampled, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     hit = pred.join(truth.select("id_a", "id_b"), ["id_a", "id_b"])
     nt = truth.agg(F.count("*").cast("long").alias("n_truth"))
     np_ = pred.agg(F.count("*").cast("long").alias("n_pred"))

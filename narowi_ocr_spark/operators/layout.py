@@ -100,11 +100,18 @@ def compact_parquet(
     out for the same codec). Local-fs walk here; on a cluster the same
     number comes from Hadoop `listStatus` or table-format statistics.
 
-    Returns the number of output files written.
+    Returns the number of parquet files actually written (range
+    partitions left empty by few distinct sort keys produce no file, so
+    the planned count is not the truthful one for manifests/stats).
     """
     import math
     import os
 
+    if os.path.abspath(out_dir) == os.path.abspath(src_dir):
+        raise ValueError(
+            "out_dir == src_dir: mode=overwrite would clobber the "
+            "source while it is being read"
+        )
     total = 0
     for root, _dirs, files in os.walk(src_dir):
         total += sum(
@@ -120,7 +127,12 @@ def compact_parquet(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
-    return n_files
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(out_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
 
 
 def layout_stats(df: DataFrame, a: str, b: str, z_col: str = "z") -> DataFrame:

@@ -2,6 +2,7 @@
 
 from narowi_ocr_spark.streaming.stream import (  # noqa: F401
     dedup_stream,
+    ingest_batch,
     run_extraction_stream,
     run_ingest_stream,
     stream_pages,

@@ -125,8 +125,64 @@ def run_extraction_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"extraction stream did not drain within {timeout_s}s; "
+            f"batches so far: {batches_seen}"
+        )
     return batches_seen
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "url",
+) -> None:
+    """One ingest micro-batch: dedup within the batch, anti-join against
+    the persisted index EXCLUDING this batch's own delta, write
+    survivors + delta overwrite-idempotently.
+
+    The self-exclusion is the crash-replay correctness core: if the
+    previous attempt committed its data but died before the checkpoint
+    commit, the re-delivered batch would otherwise anti-join against
+    its OWN fingerprints, dedup itself to empty, and overwrite its
+    output partition with nothing — permanent loss. batch_id is the
+    delta partition column, so the exclusion prunes rather than scans.
+    Redelivery is therefore a pure rewrite of the same two directories
+    (test-asserted in tests/test_streaming.py)."""
+    from narowi_ocr_spark.operators.dedup import incremental_dedup
+
+    spark_ = batch_df.sparkSession
+    try:
+        index = (
+            spark_.read.option("basePath", index_dir)
+            .parquet(index_dir)
+            .where(F.col("batch_id") != F.lit(batch_id))
+            .select("fp")
+        )
+    except Exception as e:
+        # Only "no index yet" may fall through to an empty index; a
+        # transient read failure must fail the batch (retried by the
+        # checkpoint), NOT silently disable cross-run dedup.
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        index = spark_.createDataFrame([], "fp string")
+    fresh = incremental_dedup(batch_df, index, text_col, id_col)
+    fresh.persist()
+    try:
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        fresh.select("fp").distinct().write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch_id={batch_id}")
+        )
+    finally:
+        fresh.unpersist()
 
 
 def run_ingest_stream(
@@ -171,29 +227,12 @@ def run_ingest_stream(
 
     ``source`` overrides the default pages-schema file stream (any
     streaming DataFrame with ``id_col`` and ``text_col``)."""
-    from narowi_ocr_spark.operators.dedup import incremental_dedup
-
     pages = source if source is not None else stream_pages(spark, src_dir)
     batches_seen: list[int] = []
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batches_seen.append(batch_id)
-        spark_ = batch_df.sparkSession
-        try:
-            index = spark_.read.parquet(index_dir).select("fp")
-        except Exception:  # first batch of the first run: no index yet
-            index = spark_.createDataFrame([], "fp string")
-        fresh = incremental_dedup(batch_df, index, text_col, id_col)
-        fresh.persist()
-        try:
-            fresh.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"batch_id={batch_id}")
-            )
-            fresh.select("fp").distinct().write.mode("overwrite").parquet(
-                os.path.join(index_dir, f"batch_id={batch_id}")
-            )
-        finally:
-            fresh.unpersist()
+        ingest_batch(batch_df, batch_id, out_dir, index_dir, text_col, id_col)
 
     q = (
         pages.writeStream.foreachBatch(sink)
@@ -201,7 +240,12 @@ def run_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"ingest stream did not drain within {timeout_s}s; "
+            f"batches so far: {batches_seen}"
+        )
     return batches_seen
 
 

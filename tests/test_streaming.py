@@ -121,6 +121,42 @@ def test_ingest_stream_dedups_across_batches_and_runs(spark, tmp_path):
     assert spark.read.parquet(idx).select("fp").distinct().count() == 5
 
 
+def test_ingest_batch_redelivery_is_idempotent(spark, tmp_path):
+    """Crash-replay window: the previous attempt committed its output
+    AND its index delta but died before the checkpoint commit, so the
+    batch is re-delivered. The re-run must NOT anti-join against its own
+    fingerprints (which would dedup the batch to empty and overwrite the
+    output partition with nothing) — redelivery rewrites the same
+    survivors bit-for-bit."""
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.streaming import ingest_batch
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+
+    b0 = spark.createDataFrame(
+        [Row(url="a", text="x1"), Row(url="b", text="x2")]
+    )
+    ingest_batch(b0, 0, out, idx)
+    first = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert len(first) == 2
+
+    # redelivery of batch 0 with its own delta already committed
+    ingest_batch(b0, 0, out, idx)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == first
+    assert spark.read.parquet(idx).select("fp").distinct().count() == 2
+
+    # a genuinely NEW batch still dedups against batch 0's delta
+    b1 = spark.createDataFrame(
+        [Row(url="c", text="x1"), Row(url="d", text="x3")]
+    )
+    ingest_batch(b1, 1, out, idx)
+    texts = {r["text"] for r in spark.read.parquet(out).collect()}
+    assert texts == {"x1", "x2", "x3"}
+    assert spark.read.parquet(out).count() == 3  # "c" deduped away
+
+
 def test_stream_dedup_drops_recrawls(spark, tmp_path):
     """In-stream URL dedup: duplicated pages within the watermark
     horizon are extracted exactly once (the crawl-frontier dedup gate
