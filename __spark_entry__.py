@@ -1661,6 +1661,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q6"] = tpch_q6
 
+    def tpch_q3(spark, sf_dir):
+        """Q3-style shipping-priority query (no o_shippriority in this
+        schema): segment-filtered customer dim BROADCAST into orders,
+        one shuffle join orders⋈lineitem on orderkey, decimal-exact
+        revenue, top-10 with a total tiebreak order so both engines
+        pick the same rows."""
+        cust = load_table(spark, sf_dir, "customer").where(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+        )
+        li = load_table(spark, sf_dir, "lineitem").where(
+            F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+        )
+        d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        return (
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+            )
+            .join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(
+                F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+                .cast("double")
+                .alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+            .limit(10)
+        )
+
+    q["tpch_q3"] = tpch_q3
+
     def revenue_by_nation(spark, sf_dir):
         """q5-style star join: fact lineitem against three broadcast dims
         (supplier → nation → region), grouped by nation. The dims are
@@ -2550,6 +2584,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["url_normalize"] = url_normalize_q
+
+    def url_filter_q(spark, sf_dir):
+        """Crawl-policy gate over the same demo-URL corpus: broadcast
+        anti-join on registered domain (blocklist) + codegen rlike
+        pattern bans on the raw url — the corpus side never shuffles."""
+        from narowi_ocr_spark.operators.urls import url_filter
+
+        cases = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(URL_DEMO_CASES)],
+            "idx int, url string",
+        )
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            (F.col("doc_id") % len(URL_DEMO_CASES)).cast("int").alias("idx"),
+        )
+        j = d.join(F.broadcast(cases), "idx").drop("idx")
+        blocklist = spark.createDataFrame(
+            [("example.org",), ("data.gov",)], "reg_domain string"
+        )
+        return url_filter(
+            j, blocklist, blocked_url_res=[r"[?&]gclid=", r"/deep/"]
+        ).select("doc_id", "url", "reg_domain")
+
+    q["url_filter"] = url_filter_q
 
     def shard_assign_q(spark, sf_dir):
         """Deterministic training-order sharding: md5-derived shard +
@@ -3928,6 +3986,23 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_returnflag, l_linestatus
     """
 
+    o["tpch_q3"] = """
+        SELECT l_orderkey, o_orderdate,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10
+    """
+
     o["tpch_q6"] = """
         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                         * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -4746,6 +4821,15 @@ def oracle_sql() -> dict[str, str]:
                            || labels[-1]
                     ELSE labels[-2] || '.' || labels[-1] END AS reg_domain
         FROM norm
+    """
+
+    # url_filter: wrap the url_normalize parse chain and apply the
+    # same domain blocklist + url-pattern bans (RE2/Java-safe patterns).
+    o["url_filter"] = f"""
+        SELECT doc_id, url, reg_domain FROM ({o["url_normalize"]}) t
+        WHERE reg_domain NOT IN ('example.org', 'data.gov')
+          AND NOT regexp_matches(url, '[?&]gclid=')
+          AND NOT regexp_matches(url, '/deep/')
     """
 
     # shard_assign: md5 digest → two hex digits → 256 shards; rank by

@@ -220,3 +220,26 @@ def with_url_parts(
     """Stage :func:`url_struct` as a column — the multi-output form of
     URL canonicalization (one parse per row, N outputs)."""
     return df.withColumn(out_col, url_struct(F.col(url_col)))
+
+
+def url_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    blocked_url_res: list[str] | None = None,
+) -> DataFrame:
+    """Crawl-policy URL gate: drop documents whose registered domain is
+    on the blocklist or whose raw URL matches any banned pattern
+    (tracking redirectors, admin paths, binary endpoints, …).
+
+    The domain gate is a broadcast LEFT ANTI join — a blocklist is
+    thousands-to-millions of rows, broadcast-sized by construction, so
+    the corpus never shuffles; the pattern gate is pure codegen rlike
+    conjunctions in the same stage. Output keeps the input columns plus
+    ``reg_domain`` (downstream per-domain ops reuse the parse)."""
+    staged = df.withColumn("_p", url_struct(F.col(url_col)))
+    staged = staged.withColumn("reg_domain", F.col("_p.reg_domain")).drop("_p")
+    kept = staged.join(F.broadcast(blocklist), "reg_domain", "left_anti")
+    for pat in blocked_url_res or []:
+        kept = kept.where(~F.col(url_col).rlike(pat))
+    return kept
