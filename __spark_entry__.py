@@ -2372,6 +2372,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_pagerank"] = host_pagerank_q
 
+    def host_hits_q(spark, sf_dir):
+        """Kleinberg HITS over the same 20-host graph: hubs (directory
+        pages) vs authorities (content pages), 2 iterations of exact
+        integer fixed-point with per-half-round L1 normalization — the
+        crawl-scheduling complement of PageRank's single endorsement
+        score. The unrolled oracle replays every div bit-for-bit."""
+        from narowi_ocr_spark.operators.linkrank import hits_fixed
+
+        hosts = _docs(spark, sf_dir).select("source").distinct()
+        x = F.substring("source", 4, 10).cast("int")
+        nbrs = F.array((x + 1) % 20, (x * 3 + 1) % 20, (x * 7 + 2) % 20)
+        edges = (
+            hosts.select(
+                F.col("source").alias("src"), F.explode(nbrs).alias("k")
+            )
+            .select(
+                "src",
+                F.concat(F.lit("src"), F.col("k").cast("string")).alias(
+                    "dst"
+                ),
+            )
+            .where(F.col("src") != F.col("dst"))
+        )
+        nodes = hosts.select(F.col("source").alias("id"))
+        return hits_fixed(edges, nodes, iters=2).select(
+            F.col("id").alias("source"), "hub_scaled", "auth_scaled"
+        )
+
+    q["host_hits"] = host_hits_q
+
     def dataset_splits_q(spark, sf_dir):
         """Deterministic train/valid/test assignment (2%/2% here so the
         sf0.01 corpus lands docs in every split): pure md5 hex-range
@@ -4480,6 +4510,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS source, rank AS rank_scaled,
                {_round4_sql(f'rank / {_RS}.0')} AS rank
         FROM r3
+    """
+
+    # host_hits: 2 HITS iterations = 4 normalized half-rounds, unrolled.
+    # All operands non-negative so DuckDB // == Spark div.
+    from narowi_ocr_spark.operators.linkrank import HITS_SCALE as _HS
+
+    def _hits_half(i: int, prev: str, join_on: str, group_to: str) -> str:
+        return (
+            f"r{i}raw AS (SELECT e.{group_to} AS id, SUM(p.score) AS raw"
+            f" FROM e JOIN {prev} p ON e.{join_on} = p.id GROUP BY 1),\n"
+            f"r{i}tot AS (SELECT SUM(raw) AS t FROM r{i}raw),\n"
+            f"r{i} AS (SELECT hosts.source AS id,"
+            f" CAST(COALESCE((COALESCE(raw, 0) * {_HS}) // t, 0) AS BIGINT)"
+            f" AS score"
+            f" FROM hosts LEFT JOIN r{i}raw ON hosts.source = r{i}raw.id"
+            f" CROSS JOIN r{i}tot)"
+        )
+
+    _hits_halves = []
+    _prev = "s0"
+    for _it in range(2):
+        _hits_halves.append(_hits_half(len(_hits_halves) + 1, _prev, "src", "dst"))
+        _a = f"r{len(_hits_halves)}"
+        _hits_halves.append(_hits_half(len(_hits_halves) + 1, _a, "dst", "src"))
+        _prev = f"r{len(_hits_halves)}"
+    o["host_hits"] = f"""
+        WITH hosts AS (SELECT DISTINCT source FROM documents),
+        x AS (SELECT source, CAST(substr(source, 4) AS INT) AS x
+              FROM hosts),
+        e0 AS (
+          SELECT source AS src,
+                 'src' || CAST((x + 1) % 20 AS VARCHAR) AS dst FROM x
+          UNION
+          SELECT source, 'src' || CAST((x * 3 + 1) % 20 AS VARCHAR) FROM x
+          UNION
+          SELECT source, 'src' || CAST((x * 7 + 2) % 20 AS VARCHAR) FROM x),
+        e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        n AS (SELECT count(*) AS n FROM hosts),
+        s0 AS (SELECT source AS id,
+                      CAST({_HS} // n.n AS BIGINT) AS score
+               FROM hosts CROSS JOIN n),
+        {','.join(_hits_halves)}
+        SELECT h.id AS source, h.score AS hub_scaled, a.score AS auth_scaled
+        FROM r4 h JOIN r3 a ON h.id = a.id
     """
 
     # dataset_splits: thresholds generated from the SAME function the

@@ -77,3 +77,76 @@ def pagerank_fixed(
             .localCheckpoint(eager=True)
         )
     return ranks.select("id", F.col("rank").alias("rank_scaled"))
+
+
+# HITS works at a smaller scale than PageRank: each round multiplies a
+# per-node score (≤ the normalized total) by the scale again, so the
+# intermediate product is bounded by HITS_SCALE² — 1e12 at 1e6, safely
+# inside int64 where RANK_SCALE² (1e18) would flirt with overflow.
+HITS_SCALE = 1_000_000
+
+
+def hits_fixed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Kleinberg HITS (hubs & authorities) in exact-integer fixed point —
+    the complement of PageRank for link curation: PageRank scores global
+    endorsement, HITS separates DIRECTORY pages (hubs: link to many good
+    authorities) from CONTENT pages (authorities: linked by many good
+    hubs), which is the split a crawl scheduler actually wants.
+
+    Per round (all 64-bit integer ops, so an unrolled-SQL oracle replays
+    it bit-for-bit):
+
+        a_raw(v) = Σ_{u→v} h(u);  a(v) = (a_raw(v)·S) div Σa_raw
+        h_raw(u) = Σ_{u→v} a(v);  h(u) = (h_raw(u)·S) div Σh_raw
+
+    The L1 normalization per half-round is what PageRank's damping
+    makes unnecessary there — without it HITS grows exponentially. Each
+    half-round costs one edge⋈score join (id-keyed, AQE-skew-safe), one
+    partial-agg groupBy, and one broadcast total. Returns
+    (id, hub_scaled, auth_scaled); isolated nodes carry 0.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint(eager=True)
+
+    totals = nodes.agg(F.count("*").alias("n"))
+    hubs = nodes.crossJoin(F.broadcast(totals)).select(
+        "id", F.expr(f"CAST({HITS_SCALE} AS BIGINT) div n").alias("score")
+    )
+
+    def _half(scores: DataFrame, join_on: str, group_to: str) -> DataFrame:
+        raw = (
+            e.join(scores, e[join_on] == scores.id)
+            .groupBy(F.col(group_to).alias("id"))
+            .agg(F.sum("score").alias("raw"))
+        )
+        tot = raw.agg(F.sum("raw").alias("t"))
+        normed = (
+            nodes.join(raw, "id", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "id",
+                F.coalesce(
+                    F.expr(f"(coalesce(raw, 0) * {HITS_SCALE}) div t"),
+                    F.lit(0),
+                ).cast("long").alias("score"),
+            )
+        )
+        return normed.localCheckpoint(eager=True)
+
+    auth = None
+    for _ in range(iters):
+        auth = _half(hubs, "src", "dst")   # authorities gather hub mass
+        hubs = _half(auth, "dst", "src")   # hubs gather authority mass
+    return (
+        hubs.select("id", F.col("score").alias("hub_scaled"))
+        .join(
+            auth.select("id", F.col("score").alias("auth_scaled")), "id"
+        )
+    )

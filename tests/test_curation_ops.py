@@ -142,3 +142,27 @@ def test_pagerank_fixed_symmetry_and_hubs(spark):
     nodes4 = spark.createDataFrame([(i,) for i in range(4)], "id long")
     r = {x["id"]: x["rank_scaled"] for x in pagerank_fixed(star, nodes4).collect()}
     assert r[0] > r[1] > r[2] == r[3]
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    """Directed star: h0 and h1 both link to a0/a1/a2; nothing links
+    back. The sources must come out pure hubs (hub>0, auth=0) and the
+    targets pure authorities (auth>0, hub=0); symmetric nodes tie."""
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.linkrank import hits_fixed
+
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d) for s in ["h0", "h1"] for d in ["a0", "a1", "a2"]]
+    )
+    nodes = spark.createDataFrame(
+        [Row(id=i) for i in ["h0", "h1", "a0", "a1", "a2"]]
+    )
+    got = {
+        r["id"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits_fixed(edges, nodes, iters=2).collect()
+    }
+    assert got["h0"] == got["h1"]
+    assert got["a0"] == got["a1"] == got["a2"]
+    assert got["h0"][0] > 0 and got["h0"][1] == 0
+    assert got["a0"][1] > 0 and got["a0"][0] == 0
