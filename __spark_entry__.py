@@ -2402,6 +2402,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_hits"] = host_hits_q
 
+    def host_triangles_q(spark, sf_dir):
+        """Per-host triangle counts (local clustering — link-farm rings
+        score high) via degree-ordered orientation: the wedge join's
+        out-degree is O(√m)-bounded on ANY graph, so hub nodes cannot
+        explode the intermediate. Oracle counts the same triangles by
+        canonical u<v<w enumeration."""
+        from narowi_ocr_spark.operators.linkrank import triangle_count
+
+        hosts = _docs(spark, sf_dir).select("source").distinct()
+        x = F.substring("source", 4, 10).cast("int")
+        nbrs = F.array((x + 1) % 20, (x * 3 + 1) % 20, (x * 7 + 2) % 20)
+        edges = (
+            hosts.select(
+                F.col("source").alias("src"), F.explode(nbrs).alias("k")
+            )
+            .select(
+                "src",
+                F.concat(F.lit("src"), F.col("k").cast("string")).alias(
+                    "dst"
+                ),
+            )
+            .where(F.col("src") != F.col("dst"))
+        )
+        return triangle_count(edges).select(
+            F.col("id").alias("source"), "n_triangles"
+        )
+
+    q["host_triangles"] = host_triangles_q
+
     def dataset_splits_q(spark, sf_dir):
         """Deterministic train/valid/test assignment (2%/2% here so the
         sf0.01 corpus lands docs in every split): pure md5 hex-range
@@ -4554,6 +4583,35 @@ def oracle_sql() -> dict[str, str]:
         {','.join(_hits_halves)}
         SELECT h.id AS source, h.score AS hub_scaled, a.score AS auth_scaled
         FROM r4 h JOIN r3 a ON h.id = a.id
+    """
+
+    # host_triangles: canonical u<v<w enumeration — same triangle set
+    # as the degree-oriented Spark dataflow, simpler at oracle scale.
+    o["host_triangles"] = """
+        WITH hosts AS (SELECT DISTINCT source FROM documents),
+        x AS (SELECT source, CAST(substr(source, 4) AS INT) AS x
+              FROM hosts),
+        e0 AS (
+          SELECT source AS src,
+                 'src' || CAST((x + 1) % 20 AS VARCHAR) AS dst FROM x
+          UNION
+          SELECT source, 'src' || CAST((x * 3 + 1) % 20 AS VARCHAR) FROM x
+          UNION
+          SELECT source, 'src' || CAST((x * 7 + 2) % 20 AS VARCHAR) FROM x),
+        und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM e0 WHERE src <> dst),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM und e1
+          JOIN und e2 ON e2.u = e1.v
+          JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        corners AS (
+          SELECT a AS id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri),
+        counts AS (SELECT id, count(*) AS n FROM corners GROUP BY 1)
+        SELECT h.source, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
+        FROM hosts h LEFT JOIN counts c ON h.source = c.id
     """
 
     # dataset_splits: thresholds generated from the SAME function the

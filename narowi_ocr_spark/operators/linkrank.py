@@ -150,3 +150,71 @@ def hits_fixed(
             auth.select("id", F.col("score").alias("auth_scaled")), "id"
         )
     )
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED version of the
+    graph — the local-clustering signal (link-farm rings and mutual-
+    admiration clusters score high; organic link neighborhoods low).
+
+    Uses the degree-ordered orientation (Cohen, "Graph twiddling in a
+    MapReduce world", 2009): every undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher one, making the oriented
+    graph acyclic with out-degree bounded by O(√m) on any graph — the
+    wedge join (oriented ⋈ oriented on the middle vertex) therefore
+    stays near-linear where a naive neighbor join explodes on hubs.
+    Each triangle is counted exactly once as an oriented wedge
+    a→b, b→c closed by oriented edge a→c, then credited back to all
+    three corners. Three id-keyed joins + one partial-agg groupBy."""
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+        .localCheckpoint(eager=True)
+    )
+    w1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    w2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    wedges = w1.join(w2, "b").where(F.col("a") != F.col("c"))
+    closer = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tris = wedges.join(closer, ["a", "c"])
+    corners = (
+        tris.select(F.col("a").alias("id"))
+        .unionAll(tris.select(F.col("b").alias("id")))
+        .unionAll(tris.select(F.col("c").alias("id")))
+    )
+    return (
+        deg.select("id")
+        .join(corners.groupBy("id").agg(F.count("*").alias("n_triangles")),
+              "id", "left")
+        .select(
+            "id", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
+        )
+    )

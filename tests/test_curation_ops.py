@@ -166,3 +166,21 @@ def test_hits_separates_hubs_from_authorities(spark):
     assert got["a0"] == got["a1"] == got["a2"]
     assert got["h0"][0] > 0 and got["h0"][1] == 0
     assert got["a0"][1] > 0 and got["a0"][0] == 0
+
+
+def test_triangle_count_k4_plus_pendant(spark):
+    """K4 has C(3,2)=3 triangles per node; a pendant attached to one
+    corner joins none. Direction/duplication of input edges must not
+    matter (undirected + distinct inside)."""
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.linkrank import triangle_count
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in k4]
+        + [Row(src=d, dst=s) for s, d in k4]  # reversed dups
+        + [Row(src="d", dst="e")]             # pendant
+    )
+    got = {r["id"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
