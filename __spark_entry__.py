@@ -307,6 +307,33 @@ BM25_QUERY_SET = [
 # suffix, single-label host). Shared verbatim by queries() and
 # oracle_sql(); the per-case expected outputs are pinned by
 # tests/test_urls_shards_join.py.
+UNICODE_DEMO_CASES = [
+    "Cafe\u0301 Du  Monde",          # combining acute -> precomposed
+    "A\u030angstro\u0308m\tUnits",   # ring + diaeresis compose; tab ws
+    "plain ascii",
+    "Ohm \u2126 Sign",               # OHM SIGN singleton -> omega
+    "  padded   ws  ",
+]
+
+
+def _duck_str(s: str) -> str:
+    """Render a Python string as a DuckDB expression, emitting non-ASCII
+    codepoints via chr() so combining characters survive SQL text
+    verbatim."""
+    parts, run = [], []
+    for ch in s:
+        if 32 <= ord(ch) < 127 and ch != "'":
+            run.append(ch)
+        else:
+            if run:
+                parts.append("'" + "".join(run) + "'")
+                run = []
+            parts.append(f"chr({ord(ch)})")
+    if run:
+        parts.append("'" + "".join(run) + "'")
+    return " || ".join(parts) if parts else "''"
+
+
 URL_DEMO_CASES = [
     "HTTP://Example.COM:80/Path/Index.html?b=2&utm_source=x&a=1#frag",
     "https://News.BBC.CO.UK:443/world?id=7",
@@ -2668,6 +2695,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_filter"] = url_filter_q
 
+    def text_normalize_q(spark, sf_dir):
+        """Unicode canonicalization ahead of content hashing: NFC
+        (combining sequences → precomposed, singleton remaps like OHM
+        SIGN → Ω) through an Arrow-batched UDF, then codegen lowercase
+        + whitespace collapse. Demo cases carry the codepoint traps;
+        each is prefixed to real document text so the corpus rides
+        through the same plan."""
+        from narowi_ocr_spark.functions.normalize import normalize_text
+
+        cases = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(UNICODE_DEMO_CASES)],
+            "idx int, prefix string",
+        )
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            (F.col("doc_id") % len(UNICODE_DEMO_CASES)).cast("int").alias("idx"),
+            F.substring("text", 1, 40).alias("head"),
+        )
+        j = d.join(F.broadcast(cases), "idx")
+        raw = F.concat("prefix", F.lit(" "), "head")
+        return j.select(
+            "doc_id",
+            raw.alias("raw"),
+            normalize_text(raw).alias("norm"),
+        )
+
+    q["text_normalize"] = text_normalize_q
+
     def shard_assign_q(spark, sf_dir):
         """Deterministic training-order sharding: md5-derived shard +
         within-shard rank. The window partitions BY SHARD, so the sort
@@ -4953,6 +5008,25 @@ def oracle_sql() -> dict[str, str]:
                            || labels[-1]
                     ELSE labels[-2] || '.' || labels[-1] END AS reg_domain
         FROM norm
+    """
+
+    # text_normalize: DuckDB nfc_normalize is byte-identical to Python
+    # unicodedata NFC (probed); combining codepoints reach the SQL text
+    # via chr() so no editor/transport can re-normalize them.
+    _uc_rows = ", ".join(
+        f"({i}, {_duck_str(s)})" for i, s in enumerate(UNICODE_DEMO_CASES)
+    )
+    o["text_normalize"] = f"""
+        WITH cases(idx, prefix) AS (VALUES {_uc_rows}),
+        j AS (
+          SELECT d.doc_id, c.prefix || ' ' || substr(d.text, 1, 40) AS raw
+          FROM documents d
+          JOIN cases c
+            ON CAST(d.doc_id % {len(UNICODE_DEMO_CASES)} AS INT) = c.idx)
+        SELECT doc_id, raw,
+               trim(regexp_replace(lower(nfc_normalize(raw)),
+                                   '\\s+', ' ', 'g')) AS norm
+        FROM j
     """
 
     # url_filter: wrap the url_normalize parse chain and apply the

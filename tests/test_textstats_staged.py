@@ -139,3 +139,38 @@ def test_pii_scrub_null_stays_null(spark):
     r = with_pii_scrub(df).collect()[0]
     assert r["n_url"] is None
     assert r["redacted"] is None
+
+
+def test_normalize_text_canonicalizes_before_hashing(spark):
+    """Decomposed and precomposed spellings must normalize to the same
+    bytes (else every dedup family under-merges); singletons remap
+    (OHM SIGN -> omega); whitespace collapses; NFC is idempotent."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from narowi_ocr_spark.functions.normalize import normalize_text
+
+    rows = [
+        Row(i=0, t="Cafe\u0301"),   # decomposed
+        Row(i=1, t="Caf\u00e9"),    # precomposed
+        Row(i=2, t="Ohm Ω"),
+        Row(i=3, t="  a \t b\n"),
+        Row(i=4, t=None),
+    ]
+    out = {
+        r["i"]: r["n"]
+        for r in spark.createDataFrame(rows)
+        .select("i", normalize_text("t").alias("n"))
+        .collect()
+    }
+    assert out[0] == out[1] == "café"
+    assert out[2] == "ohm ω"
+    assert out[3] == "a b"
+    assert out[4] is None
+
+    # idempotence: normalizing the normalized column changes nothing
+    df = spark.createDataFrame(rows).select(normalize_text("t").alias("n"))
+    again = df.select(normalize_text("n").alias("m"), "n")
+    assert again.where(
+        F.col("m").isNotNull() & (F.col("m") != F.col("n"))
+    ).count() == 0
