@@ -196,6 +196,41 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _host_graph(spark: SparkSession, sf_dir: str):
+    """The deterministic 20-host link graph shared by every graph query
+    (PageRank, HITS, triangles) AND — as `_HOST_GRAPH_CTE` — by their
+    DuckDB oracles: srcX links to X+1, 3X+1, 7X+2 (mod 20). One
+    definition on each engine side; editing the formula in one place
+    keeps the bit-exact hash gate honest. Returns (hosts, edges)."""
+    hosts = _docs(spark, sf_dir).select("source").distinct()
+    x = F.substring("source", 4, 10).cast("int")
+    nbrs = F.array((x + 1) % 20, (x * 3 + 1) % 20, (x * 7 + 2) % 20)
+    edges = (
+        hosts.select(F.col("source").alias("src"), F.explode(nbrs).alias("k"))
+        .select(
+            "src",
+            F.concat(F.lit("src"), F.col("k").cast("string")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return hosts, edges
+
+
+# SQL twin of _host_graph (hosts/x/e0 CTEs; consumers derive their own
+# edge view: DISTINCT directed pairs or undirected least/greatest).
+_HOST_GRAPH_CTE = """hosts AS (SELECT DISTINCT source FROM documents),
+        x AS (SELECT source, CAST(substr(source, 4) AS INT) AS x
+              FROM hosts),
+        e0 AS (
+          SELECT source AS src,
+                 'src' || CAST((x + 1) % 20 AS VARCHAR) AS dst FROM x
+          UNION
+          SELECT source, 'src' || CAST((x * 3 + 1) % 20 AS VARCHAR) FROM x
+          UNION
+          SELECT source, 'src' || CAST((x * 7 + 2) % 20 AS VARCHAR) FROM x)"""
+
+
+
 def _escape_html(col: F.Column) -> F.Column:
     e = F.regexp_replace(col, "&", "&amp;")
     e = F.regexp_replace(e, "<", "&lt;")
@@ -307,6 +342,26 @@ BM25_QUERY_SET = [
 # suffix, single-label host). Shared verbatim by queries() and
 # oracle_sql(); the per-case expected outputs are pinned by
 # tests/test_urls_shards_join.py.
+URL_DEMO_CASES = [
+    "HTTP://Example.COM:80/Path/Index.html?b=2&utm_source=x&a=1#frag",
+    "https://News.BBC.CO.UK:443/world?id=7",
+    "https://sub.shop.example.co.jp/items?utm_campaign=a&z=9&y=8",
+    "http://example.org",
+    "https://example.com:8443/secure?gclid=abc",
+    "http://www.data.gov/?fbclid=zz&q=spark",
+    "HTTPS://A.B.C.Example.COM/deep/path/#x",
+    "http://localhost:8080/test?x=1&x=0",
+    "https://media.example.com.au/video?ref=home&id=3",
+    "http://Example.Com/a%20b?UTM_x=1&c=3",
+    "https://shop.example.co.uk/cart?item=5&utm_medium=email&item=2",
+    "http://api.internal.example.com:80/v1/get?",
+]
+
+# Unicode-canonicalization fixture for the text_normalize query:
+# combining sequences, a singleton remap (OHM SIGN), whitespace
+# variants. Shared verbatim by queries() and oracle_sql() (the oracle
+# renders non-ASCII codepoints via chr() so no transport re-normalizes
+# them).
 UNICODE_DEMO_CASES = [
     "Cafe\u0301 Du  Monde",          # combining acute -> precomposed
     "A\u030angstro\u0308m\tUnits",   # ring + diaeresis compose; tab ws
@@ -334,20 +389,6 @@ def _duck_str(s: str) -> str:
     return " || ".join(parts) if parts else "''"
 
 
-URL_DEMO_CASES = [
-    "HTTP://Example.COM:80/Path/Index.html?b=2&utm_source=x&a=1#frag",
-    "https://News.BBC.CO.UK:443/world?id=7",
-    "https://sub.shop.example.co.jp/items?utm_campaign=a&z=9&y=8",
-    "http://example.org",
-    "https://example.com:8443/secure?gclid=abc",
-    "http://www.data.gov/?fbclid=zz&q=spark",
-    "HTTPS://A.B.C.Example.COM/deep/path/#x",
-    "http://localhost:8080/test?x=1&x=0",
-    "https://media.example.com.au/video?ref=home&id=3",
-    "http://Example.Com/a%20b?UTM_x=1&c=3",
-    "https://shop.example.co.uk/cart?item=5&utm_medium=email&item=2",
-    "http://api.internal.example.com:80/v1/get?",
-]
 
 
 def _shingles_sql(words: str = _WORDS_SQL, n: int = 3) -> str:
@@ -2372,21 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pagerank_fixed,
         )
 
-        hosts = _docs(spark, sf_dir).select("source").distinct()
-        x = F.substring("source", 4, 10).cast("int")
-        nbrs = F.array((x + 1) % 20, (x * 3 + 1) % 20, (x * 7 + 2) % 20)
-        edges = (
-            hosts.select(
-                F.col("source").alias("src"), F.explode(nbrs).alias("k")
-            )
-            .select(
-                "src",
-                F.concat(F.lit("src"), F.col("k").cast("string")).alias(
-                    "dst"
-                ),
-            )
-            .where(F.col("src") != F.col("dst"))
-        )
+        hosts, edges = _host_graph(spark, sf_dir)
         nodes = hosts.select(F.col("source").alias("id"))
         pr = pagerank_fixed(edges, nodes, iters=3)
         return pr.select(
@@ -2407,21 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         score. The unrolled oracle replays every div bit-for-bit."""
         from narowi_ocr_spark.operators.linkrank import hits_fixed
 
-        hosts = _docs(spark, sf_dir).select("source").distinct()
-        x = F.substring("source", 4, 10).cast("int")
-        nbrs = F.array((x + 1) % 20, (x * 3 + 1) % 20, (x * 7 + 2) % 20)
-        edges = (
-            hosts.select(
-                F.col("source").alias("src"), F.explode(nbrs).alias("k")
-            )
-            .select(
-                "src",
-                F.concat(F.lit("src"), F.col("k").cast("string")).alias(
-                    "dst"
-                ),
-            )
-            .where(F.col("src") != F.col("dst"))
-        )
+        hosts, edges = _host_graph(spark, sf_dir)
         nodes = hosts.select(F.col("source").alias("id"))
         return hits_fixed(edges, nodes, iters=2).select(
             F.col("id").alias("source"), "hub_scaled", "auth_scaled"
@@ -2437,21 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         canonical u<v<w enumeration."""
         from narowi_ocr_spark.operators.linkrank import triangle_count
 
-        hosts = _docs(spark, sf_dir).select("source").distinct()
-        x = F.substring("source", 4, 10).cast("int")
-        nbrs = F.array((x + 1) % 20, (x * 3 + 1) % 20, (x * 7 + 2) % 20)
-        edges = (
-            hosts.select(
-                F.col("source").alias("src"), F.explode(nbrs).alias("k")
-            )
-            .select(
-                "src",
-                F.concat(F.lit("src"), F.col("k").cast("string")).alias(
-                    "dst"
-                ),
-            )
-            .where(F.col("src") != F.col("dst"))
-        )
+        hosts, edges = _host_graph(spark, sf_dir)
         return triangle_count(edges).select(
             F.col("id").alias("source"), "n_triangles"
         )
@@ -4573,16 +4572,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM base b LEFT JOIN m{i} m USING (id))"
         )
     o["host_pagerank"] = f"""
-        WITH hosts AS (SELECT DISTINCT source FROM documents),
-        x AS (SELECT source, CAST(substr(source, 4) AS INT) AS x
-              FROM hosts),
-        e0 AS (
-          SELECT source AS src,
-                 'src' || CAST((x + 1) % 20 AS VARCHAR) AS dst FROM x
-          UNION
-          SELECT source, 'src' || CAST((x * 3 + 1) % 20 AS VARCHAR) FROM x
-          UNION
-          SELECT source, 'src' || CAST((x * 7 + 2) % 20 AS VARCHAR) FROM x),
+        WITH {_HOST_GRAPH_CTE},
         e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
         n AS (SELECT count(*) AS n FROM hosts),
@@ -4620,16 +4610,7 @@ def oracle_sql() -> dict[str, str]:
         _hits_halves.append(_hits_half(len(_hits_halves) + 1, _a, "dst", "src"))
         _prev = f"r{len(_hits_halves)}"
     o["host_hits"] = f"""
-        WITH hosts AS (SELECT DISTINCT source FROM documents),
-        x AS (SELECT source, CAST(substr(source, 4) AS INT) AS x
-              FROM hosts),
-        e0 AS (
-          SELECT source AS src,
-                 'src' || CAST((x + 1) % 20 AS VARCHAR) AS dst FROM x
-          UNION
-          SELECT source, 'src' || CAST((x * 3 + 1) % 20 AS VARCHAR) FROM x
-          UNION
-          SELECT source, 'src' || CAST((x * 7 + 2) % 20 AS VARCHAR) FROM x),
+        WITH {_HOST_GRAPH_CTE},
         e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
         n AS (SELECT count(*) AS n FROM hosts),
         s0 AS (SELECT source AS id,
@@ -4642,17 +4623,8 @@ def oracle_sql() -> dict[str, str]:
 
     # host_triangles: canonical u<v<w enumeration — same triangle set
     # as the degree-oriented Spark dataflow, simpler at oracle scale.
-    o["host_triangles"] = """
-        WITH hosts AS (SELECT DISTINCT source FROM documents),
-        x AS (SELECT source, CAST(substr(source, 4) AS INT) AS x
-              FROM hosts),
-        e0 AS (
-          SELECT source AS src,
-                 'src' || CAST((x + 1) % 20 AS VARCHAR) AS dst FROM x
-          UNION
-          SELECT source, 'src' || CAST((x * 3 + 1) % 20 AS VARCHAR) FROM x
-          UNION
-          SELECT source, 'src' || CAST((x * 7 + 2) % 20 AS VARCHAR) FROM x),
+    o["host_triangles"] = f"""
+        WITH {_HOST_GRAPH_CTE},
         und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
                 FROM e0 WHERE src <> dst),
         tri AS (

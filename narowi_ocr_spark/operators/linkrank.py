@@ -111,6 +111,8 @@ def hits_fixed(
     partial-agg groupBy, and one broadcast total. Returns
     (id, hub_scaled, auth_scaled); isolated nodes carry 0.
     """
+    if iters < 1:
+        raise ValueError("hits_fixed needs iters >= 1")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().localCheckpoint(eager=True)
@@ -153,7 +155,10 @@ def hits_fixed(
 
 
 def triangle_count(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Per-node triangle counts over the UNDIRECTED version of the
     graph — the local-clustering signal (link-farm rings and mutual-
@@ -167,7 +172,12 @@ def triangle_count(
     stays near-linear where a naive neighbor join explodes on hubs.
     Each triangle is counted exactly once as an oriented wedge
     a→b, b→c closed by oriented edge a→c, then credited back to all
-    three corners. Three id-keyed joins + one partial-agg groupBy."""
+    three corners. Three id-keyed joins + one partial-agg groupBy.
+
+    ``nodes`` (an (id) table) widens the output domain to the full node
+    set with zero-fill — without it the domain is edge endpoints only,
+    so edge-less nodes are absent (unlike ``pagerank_fixed``/
+    ``hits_fixed``, which always take the node table)."""
     und = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -210,8 +220,9 @@ def triangle_count(
         .unionAll(tris.select(F.col("b").alias("id")))
         .unionAll(tris.select(F.col("c").alias("id")))
     )
+    domain = nodes.select("id") if nodes is not None else deg.select("id")
     return (
-        deg.select("id")
+        domain
         .join(corners.groupBy("id").agg(F.count("*").alias("n_triangles")),
               "id", "left")
         .select(

@@ -236,7 +236,13 @@ def url_filter(
     thousands-to-millions of rows, broadcast-sized by construction, so
     the corpus never shuffles; the pattern gate is pure codegen rlike
     conjunctions in the same stage. Output keeps the input columns plus
-    ``reg_domain`` (downstream per-domain ops reuse the parse)."""
+    ``reg_domain`` (downstream per-domain ops reuse the parse).
+
+    NULL urls are dropped up front — a policy gate cannot vet an
+    unparseable URL, and leaving them in would make their fate depend
+    on whether any pattern ban happens to be configured (NULL passes an
+    anti-join but fails ``~rlike``)."""
+    df = df.where(F.col(url_col).isNotNull())
     staged = df.withColumn("_p", url_struct(F.col(url_col)))
     staged = staged.withColumn("reg_domain", F.col("_p.reg_domain")).drop("_p")
     kept = staged.join(F.broadcast(blocklist), "reg_domain", "left_anti")
