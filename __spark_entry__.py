@@ -371,6 +371,24 @@ UNICODE_DEMO_CASES = [
 ]
 
 
+# Pinned BPE merge table for the bpe_encode query (rank order matters:
+# later merges consume earlier merges' outputs, e.g. "th"+"e"). Shared
+# verbatim by queries() and oracle_sql(); LEARNING its own table is the
+# bpe_pairs/bpe_merges queries' job.
+BPE_DEMO_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("e", "r"),
+    ("a", "n"),
+    ("an", "d"),
+    ("o", "n"),
+    ("r", "e"),
+    ("s", "t"),
+    ("in", "g"),
+]
+
+
 def _duck_str(s: str) -> str:
     """Render a Python string as a DuckDB expression, emitting non-ASCII
     codepoints via chr() so combining characters survive SQL text
@@ -2722,6 +2740,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_normalize"] = text_normalize_q
 
+    def bpe_encode_q(spark, sf_dir):
+        """BPE ENCODING under the pinned demo merge table (learning is
+        covered by bpe_pairs/bpe_merges; applying a persisted table is
+        the production-hot half): true subword token counts + the first
+        12 tokens per document. The oracle replays each ranked merge as
+        a left-to-right string replace over a separator-joined form —
+        replace() and the encoder's adjacent scan consume input
+        identically, so the segmentation is bit-equal."""
+        from narowi_ocr_spark.operators.tokenizer import with_bpe_tokens
+
+        out = with_bpe_tokens(_docs(spark, sf_dir), BPE_DEMO_MERGES)
+        return out.select(
+            "doc_id",
+            "n_bpe_tokens",
+            F.array_join(F.slice("bpe_tokens", 1, 12), " ").alias(
+                "head_tokens"
+            ),
+        )
+
+    q["bpe_encode"] = bpe_encode_q
+
     def shard_assign_q(spark, sf_dir):
         """Deterministic training-order sharding: md5-derived shard +
         within-shard rank. The window partitions BY SHARD, so the sort
@@ -4980,6 +5019,41 @@ def oracle_sql() -> dict[str, str]:
                            || labels[-1]
                     ELSE labels[-2] || '.' || labels[-1] END AS reg_domain
         FROM norm
+    """
+
+    # bpe_encode: the encoder's left-to-right adjacent merge scan is
+    # provably equivalent to a left fold over symbols (a freshly merged
+    # symbol lhs+rhs can never itself equal lhs), so each ranked merge
+    # replays as a list_reduce whose accumulator is the chr(31)-joined
+    # symbol string. A naive replace-chain oracle is NOT sound here —
+    # self-overlapping runs like "severer" under (e,r) diverge.
+    _bpe_expr = (
+        "string_split(rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),"
+        " chr(31)), chr(31))"
+    )
+    for _l, _r in BPE_DEMO_MERGES:
+        _lam = (
+            f"(acc, x) -> CASE WHEN x = '{_r}' AND (acc = '{_l}'"
+            f" OR ends_with(acc, chr(31) || '{_l}'))"
+            f" THEN CASE WHEN acc = '{_l}' THEN '{_l}{_r}'"
+            f" ELSE left(acc, length(acc) - {len(_l) + 1})"
+            f" || chr(31) || '{_l}{_r}' END"
+            f" ELSE acc || chr(31) || x END"
+        )
+        _bpe_expr = f"string_split(list_reduce({_bpe_expr}, {_lam}), chr(31))"
+    o["bpe_encode"] = f"""
+        WITH wrds AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> length(x) > 0) AS ws
+          FROM documents),
+        e AS (
+          SELECT doc_id,
+                 flatten(list_transform(ws, w -> {_bpe_expr})) AS toks
+          FROM wrds)
+        SELECT doc_id, CAST(COALESCE(len(toks), 0) AS INT) AS n_bpe_tokens,
+               COALESCE(array_to_string(toks[1:12], ' '), '') AS head_tokens
+        FROM e
     """
 
     # text_normalize: DuckDB nfc_normalize is byte-identical to Python

@@ -19,6 +19,9 @@ one.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -140,4 +143,76 @@ def bpe_learn(
         vocab = new_vocab
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+def bpe_encode_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched BPE encoder for a FIXED merge table (the artifact
+    ``bpe_learn`` persists): per word, apply merges in rank order with
+    the same left-to-right adjacent scan the learner uses, so encoding
+    a corpus with its own learned merges reproduces the training
+    segmentation exactly (test-asserted).
+
+    The merge table rides into the executors inside the UDF closure
+    (it is KB-scale); a per-worker word→tokens memo collapses the
+    Zipfian word distribution, so cost is ~O(distinct words) per
+    worker, not O(tokens). Word splitting is plain whitespace — on
+    ASCII corpora identical to the JVM/RE2 ``\\s+`` used elsewhere."""
+    from pyspark.sql.functions import pandas_udf
+
+    merge_seq = list(merges)
+
+    @pandas_udf("array<string>")
+    def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, list[str]] = {}
+
+        def word_tokens(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                syms = list(w)
+                for lhs, rhs in merge_seq:
+                    out: list[str] = []
+                    i = 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == lhs
+                            and syms[i + 1] == rhs
+                        ):
+                            out.append(lhs + rhs)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                got = cache[w] = syms
+            return got
+
+        def doc_tokens(t):
+            if t is None:
+                return None
+            toks: list[str] = []
+            for w in t.split():
+                toks.extend(word_tokens(w))
+            return toks
+
+        for s in batches:
+            yield s.map(doc_tokens)
+
+    return _encode
+
+
+def with_bpe_tokens(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """df + (bpe_tokens array<string>, n_bpe_tokens) — true subword
+    token counts under a fixed merge table, replacing the regex-based
+    ``subword_token_estimate`` where the real tokenizer matters
+    (token-budget sampling, sequence packing)."""
+    enc = bpe_encode_udf(merges)
+    return df.withColumn(out_col, enc(F.lower(F.col(text_col)))).withColumn(
+        "n_bpe_tokens", F.size(out_col)
     )

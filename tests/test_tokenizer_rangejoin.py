@@ -89,3 +89,58 @@ def test_bucketed_range_join_shuffle_variant(spark):
     out = bucketed_range_join(pts, rng, "v", bucket_width=4.0,
                               broadcast_ranges=False).collect()
     assert len(out) == 1 and out[0].range_id == 0
+
+
+def test_bpe_encode_reproduces_learner_segmentation(spark):
+    """Encoding the training corpus with its OWN learned merge table
+    must reproduce the learner's final vocabulary segmentation exactly
+    (the contract that makes the persisted table usable); overlap runs
+    like 'aaa' take the left-greedy split."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from narowi_ocr_spark.operators.tokenizer import (
+        bpe_learn,
+        with_bpe_tokens,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="low lower lowest low low"),
+            Row(doc_id=1, text="new newer newest new"),
+            Row(doc_id=2, text="aaa wider widest"),
+        ]
+    )
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_learn(corpus, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert len(merges) == 8
+
+    # learner-side reference segmentation per word
+    def ref_encode(w):
+        syms = list(w)
+        for lhs, rhs in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in with_bpe_tokens(corpus, merges).collect()
+    }
+    for r in corpus.collect():
+        want = [t for w in r["text"].split() for t in ref_encode(w)]
+        assert got[r["doc_id"]] == want, (r["doc_id"], got[r["doc_id"]], want)
+
+    # token counts are consistent and 'aaa' splits left-greedy if (a,a)
+    # was ever learned; at minimum the count column matches the arrays
+    out = with_bpe_tokens(corpus, merges)
+    assert out.where(F.size("bpe_tokens") != F.col("n_bpe_tokens")).count() == 0
