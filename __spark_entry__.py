@@ -2469,7 +2469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from narowi_ocr_spark.operators.linkrank import triangle_count
 
         hosts, edges = _host_graph(spark, sf_dir)
-        return triangle_count(edges).select(
+        nodes = hosts.select(F.col("source").alias("id"))
+        return triangle_count(edges, nodes=nodes).select(
             F.col("id").alias("source"), "n_triangles"
         )
 
@@ -2750,7 +2751,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         identically, so the segmentation is bit-equal."""
         from narowi_ocr_spark.operators.tokenizer import with_bpe_tokens
 
-        out = with_bpe_tokens(_docs(spark, sf_dir), BPE_DEMO_MERGES)
+        # lowercase EXPLICITLY (the operator applies no case folding),
+        # blank out NULL text, and strip any stray chr(31) so the
+        # oracle's symbol separator cannot be forged by input bytes
+        prepped = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))), "\x1f", ""
+            ).alias("text"),
+        )
+        out = with_bpe_tokens(prepped, BPE_DEMO_MERGES)
         return out.select(
             "doc_id",
             "n_bpe_tokens",
@@ -5044,7 +5054,9 @@ def oracle_sql() -> dict[str, str]:
     o["bpe_encode"] = f"""
         WITH wrds AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 list_filter(regexp_split_to_array(
+                     replace(lower(COALESCE(text, '')), chr(31), ''),
+                     '[ \\t\\n\\x0b\\f\\r]+'),
                              x -> length(x) > 0) AS ws
           FROM documents),
         e AS (
@@ -5071,7 +5083,7 @@ def oracle_sql() -> dict[str, str]:
             ON CAST(d.doc_id % {len(UNICODE_DEMO_CASES)} AS INT) = c.idx)
         SELECT doc_id, raw,
                trim(regexp_replace(lower(nfc_normalize(raw)),
-                                   '\\s+', ' ', 'g')) AS norm
+                                   '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS norm
         FROM j
     """
 

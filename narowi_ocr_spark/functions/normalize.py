@@ -60,10 +60,15 @@ def normalize_text(
     collapse_ws: bool = True,
 ) -> Column:
     """Full canonicalization: Unicode normalize (Arrow UDF) → optional
-    lowercase → optional whitespace collapse+trim (both codegen)."""
+    lowercase → optional whitespace collapse+trim (both codegen).
+
+    The collapse uses the EXPLICIT class ``[ \\t\\n\\x0b\\f\\r]+``
+    instead of ``\\s+``: Java's ``\\s`` includes \\x0b while RE2's does
+    not, so the explicit class is what keeps the DuckDB oracle
+    bit-equal on control-character input."""
     out = unicode_normalize(col, form)
     if lower:
         out = F.lower(out)
     if collapse_ws:
-        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+        out = F.trim(F.regexp_replace(out, r"[ \t\n\x0b\f\r]+", " "))
     return out

@@ -156,11 +156,18 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
     The merge table rides into the executors inside the UDF closure
     (it is KB-scale); a per-worker word→tokens memo collapses the
     Zipfian word distribution, so cost is ~O(distinct words) per
-    worker, not O(tokens). Word splitting is plain whitespace — on
-    ASCII corpora identical to the JVM/RE2 ``\\s+`` used elsewhere."""
+    worker, not O(tokens). Word splitting uses the EXPLICIT class
+    ``[ \\t\\n\\x0b\\f\\r]+`` — the exact character set of Java's
+    ``\\s`` that the learner's ``words()`` tokenizer uses — rather than
+    Python ``str.split()`` (which also splits on \\x1c-\\x1f, NBSP and
+    other Unicode spaces) or RE2 ``\\s`` (which excludes \\x0b); all
+    three disagree at the edges, and the learner's set is the contract."""
+    import re
+
     from pyspark.sql.functions import pandas_udf
 
     merge_seq = list(merges)
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @pandas_udf("array<string>")
     def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -192,8 +199,9 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
             if t is None:
                 return None
             toks: list[str] = []
-            for w in t.split():
-                toks.extend(word_tokens(w))
+            for w in ws_re.split(t):
+                if w:
+                    toks.extend(word_tokens(w))
             return toks
 
         for s in batches:
@@ -208,11 +216,18 @@ def with_bpe_tokens(
     text_col: str = "text",
     out_col: str = "bpe_tokens",
 ) -> DataFrame:
-    """df + (bpe_tokens array<string>, n_bpe_tokens) — true subword
+    """df + (``out_col`` array<string>, ``n_<out_col>``) — true subword
     token counts under a fixed merge table, replacing the regex-based
     ``subword_token_estimate`` where the real tokenizer matters
-    (token-budget sampling, sequence packing)."""
+    (token-budget sampling, sequence packing).
+
+    Applies NO case folding: the round-trip contract (encoding the
+    training corpus with its own table reproduces the training
+    segmentation) only holds when encoder input matches learner input
+    byte-for-byte — a caller who trains on lowercased text must lower
+    here too, explicitly. The count column name derives from
+    ``out_col`` so two tables can be compared side by side."""
     enc = bpe_encode_udf(merges)
-    return df.withColumn(out_col, enc(F.lower(F.col(text_col)))).withColumn(
-        "n_bpe_tokens", F.size(out_col)
+    return df.withColumn(out_col, enc(F.col(text_col))).withColumn(
+        f"n_{out_col}", F.size(out_col)
     )

@@ -109,6 +109,9 @@ def test_bpe_encode_reproduces_learner_segmentation(spark):
             Row(doc_id=0, text="low lower lowest low low"),
             Row(doc_id=1, text="new newer newest new"),
             Row(doc_id=2, text="aaa wider widest"),
+            # mixed case: encoder applies NO case folding, so training
+            # and encoding see identical bytes and round-trip exactly
+            Row(doc_id=3, text="The THE The widest"),
         ]
     )
     merges = [
@@ -137,7 +140,7 @@ def test_bpe_encode_reproduces_learner_segmentation(spark):
         for r in with_bpe_tokens(corpus, merges).collect()
     }
     for r in corpus.collect():
-        want = [t for w in r["text"].split() for t in ref_encode(w)]
+        want = [t for w in r["text"].split() for t in ref_encode(w)]  # ascii-space corpus: split() == learner class
         assert got[r["doc_id"]] == want, (r["doc_id"], got[r["doc_id"]], want)
 
     # token counts are consistent and 'aaa' splits left-greedy if (a,a)
