@@ -345,6 +345,27 @@ def main() -> None:
         extra_set=True,
     )
 
+    from narowi_ocr_spark.functions.normalize import normalize_text
+    from narowi_ocr_spark.operators.tokenizer import with_bpe_tokens
+
+    bench(
+        "text_normalize",
+        lambda: materialize(
+            docs.select("doc_id", normalize_text("text").alias("norm"))
+        ),
+        extra_set=True,
+    )
+    bench(
+        "bpe_encode",
+        lambda: materialize(
+            with_bpe_tokens(
+                docs.select("doc_id", F.lower("text").alias("text")),
+                entrymod.BPE_DEMO_MERGES,
+            ).select("doc_id", "n_bpe_tokens")
+        ),
+        extra_set=True,
+    )
+
     qs = entrymod.queries()
     bench("tpch_q1", lambda: materialize(qs["tpch_q1"](spark, sf_dir)))
     bench("events_hourly", lambda: materialize(qs["events_hourly"](spark, sf_dir)))
