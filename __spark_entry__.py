@@ -1747,6 +1747,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q6"] = tpch_q6
 
+    def tpch_q5(spark, sf_dir):
+        """Q5-style local-supplier-volume: the canonical multi-way star
+        — lineitem⋈orders shuffle on orderkey, everything else
+        (supplier, customer, nation⋈region) broadcast dims; the
+        same-nation customer⋈supplier predicate rides the joins.
+        Decimal-exact revenue per nation."""
+        cust = load_table(spark, sf_dir, "customer")
+        orders = load_table(spark, sf_dir, "orders").where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        supp = load_table(spark, sf_dir, "supplier")
+        nat = load_table(spark, sf_dir, "nation")
+        reg = load_table(spark, sf_dir, "region").where(
+            F.col("r_name") == "ASIA"
+        )
+        d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        asia_nations = F.broadcast(
+            nat.join(reg, nat.n_regionkey == reg.r_regionkey).select(
+                "n_nationkey", "n_name"
+            )
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(
+                F.broadcast(cust),
+                (orders.o_custkey == cust.c_custkey)
+                & (cust.c_nationkey == supp.s_nationkey),
+            )
+            .join(asia_nations, supp.s_nationkey == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(
+                F.sum(
+                    d("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - d("l_discount"))
+                )
+                .cast("double")
+                .alias("revenue")
+            )
+        )
+
+    q["tpch_q5"] = tpch_q5
+
     def tpch_q3(spark, sf_dir):
         """Q3-style shipping-priority query (no o_shippriority in this
         schema): segment-filtered customer dim BROADCAST into orders,
@@ -4163,6 +4208,25 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_orderkey, o_orderdate
         ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
         LIMIT 10
+    """
+
+    o["tpch_q5"] = """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
     """
 
     o["tpch_q6"] = """
