@@ -1595,6 +1595,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_moving_avg"] = events_moving_avg
 
+    def events_anomaly(spark, sf_dir):
+        """Daily event-count anomaly flags per type — the monitoring
+        rollup. The 2σ test runs ENTIRELY in int64: |c−µ|>2σ over
+        population stats is (c·n−S1)² > 4·(n·S2−S1²) with S1=Σc,
+        S2=Σc² — no float, no sqrt, bit-exact in any engine. One
+        groupBy for daily counts + one unbounded window per type."""
+        ev = load_table(spark, sf_dir, "events")
+        daily = ev.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(F.count("*").alias("c"))
+        w = Window.partitionBy("event_type")
+        s1 = F.sum("c").over(w)
+        s2 = F.sum(F.col("c") * F.col("c")).over(w)
+        n = F.count("*").over(w)
+        lhs = (F.col("c") * n - s1) * (F.col("c") * n - s1)
+        rhs = F.lit(4) * (n * s2 - s1 * s1)
+        return daily.select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.col("c").alias("n_events"),
+            (lhs > rhs).alias("is_anomaly"),
+        )
+
+    q["events_anomaly"] = events_anomaly
+
     def events_json(spark, sf_dir):
         ev = load_table(spark, sf_dir, "events")
         k = F.get_json_object("props", "$.k").cast("int")
@@ -4105,6 +4130,26 @@ def oracle_sql() -> dict[str, str]:
         FROM daily
         WINDOW w AS (PARTITION BY event_type ORDER BY day
                      RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    """
+
+    # events_anomaly: DuckDB SUM over BIGINT yields HUGEINT — cast back
+    # so the int64 arithmetic matches Spark's exactly.
+    o["events_anomaly"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT event_type, day, c,
+                 CAST(SUM(c) OVER w AS BIGINT) AS s1,
+                 CAST(SUM(c * c) OVER w AS BIGINT) AS s2,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS n
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type))
+        SELECT event_type, CAST(day AS VARCHAR) AS day, c AS n_events,
+               (c * n - s1) * (c * n - s1) > 4 * (n * s2 - s1 * s1)
+                 AS is_anomaly
+        FROM st
     """
 
     o["merge_upserts"] = """
