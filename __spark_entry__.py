@@ -1025,6 +1025,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_scores"] = quality_scores
 
+    def quality_deciles(spark, sf_dir):
+        """Quality stratification for curriculum mixes: rank-based
+        decile assignment, floor((rank−1)·10/n) over the total order
+        (q desc, doc_id asc) — unlike ntile, exactly deterministic
+        under ties. One window sort; at scale the rank comes from a
+        sampled CDF + broadcast thresholds instead of a global sort."""
+        scored = with_text_stats(_docs(spark, sf_dir)).select("doc_id", "q")
+        w = Window.orderBy(F.desc("q"), F.asc("doc_id"))
+        n = F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        return scored.select(
+            "doc_id",
+            "q",
+            F.floor((F.row_number().over(w) - 1) * 10 / n)
+            .cast("int")
+            .alias("decile"),
+        )
+
+    q["quality_deciles"] = quality_deciles
+
     def fingerprints(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         return docs.select("doc_id", fingerprint("text").alias("fp"))
@@ -3441,6 +3464,16 @@ def oracle_sql() -> dict[str, str]:
                    + 0.3 * (alpha_chars / greatest(n_chars, 1.0))
                    + 0.3 * least(n_words / 100.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS q
         FROM s
+    """
+
+    _q_expr = o["quality_scores"]
+    o["quality_deciles"] = f"""
+        WITH scored AS ({_q_expr})
+        SELECT doc_id, q,
+               CAST(floor((row_number() OVER (ORDER BY q DESC, doc_id ASC)
+                           - 1) * 10 / (SELECT count(*) FROM scored))
+                    AS INT) AS decile
+        FROM scored
     """
 
     o["fingerprints"] = "SELECT doc_id, md5(text) AS fp FROM documents"
