@@ -3009,6 +3009,155 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall"] = ann_recall_q
 
+    def events_retention(spark, sf_dir):
+        """Weekly cohort retention matrix — the canonical growth-
+        analytics rollup. cohort_week = a user's first active week;
+        each (cohort, week-offset) cell counts users still active.
+        Dataflow: distinct (user, week) pairs → per-user min week →
+        re-join on user_id → count. Both shuffles key on user_id, so
+        at 100 TB the distinct and the cohort agg co-locate under one
+        exchange reuse; the final matrix is tiny (weeks²)."""
+        ev = load_table(spark, sf_dir, "events")
+        weekly = ev.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        ).distinct()
+        cohort = weekly.groupBy("user_id").agg(
+            F.min("week").alias("cohort_week")
+        )
+        joined = weekly.join(cohort, "user_id")
+        return (
+            joined.groupBy(
+                F.col("cohort_week").cast("string").alias("cohort_week"),
+                (F.datediff("week", "cohort_week") / 7)
+                .cast("int")
+                .alias("week_offset"),
+            )
+            # (user, week) pairs are distinct, so count(*) IS the
+            # distinct-user count — no second expensive distinct.
+            .agg(F.count("*").alias("n_users"))
+        )
+
+    q["events_retention"] = events_retention
+
+    def events_cube(spark, sf_dir):
+        """CUBE over (event_type, day-of-week): all four grouping sets
+        in ONE shuffle with partial aggregation per set — the OLAP
+        complement of `events_rollup`'s hierarchy. dow is Spark's
+        dayofweek (1=Sunday..7)."""
+        ev = load_table(spark, sf_dir, "events")
+        return (
+            ev.cube(
+                F.col("event_type"),
+                F.dayofweek(F.col("ts")).alias("dow"),
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+
+    q["events_cube"] = events_cube
+
+    def events_pivot(spark, sf_dir):
+        """Day × event-type value matrix via pivot with an EXPLICIT
+        pivot-value list — skipping the values list would trigger an
+        extra collect-distinct job over the full table at 100 TB. One
+        shuffle on day; the pivot is a map-side when/otherwise fan-out
+        folded into the same aggregation."""
+        ev = load_table(spark, sf_dir, "events")
+        types = ["click", "error", "purchase", "signup", "view"]
+        piv = (
+            ev.groupBy(F.to_date("ts").alias("day"))
+            .pivot("event_type", types)
+            .agg(
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+            )
+        )
+        return piv.select(
+            F.col("day").cast("string").alias("day"),
+            *[F.col(t).alias(f"{t}_value") for t in types],
+        )
+
+    q["events_pivot"] = events_pivot
+
+    def tpch_q10(spark, sf_dir):
+        """TPC-H Q10: revenue lost to returned items by customer, one
+        quarter. Plan shape at scale: the date filter pushes into the
+        orders scan, returnflag into lineitem; lineitem⋈orders is the
+        one big shuffle join, customer joins on the already-reduced
+        order set, and the 25-row nation dim broadcasts."""
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        nation = load_table(spark, sf_dir, "nation")
+        rev = F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(18,2)")
+                - F.col("l_discount").cast("decimal(18,2)")
+            )
+        )
+        return (
+            li.where(F.col("l_returnflag") == "R")
+            .join(
+                orders.where(
+                    (F.col("o_orderdate") >= "1996-01-01")
+                    & (F.col("o_orderdate") < "1996-04-01")
+                ),
+                li.l_orderkey == orders.o_orderkey,
+            )
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(
+                F.broadcast(nation),
+                cust.c_nationkey == nation.n_nationkey,
+            )
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(rev.cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20)
+        )
+
+    q["tpch_q10"] = tpch_q10
+
+    def tpch_q18(spark, sf_dir):
+        """TPC-H Q18: large-volume customers — orders whose total
+        quantity exceeds 300. The HAVING subquery becomes a partial-agg
+        groupBy on lineitem (map-side combine shrinks it before the
+        shuffle); the survivor set is tiny, so both subsequent joins
+        broadcast it at any scale."""
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias(
+                    "tq"
+                )
+            )
+            .where(F.col("tq") > 300)
+        )
+        return (
+            orders.join(
+                F.broadcast(big), orders.o_orderkey == big.l_orderkey
+            )
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select(
+                "c_custkey",
+                "c_name",
+                "o_orderkey",
+                F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                F.col("tq").cast("double").alias("total_qty"),
+            )
+        )
+
+    q["tpch_q18"] = tpch_q18
+
     return q
 
 
@@ -5480,6 +5629,85 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON v.user_id = p.user_id
          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """
+
+    # events_retention: weeks are Monday-truncated in both engines, so
+    # the day delta is always a multiple of 7 and integer-divides exactly.
+    o["events_retention"] = """
+        WITH weekly AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS week
+          FROM events),
+        cohort AS (
+          SELECT user_id, min(week) AS cohort_week
+          FROM weekly GROUP BY user_id)
+        SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
+               CAST(date_diff('day', c.cohort_week, w.week) // 7 AS INT)
+                 AS week_offset,
+               count(*) AS n_users
+        FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+        GROUP BY 1, 2
+    """
+
+    # events_cube: DuckDB dayofweek is 0=Sunday..6, Spark's is 1..7.
+    o["events_cube"] = """
+        SELECT event_type,
+               CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_value
+        FROM events
+        GROUP BY CUBE(event_type, CAST(dayofweek(ts) + 1 AS INT))
+    """
+
+    o["events_pivot"] = """
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    FILTER (event_type = 'click') AS DOUBLE) AS click_value,
+               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    FILTER (event_type = 'error') AS DOUBLE) AS error_value,
+               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    FILTER (event_type = 'purchase') AS DOUBLE)
+                 AS purchase_value,
+               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    FILTER (event_type = 'signup') AS DOUBLE)
+                 AS signup_value,
+               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    FILTER (event_type = 'view') AS DOUBLE) AS view_value
+        FROM events GROUP BY 1
+    """
+
+    o["tpch_q10"] = """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R'
+          AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """
+
+    o["tpch_q18"] = """
+        WITH big AS (
+          SELECT l_orderkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        SELECT c_custkey, c_name, o_orderkey,
+               CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(tq AS DOUBLE) AS total_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
     """
 
     return o
