@@ -3009,6 +3009,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall"] = ann_recall_q
 
+    def dup_spans(spark, sf_dir):
+        """Lee-et-al-style duplicated-substring spans: 8-token windows
+        duplicated anywhere in the corpus, merged into maximal spans
+        per doc — the exact token mass span-removal dedup would cut."""
+        from narowi_ocr_spark.operators.corpus import dup_span_stats
+
+        return dup_span_stats(
+            _docs(spark, sf_dir).select("doc_id", "text"), k=8
+        )
+
+    q["dup_spans"] = dup_spans
+
     def events_retention(spark, sf_dir):
         """Weekly cohort retention matrix — the canonical growth-
         analytics rollup. cohort_week = a user's first active week;
@@ -5629,6 +5641,56 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON v.user_id = p.user_id
          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """
+
+    # dup_spans: 8-token windows (1-based slice w[i:i+7] = 8 elems),
+    # duplicated = the window digest occurs >= 2 times corpus-wide
+    # (self-repetition included); islands merge on pos > prev_end + 1.
+    o["dup_spans"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower({trimmed}), '\\s+') AS w
+          FROM documents WHERE length({trimmed}) > 0),
+        pos AS (
+          SELECT doc_id, len(w) AS n_tokens,
+                 unnest(range(1, len(w) - 8 + 2)) AS i, w
+          FROM d WHERE len(w) >= 8),
+        win AS (
+          SELECT doc_id, n_tokens, CAST(i - 1 AS BIGINT) AS pos,
+                 md5(array_to_string(w[i:i+7], ' ')) AS fp
+          FROM pos),
+        dup_fp AS (SELECT fp FROM win GROUP BY fp HAVING count(*) >= 2),
+        dup AS (SELECT doc_id, n_tokens, pos FROM win JOIN dup_fp USING (fp)),
+        isl AS (
+          SELECT doc_id, n_tokens, pos,
+                 CASE WHEN max(pos + 7) OVER pw IS NULL
+                        OR pos > max(pos + 7) OVER pw + 1
+                      THEN 1 ELSE 0 END AS new_span
+          FROM dup
+          WINDOW pw AS (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        sid AS (
+          SELECT doc_id, n_tokens, pos,
+                 sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS span_id
+          FROM isl),
+        spans AS (
+          SELECT doc_id, n_tokens, span_id, min(pos) AS s,
+                 max(pos) + 7 AS e, CAST(count(*) AS BIGINT) AS nw
+          FROM sid GROUP BY 1, 2, 3),
+        agg AS (
+          SELECT doc_id, n_tokens,
+                 CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+                 CAST(count(*) AS INT) AS n_spans,
+                 CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+          FROM spans GROUP BY 1, 2)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(n_dup_windows AS INT) AS n_dup_windows, n_spans,
+               CAST(dup_tokens AS INT) AS dup_tokens,
+               (1000000 * dup_tokens) // n_tokens AS dup_frac_scaled,
+               CAST((1000000 * dup_tokens) // n_tokens AS DOUBLE)
+                 / 1000000.0 AS dup_frac
+        FROM agg
     """
 
     # events_retention: weeks are Monday-truncated in both engines, so

@@ -958,6 +958,90 @@ def corpus_dup_fraction(
     )
 
 
+def dup_span_stats(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplicate-span statistics — the window-and-merge
+    core of suffix-style training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): a document
+    position is duplicated if it lies inside a ``k``-token window whose
+    window also occurs elsewhere in the corpus (another document OR
+    another position of the same document — self-repetition counts).
+    Overlapping/adjacent duplicated windows are merged into maximal
+    spans (gaps-and-islands), giving the exact token mass a
+    span-removal pass would delete.
+
+    Returns one row per document that has at least one duplicated
+    window: (doc_id, n_tokens, n_dup_windows, n_spans, dup_tokens,
+    dup_frac_scaled, dup_frac). dup_frac_scaled is integer fixed point
+    (SCALE·dup_tokens div n_tokens) so both engines agree bit-exactly.
+
+    Scale shape: windows are md5-digested at the scan — only
+    (doc_id, pos, 32-hex) triples ever shuffle, never window text. The
+    occurrence count is one partial-agg shuffle on the digest; the
+    dup-window join keys on the digest (AQE skew-split absorbs hot
+    boilerplate grams); the islands merge is ONE sort per doc_id
+    partition, and both following groupBys ride the same hash
+    partitioning. The O(positions) blowup is bounded: each token
+    contributes exactly one window start, so the exploded table is
+    ~n_tokens rows — the same cardinality every shingle/minhash stage
+    in this repo already handles.
+    """
+    win = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).alias("n_tokens"),
+        F.posexplode(F.transform(ngrams(text_col, k), F.md5)).alias(
+            "pos", "fp"
+        ),
+    )
+    dup_fp = (
+        win.groupBy("fp")
+        .agg(F.count("*").cast("long").alias("occ"))
+        .where(F.col("occ") >= 2)
+        .select("fp")
+    )
+    dup = win.join(dup_fp, "fp")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.withColumn(
+        "new_span",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+        ).otherwise(0),
+    ).withColumn("span_id", F.sum("new_span").over(w))
+    spans = isl.groupBy("doc_id", "n_tokens", "span_id").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(k - 1)).alias("e"),
+        F.count("*").cast("long").alias("nw"),
+    )
+    agg = spans.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").cast("int").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+        F.sum("nw").cast("long").alias("n_dup_windows"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_dup_windows").cast("int").alias("n_dup_windows"),
+        "n_spans",
+        F.col("dup_tokens").cast("int").alias("dup_tokens"),
+        F.expr(f"({DUPF_SCALE} * dup_tokens) div n_tokens").alias(
+            "dup_frac_scaled"
+        ),
+        (
+            F.expr(f"({DUPF_SCALE} * dup_tokens) div n_tokens").cast(
+                "double"
+            )
+            / F.lit(float(DUPF_SCALE))
+        ).alias("dup_frac"),
+    )
+
+
 def adaptive_quality_gate(
     scored: DataFrame,
     keep_frac: float = 0.5,

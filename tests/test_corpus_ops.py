@@ -514,3 +514,58 @@ def test_winnow_near_pairs_detects_shared_span(spark):
     assert all(2 not in p for p in pairs)
     r01 = [r for r in out if (r.id_a, r.id_b) == (0, 1)][0]
     assert r01.n_shared >= 5 and 0 < r01.jaccard <= 1.0
+
+
+def test_dup_span_stats_hand_computed(spark):
+    """k=3 windows, hand-traced islands merge.
+
+    doc 0: 'a b c d e f g h'     — windows abc bcd cde def efg fgh
+    doc 1: 'x a b c d y z w'     — shares the 3-gram 'a b c d' block
+    doc 2: 'p q r s t u v'       — unique, must be absent
+    doc 3: 'm m m m m m'         — self-repetition: all 4 windows 'm m m'
+
+    Dup fps: abc, bcd (df=2 via docs 0,1); mmm (occ=4 in doc 3).
+    doc 0: dup windows at pos 0,1 → one span [0, 3] → 4 tokens of 8.
+    doc 1: dup windows at pos 1,2 → one span [1, 4] → 4 tokens of 8.
+    doc 3: windows 0..3 → one span [0, 5] → all 6 tokens.
+    """
+    from narowi_ocr_spark.operators.corpus import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c d e f g h"),
+            Row(doc_id=1, text="x a b c d y z w"),
+            Row(doc_id=2, text="p q r s t u v"),
+            Row(doc_id=3, text="m m m m m m"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dup_span_stats(docs, k=3).collect()
+    }
+    assert set(out) == {0, 1, 3}
+    assert (out[0]["n_spans"], out[0]["dup_tokens"], out[0]["n_tokens"]) == (1, 4, 8)
+    assert out[0]["n_dup_windows"] == 2
+    assert (out[1]["n_spans"], out[1]["dup_tokens"]) == (1, 4)
+    assert (out[3]["n_spans"], out[3]["dup_tokens"], out[3]["n_tokens"]) == (1, 6, 6)
+    assert out[3]["dup_frac"] == 1.0
+    assert out[0]["dup_frac_scaled"] == 500000
+
+
+def test_dup_span_stats_disjoint_spans_stay_split(spark):
+    """Two duplicated regions separated by a unique gap must come out
+    as TWO spans, not one: doc 4 repeats doc 5's head and tail but has
+    a unique middle."""
+    from narowi_ocr_spark.operators.corpus import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=4, text="h1 h2 h3 u1 u2 u3 u4 t1 t2 t3"),
+            Row(doc_id=5, text="h1 h2 h3 q9 q8 q7 q6 t1 t2 t3"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in dup_span_stats(docs, k=3).collect()}
+    # each doc: dup windows at pos 0 (head) and pos 7 (tail) → 2 spans,
+    # 3 + 3 = 6 dup tokens of 10
+    for d in (4, 5):
+        assert (out[d]["n_spans"], out[d]["dup_tokens"], out[d]["n_tokens"]) == (2, 6, 10)
