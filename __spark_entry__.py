@@ -3009,6 +3009,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall"] = ann_recall_q
 
+    def emb_quantized(spark, sf_dir):
+        """int8 scalar quantization of the embedding corpus with exact
+        per-vector reconstruction diagnostics (code digest locks every
+        quantized value; mse_r4 measures the quality cost)."""
+        from narowi_ocr_spark.operators.similarity import (
+            quantize_embeddings,
+        )
+
+        return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+    q["emb_quantized"] = emb_quantized
+
     def dup_spans(spark, sf_dir):
         """Lee-et-al-style duplicated-substring spans: 8-token windows
         duplicated anywhere in the corpus, merged into maximal spans
@@ -5641,6 +5653,41 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON v.user_id = p.user_id
          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """
+
+    # emb_quantized: q_i = floor(x·127/scale + 0.5), scale = max|x|;
+    # codes digested as comma-joined ints; sse via the same sequential
+    # list fold as the cosine oracles (0.0-seeded + left fold ≡
+    # list_reduce without seed for addition).
+    o["emb_quantized"] = f"""
+        WITH x AS (
+          SELECT vec_id,
+                 list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xs
+          FROM embeddings),
+        s AS (
+          SELECT vec_id, xs,
+                 list_max(list_transform(xs, e -> abs(e))) AS scale
+          FROM x),
+        qd AS (
+          SELECT vec_id, xs, scale,
+                 list_transform(xs, e -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(floor(e * 127.0 / scale + 0.5) AS BIGINT) END) AS q,
+                 list_transform(xs, e ->
+                   CASE WHEN scale = 0
+                        THEN e * e
+                        ELSE (e - floor(e * 127.0 / scale + 0.5) * scale / 127.0)
+                             * (e - floor(e * 127.0 / scale + 0.5) * scale / 127.0)
+                   END) AS e2
+          FROM s)
+        SELECT vec_id, len(xs) AS n_dims,
+               {_round4_sql("scale")} AS scale_r4,
+               CAST(list_reduce(q, (a, b) -> a + b) AS BIGINT) AS q_sum,
+               CAST(list_min(q) AS INT) AS q_min,
+               CAST(list_max(q) AS INT) AS q_max,
+               md5(array_to_string(q, ',')) AS q_md5,
+               {_round4_sql("list_reduce(e2, (a, b) -> a + b)"
+                            " / CAST(len(xs) AS DOUBLE)")} AS mse_r4
+        FROM qd
     """
 
     # dup_spans: 8-token windows (1-based slice w[i:i+7] = 8 elems),

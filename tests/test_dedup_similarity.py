@@ -212,3 +212,45 @@ def test_semantic_contamination_is_shuffle_free(vectors):
     )
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_quantize_embeddings_hand_computed(spark):
+    """x = [1, -0.5, 0, 0.25] with scale 1.0 → q = floor(x·127 + 0.5) =
+    [127, -63, 0, 32]; zero vector → all-zero codes, scale 0, mse 0."""
+    from narowi_ocr_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, -0.5, 0.0, 0.25]),
+            Row(vec_id=1, embedding=[0.0, 0.0, 0.0, 0.0]),
+        ]
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    r0 = got[0]
+    assert (r0["n_dims"], r0["scale_r4"]) == (4, 1.0)
+    # q_sum = 127 - 63 + 0 + 32
+    assert (r0["q_sum"], r0["q_min"], r0["q_max"]) == (96, -63, 127)
+    import hashlib
+
+    assert r0["q_md5"] == hashlib.md5(b"127,-63,0,32").hexdigest()
+    # errors: 0, (-0.5 + 63/127)^2, 0, (0.25 - 32/127)^2
+    exp_mse = (
+        (-0.5 + 63.0 / 127.0) ** 2 + (0.25 - 32.0 / 127.0) ** 2
+    ) / 4.0
+    import math
+
+    assert abs(r0["mse_r4"] - exp_mse) < 1e-4
+    r1 = got[1]
+    assert (r1["scale_r4"], r1["q_sum"], r1["mse_r4"]) == (0.0, 0, 0.0)
+    assert r1["q_md5"] == hashlib.md5(b"0,0,0,0").hexdigest()
+
+
+def test_quantize_embeddings_codes_bounded(vectors):
+    from narowi_ocr_spark.operators.similarity import quantize_embeddings
+
+    out = quantize_embeddings(vectors)
+    bad = out.where((F.col("q_min") < -127) | (F.col("q_max") > 127)).count()
+    assert bad == 0
+    # shuffle-free narrow projection
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
