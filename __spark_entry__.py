@@ -3009,6 +3009,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall"] = ann_recall_q
 
+    def events_transitions(spark, sf_dir):
+        """Per-user event-type transition counts (the Markov pathing
+        matrix behind funnel mining): lag over (user, time) then one
+        partial-agg groupBy of (prev, next) pairs. One window sort per
+        user partition + one tiny-output shuffle — at 100 TB the
+        matrix is |types|² rows regardless of input size."""
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        ).where(F.col("prev_type").isNotNull())
+        return pairs.groupBy("prev_type", "next_type").agg(
+            F.count("*").alias("n_transitions")
+        )
+
+    q["events_transitions"] = events_transitions
+
+    def events_dau_wau(spark, sf_dir):
+        """DAU / trailing-7-day WAU / stickiness per day. WAU needs a
+        DISTINCT count over a sliding window — not expressible as a
+        window function — so each active (user, day) fans out to the 7
+        days it supports (a bounded ×7 explode of the already-
+        deduplicated activity table, NOT of raw events) and one
+        distinct-agg counts users per target day. Stickiness is integer
+        fixed point (ppm) so both engines agree bit-exactly. Days with
+        no activity in the calendar tail are absent by construction."""
+        ev = load_table(spark, sf_dir, "events")
+        ud = ev.select(
+            "user_id", F.to_date("ts").alias("day")
+        ).distinct()
+        dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+        fan = ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), 6)
+                )
+            ).alias("day"),
+        ).distinct()
+        wau = fan.groupBy("day").agg(F.count("*").alias("wau"))
+        return (
+            dau.join(wau, "day")
+            .select(
+                F.col("day").cast("string").alias("day"),
+                "dau",
+                "wau",
+                F.expr("(1000000 * dau) div wau").alias(
+                    "stickiness_ppm"
+                ),
+            )
+        )
+
+    q["events_dau_wau"] = events_dau_wau
+
     def emb_quantized(spark, sf_dir):
         """int8 scalar quantization of the embedding corpus with exact
         per-vector reconstruction diagnostics (code digest locks every
@@ -5653,6 +5708,32 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON v.user_id = p.user_id
          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """
+
+    o["events_transitions"] = """
+        WITH pairs AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type,
+                 event_type AS next_type
+          FROM events)
+        SELECT prev_type, next_type, count(*) AS n_transitions
+        FROM pairs WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+    # events_dau_wau: each active (user, day) supports target days
+    # day..day+6; inner join with DAU drops phantom tail days.
+    o["events_dau_wau"] = """
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        fan AS (
+          SELECT DISTINCT user_id, day + CAST(t.i AS INT) AS day
+          FROM ud, range(0, 7) t(i)),
+        wau AS (SELECT day, count(*) AS wau FROM fan GROUP BY day)
+        SELECT CAST(dau.day AS VARCHAR) AS day, dau, wau,
+               (1000000 * dau) // wau AS stickiness_ppm
+        FROM dau JOIN wau ON dau.day = wau.day
     """
 
     # emb_quantized: q_i = floor(x·127/scale + 0.5), scale = max|x|;
