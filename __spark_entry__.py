@@ -3009,6 +3009,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall"] = ann_recall_q
 
+    def media_phash_q(spark, sf_dir):
+        """64-bit perceptual hash (aHash grid-threshold recipe) per
+        media payload, as 4×16-bit bands — the near-dup complement of
+        media_dedup's exact digests."""
+        from narowi_ocr_spark.operators.multimodal import media_phash
+
+        docs = attach_binary(
+            _docs(spark, sf_dir).where(F.length("text") > 0)
+        )
+        return media_phash(docs)
+
+    q["media_phash"] = media_phash_q
+
+    def media_phash_pairs_q(spark, sf_dir):
+        """Near-duplicate media pairs via banded hamming join over the
+        perceptual hash; corpus = documents ∪ lightly-perturbed copies
+        (2 chars replaced at a fixed offset — the 'same image,
+        re-encoded' stand-in that keeps the sampling grid aligned)."""
+        from narowi_ocr_spark.operators.multimodal import media_phash_pairs
+
+        base = _docs(spark, sf_dir).select("doc_id", "text")
+        perturbed = base.where(
+            (F.col("doc_id") % 20 == 0) & (F.length("text") >= 13)
+        ).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 10),
+                F.lit("XX"),
+                F.expr("substr(text, 13)"),
+            ).alias("text"),
+        )
+        aug = base.unionByName(perturbed).where(F.length("text") > 0)
+        return media_phash_pairs(attach_binary(aug))
+
+    q["media_phash_pairs"] = media_phash_pairs_q
+
+    def spend_alerts(spark, sf_dir):
+        """Threshold-crossing spend alerts (batch twin of the
+        applyInPandasWithState streaming FSM): first event where a
+        user's cumulative integer-cents spend exceeds $2,500."""
+        from narowi_ocr_spark.streaming.stateful import spend_alerts_batch
+
+        return spend_alerts_batch(load_table(spark, sf_dir, "events"))
+
+    q["spend_alerts"] = spend_alerts
+
     def events_transitions(spark, sf_dir):
         """Per-user event-type transition counts (the Markov pathing
         matrix behind funnel mining): lag over (user, time) then one
@@ -5708,6 +5754,85 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON v.user_id = p.user_id
          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """
+
+    # media_phash: stub decode = code point at 64 evenly-spaced grid
+    # positions ((j·n) div 64, 0-based); bit_j = 64·v_j > Σv (integer-
+    # exact threshold); bits packed into 4×16-bit bands.
+    _PHASH_SIG = """
+        d AS (SELECT doc_id, text, length(text) AS n
+              FROM {src} WHERE length(text) > 0),
+        pos AS (SELECT doc_id, text, n, unnest(range(0, 64)) AS j FROM d),
+        v AS (SELECT doc_id, j,
+                     unicode(substr(text, CAST((j * n) // 64 AS INT) + 1, 1))
+                       AS val
+              FROM pos),
+        tot AS (SELECT doc_id, sum(val) AS s FROM v GROUP BY doc_id),
+        bits AS (SELECT v.doc_id, j // 16 AS bi,
+                        CAST(sum(CASE WHEN 64 * val > s
+                                 THEN 1 << (j % 16) ELSE 0 END) AS INT)
+                          AS band
+                 FROM v JOIN tot USING (doc_id) GROUP BY v.doc_id, j // 16),
+        sig AS (SELECT doc_id,
+                       CAST(sum(CASE WHEN bi=0 THEN band END) AS INT) AS b0,
+                       CAST(sum(CASE WHEN bi=1 THEN band END) AS INT) AS b1,
+                       CAST(sum(CASE WHEN bi=2 THEN band END) AS INT) AS b2,
+                       CAST(sum(CASE WHEN bi=3 THEN band END) AS INT) AS b3
+                FROM bits GROUP BY doc_id)
+    """
+
+    o["media_phash"] = (
+        "WITH " + _PHASH_SIG.format(src="documents")
+        + " SELECT doc_id, b0, b1, b2, b3 FROM sig"
+    )
+
+    o["media_phash_pairs"] = (
+        """
+        WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 300000,
+                 concat(substr(text, 1, 10), 'XX', substr(text, 13))
+          FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 13),
+        """
+        + _PHASH_SIG.format(src="aug")
+        + """,
+        bands AS (
+          SELECT doc_id, 0 AS bi, b0 AS bv FROM sig UNION ALL
+          SELECT doc_id, 1, b1 FROM sig UNION ALL
+          SELECT doc_id, 2, b2 FROM sig UNION ALL
+          SELECT doc_id, 3, b3 FROM sig),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        ham AS (
+          SELECT id_a, id_b,
+                 CAST(bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
+                    + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
+                    + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
+                    + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) AS INT)
+                   AS hamming
+          FROM cand JOIN sig a ON id_a = a.doc_id
+                    JOIN sig b ON id_b = b.doc_id)
+        SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """
+    )
+
+    # spend_alerts: integer cents via decimal(18,2)·100; the alert row
+    # is the first whose running total crosses 250000 cents.
+    o["spend_alerts"] = """
+        WITH staged AS (
+          SELECT user_id, ts,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                 CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                      OVER w AS BIGINT) AS cum_cents,
+                 CAST(row_number() OVER w AS BIGINT) AS n_events
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, ts AS alert_ts, cum_cents, n_events
+        FROM staged
+        WHERE cum_cents > 250000 AND cum_cents - c <= 250000
     """
 
     o["events_transitions"] = """

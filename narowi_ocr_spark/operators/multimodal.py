@@ -202,3 +202,121 @@ def media_dedup(
         F.count("*").cast("int").alias("n_copies"),
         F.min("id").alias("keep_id"),
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("b0", T.IntegerType(), False),
+        T.StructField("b1", T.IntegerType(), False),
+        T.StructField("b2", T.IntegerType(), False),
+        T.StructField("b3", T.IntegerType(), False),
+    ]
+)
+
+PHASH_SAMPLES = 64  # one bit per grid sample, packed into 4×16-bit bands
+
+
+def media_phash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual-hash stage for media payloads — the NEAR-dup
+    complement of ``media_dedup``'s exact digests (aHash recipe:
+    downsample to a fixed grid, threshold each cell against the global
+    mean, pack the bits; Monga & Evans, "Perceptual image hashing via
+    feature points", IEEE TIP 2006 popularized the family). Unlike a
+    cryptographic digest, the hash has LOCALITY: payloads differing in
+    a few regions differ in a few bits, so banded hamming join finds
+    re-encoded/trimmed copies.
+
+    The "decode" is the sandbox stub (sample luminance = code point of
+    the character at each of 64 evenly-spaced grid positions — a real
+    build reads pixel blocks); thresholding is integer-exact
+    (64·v > Σv), so both engines agree bit-for-bit. The 64 bits are
+    returned as four 16-bit band ints — exactly the blocking keys the
+    pair join needs, and no signed-overflow trap at bit 63.
+
+    Payload bytes never leave the Arrow stage; only (id, 4×int16)
+    shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                s = bytes(payload).decode("utf-8")
+                n = len(s)
+                if n == 0:
+                    continue
+                vals = [
+                    ord(s[(j * n) // PHASH_SAMPLES])
+                    for j in range(PHASH_SAMPLES)
+                ]
+                total = sum(vals)
+                bands = [0, 0, 0, 0]
+                for j, v in enumerate(vals):
+                    if PHASH_SAMPLES * v > total:
+                        bands[j // 16] |= 1 << (j % 16)
+                rows.append((int(i), bands[0], bands[1], bands[2], bands[3]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, PHASH_SCHEMA)
+
+
+def media_phash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Near-duplicate media pairs by banded hamming join over the
+    64-bit perceptual hash: candidates must agree on at least one of
+    the 4 16-bit bands (pigeonhole: 4 blocks cover hamming ≤ 3 — the
+    d+1-blocks rule, same geometry as ``dedup.simhash_near_pairs``),
+    then the exact hamming distance (Σ bit_count(bᵢ⊕bᵢ')) filters.
+    Never an all-pairs join: each band is an equi-join on a 16-bit
+    key, O(Σ bucket²) with 65 536 buckets per band."""
+    sig = media_phash(df, id_col=id_col, payload_col=payload_col)
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_idx"),
+            F.col(f"b{b}").alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)],
+    )
+    bsig = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{b}").alias(f"bb{b}") for b in range(4)],
+    )
+    ham = sum(
+        F.bit_count(
+            F.col(f"a{b}").bitwiseXOR(F.col(f"bb{b}")).cast("long")
+        )
+        for b in range(4)
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(bsig, "id_b")
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -179,3 +179,138 @@ def windowed_counts_stream(
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------- alerts
+
+ALERT_THRESHOLD_CENTS = 250_000  # $2,500 cumulative spend
+
+ALERT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("alert_ts", T.TimestampType()),
+        T.StructField("cum_cents", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+# state: (cum_cents, n_events, fired)
+ALERT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cum_cents", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("fired", T.BooleanType()),
+    ]
+)
+
+
+def _cents(x: float) -> int:
+    """Exact integer cents from a 2-decimal double (values in the events
+    table are exact cents; floor(x·100 + 0.5) is the same IEEE
+    round-half-up used everywhere else in this repo)."""
+    import math
+
+    return int(math.floor(x * 100.0 + 0.5))
+
+
+def _alert_group(
+    key: Tuple[Any, ...],
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this user's events in (ts, event_id) order into a running
+    integer-cents total; emit ONE alert row the first time the total
+    crosses the threshold. State is three scalars per user — bounded
+    regardless of event volume.
+
+    Ordering contract: the crossing point is defined over event-time
+    order. Late data (an event older than ones already folded) would
+    move the true crossing earlier; this operator assumes per-key
+    event-time-ordered arrival across micro-batches (log-structured
+    ingestion). Production hardening = buffer to the watermark before
+    folding (same trade the sessionize operator documents).
+    """
+    (user_id,) = key
+    rows = []
+    for pdf in batches:
+        for t, e, v in zip(
+            pd.to_datetime(pdf["ts"]), pdf["event_id"], pdf["value"]
+        ):
+            rows.append((int(t.value // 1000), int(e), float(v)))
+    rows.sort()
+
+    if state.exists:
+        cum, n, fired = state.get
+    else:
+        cum, n, fired = 0, 0, False
+
+    out = None
+    for t_us, _eid, v in rows:
+        cum += _cents(v)
+        n += 1
+        if not fired and cum > ALERT_THRESHOLD_CENTS:
+            fired = True
+            out = (user_id, pd.Timestamp(t_us, unit="us"), cum, n)
+    state.update((cum, n, fired))
+
+    if out is not None:
+        yield pd.DataFrame(
+            {
+                "user_id": [out[0]],
+                "alert_ts": [out[1]],
+                "cum_cents": [out[2]],
+                "n_events": [out[3]],
+            }
+        )
+
+
+def spend_alerts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """events stream → at most one threshold-crossing alert per user
+    (quota/fraud/billing alerting — the emit-once FSM shape that
+    complements sessionize_stream's emit-on-close shape). State shards
+    with the user_id shuffle; no timeout is registered because the
+    state is three scalars per key (production would add an event-time
+    timeout at the account-inactivity horizon to reap dead keys)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _alert_group,
+            outputStructType=ALERT_SCHEMA,
+            stateStructType=ALERT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def spend_alerts_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of ``spend_alerts_stream``: running decimal-exact
+    cents over a (ts, event_id) window; the alert row is the first one
+    where the running total exceeds the threshold (prev total ≤ T <
+    total). One window sort per user partition, nothing else."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = (
+        F.col("value").cast("decimal(18,2)") * 100
+    ).cast("long")
+    staged = events.select(
+        "user_id", "ts", "event_id", cents.alias("_c")
+    ).select(
+        "user_id",
+        "ts",
+        "_c",
+        F.sum("_c").over(w).alias("cum_cents"),
+        F.row_number().over(w).alias("n_events"),
+    )
+    thr = F.lit(ALERT_THRESHOLD_CENTS).cast("long")
+    return staged.where(
+        (F.col("cum_cents") > thr)
+        & (F.col("cum_cents") - F.col("_c") <= thr)
+    ).select(
+        "user_id",
+        F.col("ts").alias("alert_ts"),
+        "cum_cents",
+        F.col("n_events").cast("long").alias("n_events"),
+    )

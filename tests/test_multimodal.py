@@ -66,3 +66,43 @@ def test_resize_media_caps_payload(spark):
     out = {r.doc_id: r for r in resize_media(docs, max_bytes=100).collect()}
     assert out[1].byte_len == 100 and bytes(out[1].payload) == b"x" * 100
     assert out[2].byte_len == 5 and bytes(out[2].payload) == b"short"
+
+
+def test_media_phash_locality_and_pairs(spark):
+    """Identical payloads → identical hash; a 2-char mid-string edit →
+    small hamming distance; unrelated text → not paired."""
+    from pyspark.sql import Row
+    from narowi_ocr_spark.operators.multimodal import (
+        attach_binary,
+        media_phash,
+        media_phash_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = base[:10] + "XX" + base[12:]
+    other = "completely different content with other words entirely " * 8
+    df = attach_binary(
+        spark.createDataFrame(
+            [
+                Row(doc_id=1, text=base),
+                Row(doc_id=2, text=base),
+                Row(doc_id=3, text=edited),
+                Row(doc_id=4, text=other),
+            ]
+        )
+    )
+    sig = {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+           for r in media_phash(df).collect()}
+    assert sig[1] == sig[2]
+    ham13 = sum(
+        bin(a ^ b).count("1") for a, b in zip(sig[1], sig[3])
+    )
+    assert 0 < ham13 <= 3
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in media_phash_pairs(df).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+    # all bands are 16-bit
+    for b in sig.values():
+        assert all(0 <= x < 65536 for x in b)

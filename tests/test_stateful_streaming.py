@@ -156,3 +156,60 @@ def test_windowed_counts_stream(spark, tmp_path):
         (T0.replace(minute=0), 6): 40.0,
         (T0.replace(minute=0) + datetime.timedelta(hours=1), 1): 5.0,
     }
+
+
+def test_spend_alert_stream_matches_batch_twin(spark, tmp_path):
+    """Stateful threshold FSM vs the window batch twin: same single
+    alert per crossing user, same crossing event, exactly one emission
+    even when later batches keep adding spend."""
+    from narowi_ocr_spark.streaming.stateful import (
+        spend_alerts_batch,
+        spend_alerts_stream,
+    )
+
+    rows = [
+        # user 1 crosses $2500 on its 3rd event
+        (1, 101, T0, 1000.0),
+        (1, 102, T0 + datetime.timedelta(minutes=1), 1000.0),
+        (1, 103, T0 + datetime.timedelta(minutes=2), 600.0),
+        (1, 104, T0 + datetime.timedelta(minutes=3), 5000.0),  # after fire
+        # user 2 never crosses
+        (2, 201, T0, 2500.0),
+        # user 3 crosses exactly at the boundary: 2500.00 is NOT >
+        (3, 301, T0, 2500.0),
+        (3, 302, T0 + datetime.timedelta(minutes=1), 0.01),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="user_id long, event_id long, ts timestamp, value double"
+    )
+    batch = {
+        r["user_id"]: r for r in spend_alerts_batch(df).collect()
+    }
+    assert set(batch) == {1, 3}
+    assert (batch[1]["cum_cents"], batch[1]["n_events"]) == (260000, 3)
+    assert (batch[3]["cum_cents"], batch[3]["n_events"]) == (250001, 2)
+
+    src = str(tmp_path / "alert_src")
+    # two micro-batch files in event-time order (the documented
+    # ordering contract)
+    df.where(F.col("ts") <= T0).coalesce(1).write.parquet(src)
+    df.where(F.col("ts") > T0).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, ts timestamp, value double"
+    ).parquet(src)
+    name = "t_alert_" + uuid.uuid4().hex[:8]
+    q = (
+        spend_alerts_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "alert_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["user_id"]: r for r in spark.table(name).collect()}
+    assert set(got) == set(batch)
+    for u in batch:
+        assert got[u]["alert_ts"] == batch[u]["alert_ts"]
+        assert got[u]["cum_cents"] == batch[u]["cum_cents"]
+        assert got[u]["n_events"] == batch[u]["n_events"]
