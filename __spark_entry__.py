@@ -3009,6 +3009,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall"] = ann_recall_q
 
+    def events_new_users(spark, sf_dir):
+        """New-vs-returning decomposition per day + cumulative user
+        count: first-activity day per user (one user_id shuffle), then
+        daily DAU vs new joined on day; the running total is a window
+        over the TINY daily table (days × 1 rows), so the unpartitioned
+        sort is a final-stage no-op at any input scale."""
+        ev = load_table(spark, sf_dir, "events")
+        ud = ev.select(
+            "user_id", F.to_date("ts").alias("day")
+        ).distinct()
+        first = ud.groupBy("user_id").agg(F.min("day").alias("fday"))
+        new_d = first.groupBy(F.col("fday").alias("day")).agg(
+            F.count("*").alias("n_new")
+        )
+        dau = ud.groupBy("day").agg(F.count("*").alias("n_active"))
+        w = Window.orderBy("day").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return (
+            dau.join(new_d, "day", "left")
+            .select(
+                F.col("day").cast("string").alias("day"),
+                "n_active",
+                F.coalesce("n_new", F.lit(0)).alias("n_new"),
+                (
+                    F.col("n_active")
+                    - F.coalesce("n_new", F.lit(0))
+                ).alias("n_returning"),
+                F.sum(F.coalesce("n_new", F.lit(0)))
+                .over(w)
+                .alias("cum_users"),
+            )
+        )
+
+    q["events_new_users"] = events_new_users
+
+    def length_histogram(spark, sf_dir):
+        """Corpus length datasheet: power-of-2 token-count histogram.
+        The bucket is the binary magnitude (bit length) of the token
+        count — integer-exact in both engines (string length of the
+        base-2 representation; no float log2 edge cases at exact
+        powers). One partial-agg shuffle of ≤64 groups."""
+        docs = _docs(spark, sf_dir)
+        from narowi_ocr_spark.functions.textstats import token_count
+
+        staged = docs.select(token_count("text").alias("n_tokens"))
+        bucket = F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+            F.length(F.conv(F.col("n_tokens"), 10, 2))
+        )
+        return (
+            staged.select(
+                bucket.cast("int").alias("bucket_bits"), "n_tokens"
+            )
+            .groupBy("bucket_bits")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("sum_tokens"),
+                F.min("n_tokens").alias("min_tokens"),
+                F.max("n_tokens").alias("max_tokens"),
+            )
+        )
+
+    q["length_histogram"] = length_histogram
+
     def media_phash_q(spark, sf_dir):
         """64-bit perceptual hash (aHash grid-threshold recipe) per
         media payload, as 4×16-bit bands — the near-dup complement of
@@ -5754,6 +5818,40 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON v.user_id = p.user_id
          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """
+
+    o["events_new_users"] = """
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        first AS (
+          SELECT user_id, min(day) AS fday FROM ud GROUP BY user_id),
+        new_d AS (SELECT fday AS day, count(*) AS n_new
+                  FROM first GROUP BY fday),
+        dau AS (SELECT day, count(*) AS n_active FROM ud GROUP BY day)
+        SELECT CAST(dau.day AS VARCHAR) AS day, n_active,
+               COALESCE(n_new, 0) AS n_new,
+               n_active - COALESCE(n_new, 0) AS n_returning,
+               CAST(sum(COALESCE(n_new, 0)) OVER (ORDER BY dau.day
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        FROM dau LEFT JOIN new_d ON dau.day = new_d.day
+    """
+
+    # length_histogram: bucket = bit length of the token count
+    # (length of the base-2 string — integer-exact, no log2 edges).
+    o["length_histogram"] = f"""
+        WITH t AS (
+          SELECT CASE WHEN length({trimmed}) = 0 THEN 0
+                      ELSE len(regexp_split_to_array({trimmed}, '\\s+'))
+                 END AS n_tokens
+          FROM documents)
+        SELECT CAST(CASE WHEN n_tokens = 0 THEN 0
+                    ELSE length(to_base(n_tokens, 2)) END AS INT)
+                 AS bucket_bits,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               min(n_tokens) AS min_tokens,
+               max(n_tokens) AS max_tokens
+        FROM t GROUP BY 1
     """
 
     # media_phash: stub decode = code point at 64 evenly-spaced grid
