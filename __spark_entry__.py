@@ -3009,6 +3009,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall"] = ann_recall_q
 
+    def compression_ratio(spark, sf_dir):
+        """zlib compressibility per document (templated/repetitive-text
+        quality signal). No SQL oracle — DuckDB has no zlib — so this
+        is a rows-only entry; byte-exact verification lives in
+        tests/test_textstats_staged.py against an independent pure-
+        Python computation."""
+        from narowi_ocr_spark.functions.textstats import (
+            with_compression_ratio,
+        )
+
+        return with_compression_ratio(
+            _docs(spark, sf_dir).select("doc_id", "text")
+        )
+
+    q["compression_ratio"] = compression_ratio
+
     def events_new_users(spark, sf_dir):
         """New-vs-returning decomposition per day + cumulative user
         count: first-activity day per user (one user_id shuffle), then

@@ -366,6 +366,29 @@ def main() -> None:
         extra_set=True,
     )
 
+    from narowi_ocr_spark.functions.textstats import with_compression_ratio
+    from narowi_ocr_spark.operators.corpus import dup_span_stats
+    from narowi_ocr_spark.operators.multimodal import (
+        attach_binary,
+        media_phash_pairs,
+    )
+
+    bench(
+        "dup_spans",
+        lambda: materialize(dup_span_stats(corpus, k=8)),
+        extra_set=True,
+    )
+    bench(
+        "media_phash_pairs",
+        lambda: materialize(media_phash_pairs(attach_binary(docs))),
+        extra_set=True,
+    )
+    bench(
+        "compression_ratio",
+        lambda: materialize(with_compression_ratio(docs)),
+        extra_set=True,
+    )
+
     qs = entrymod.queries()
     bench("tpch_q1", lambda: materialize(qs["tpch_q1"](spark, sf_dir)))
     bench("events_hourly", lambda: materialize(qs["events_hourly"](spark, sf_dir)))

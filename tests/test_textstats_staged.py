@@ -174,3 +174,44 @@ def test_normalize_text_canonicalizes_before_hashing(spark):
     assert again.where(
         F.col("m").isNotNull() & (F.col("m") != F.col("n"))
     ).count() == 0
+
+
+def test_compression_ratio_matches_pure_python(spark):
+    """Byte-exact cross-check vs an independent zlib computation (the
+    op has no SQL oracle — DuckDB has no zlib surface)."""
+    import zlib
+
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.functions.textstats import (
+        COMP_SCALE,
+        with_compression_ratio,
+    )
+
+    texts = [
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" * 20,  # highly compressible
+        "the quick brown fox jumps over the lazy dog",
+        "Zx9!kQ2@pL7#mN4$vB8%",  # short, incompressible
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {r["doc_id"]: r for r in with_compression_ratio(df).collect()}
+    for i, t in enumerate(texts):
+        r = got[i]
+        if t is None:
+            assert r["n_bytes"] is None and r["ratio"] is None
+            continue
+        raw = t.encode("utf-8")
+        assert r["n_bytes"] == len(raw)
+        assert r["n_compressed"] == len(zlib.compress(raw, 6))
+        if raw:
+            exp = (COMP_SCALE * r["n_compressed"]) // r["n_bytes"]
+            assert r["ratio_scaled"] == exp
+            assert r["ratio"] == exp / COMP_SCALE
+        else:
+            assert r["ratio"] is None
+    # repetitive text compresses far better than prose
+    assert got[0]["ratio"] < 0.05 < got[1]["ratio"]
