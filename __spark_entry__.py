@@ -3009,6 +3009,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall"] = ann_recall_q
 
+    def tpch_q14(spark, sf_dir):
+        """TPC-H Q14: promo-revenue share for one month. The date
+        filter pushes into the lineitem scan; the part dim broadcasts
+        (it is ~30× smaller than lineitem at every TPC-H SF); the
+        conditional and total sums ride ONE partial aggregation."""
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part")
+        rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+            F.lit(1).cast("decimal(18,2)")
+            - F.col("l_discount").cast("decimal(18,2)")
+        )
+        j = li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-02-01")
+        ).join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        agg = j.agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).alias("promo"),
+            F.sum(rev).alias("total"),
+        )
+        return agg.select(
+            F.col("promo").cast("double").alias("promo_rev"),
+            F.col("total").cast("double").alias("total_rev"),
+            round4(
+                F.lit(100.0)
+                * F.col("promo").cast("double")
+                / F.col("total").cast("double")
+            ).alias("promo_pct"),
+        )
+
+    q["tpch_q14"] = tpch_q14
+
+    def tpch_q19(spark, sf_dir):
+        """TPC-H Q19: disjunctive brand/size/quantity predicate bundles
+        — the OR-of-ANDs pushdown stress test. The part-side predicate
+        (brand × size band) prunes the broadcast build; the quantity
+        bands apply post-join because each band pairs with a different
+        brand."""
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part")
+        rev = F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(18,2)")
+                - F.col("l_discount").cast("decimal(18,2)")
+            )
+        )
+        band = (
+            (
+                (F.col("p_brand") == "Brand#12")
+                & F.col("p_size").between(1, 5)
+                & F.col("l_quantity").between(1, 11)
+            )
+            | (
+                (F.col("p_brand") == "Brand#23")
+                & F.col("p_size").between(1, 10)
+                & F.col("l_quantity").between(10, 20)
+            )
+            | (
+                (F.col("p_brand") == "Brand#34")
+                & F.col("p_size").between(1, 15)
+                & F.col("l_quantity").between(20, 30)
+            )
+        )
+        j = li.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        ).where(band)
+        return j.agg(
+            rev.cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+
+    q["tpch_q19"] = tpch_q19
+
+    def tpch_q16(spark, sf_dir):
+        """TPC-H Q16-style: distinct supplier count per (brand, type)
+        for small parts — the distinct-agg-after-join shape. Supplier
+        keys come straight off lineitem (the reduced schema has no
+        partsupp), so the join probe is the fact table and the
+        distinct collapses map-side per (brand, type, suppkey)."""
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part")
+        j = li.join(
+            F.broadcast(
+                part.where(F.col("p_size").between(1, 15))
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        return (
+            j.groupBy("p_brand", "p_type")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        )
+
+    q["tpch_q16"] = tpch_q16
+
     def compression_ratio(spark, sf_dir):
         """zlib compressibility per document (templated/repetitive-text
         quality signal). No SQL oracle — DuckDB has no zlib — so this
@@ -5834,6 +5934,50 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON v.user_id = p.user_id
          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """
+
+    o["tpch_q14"] = f"""
+        WITH j AS (
+          SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2))
+                    - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+                 p_type
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'),
+        agg AS (
+          SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
+                 sum(rev) AS total
+          FROM j)
+        SELECT CAST(promo AS DOUBLE) AS promo_rev,
+               CAST(total AS DOUBLE) AS total_rev,
+               {_round4_sql("100.0 * CAST(promo AS DOUBLE)"
+                            " / CAST(total AS DOUBLE)")} AS promo_pct
+        FROM agg
+    """
+
+    o["tpch_q19"] = """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """
+
+    o["tpch_q16"] = """
+        SELECT p_brand, p_type,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size BETWEEN 1 AND 15
+        GROUP BY p_brand, p_type
     """
 
     o["events_new_users"] = """
