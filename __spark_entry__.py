@@ -3048,10 +3048,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def tpch_q19(spark, sf_dir):
         """TPC-H Q19: disjunctive brand/size/quantity predicate bundles
-        — the OR-of-ANDs pushdown stress test. The part-side predicate
-        (brand × size band) prunes the broadcast build; the quantity
-        bands apply post-join because each band pairs with a different
-        brand."""
+        — the OR-of-ANDs pushdown stress test. Verified via
+        explain("formatted"): Catalyst extracts each side's disjunction
+        and pushes it INTO the parquet scans (lineitem gets the
+        three-way l_quantity OR-band as PushedFilters, part gets the
+        brand×size OR), so neither scan reads rows no bundle can
+        accept; the cross-band residual applies post-join."""
         li = load_table(spark, sf_dir, "lineitem")
         part = load_table(spark, sf_dir, "part")
         rev = F.sum(
@@ -3367,24 +3369,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_cube"] = events_cube
 
     def events_pivot(spark, sf_dir):
-        """Day × event-type value matrix via pivot with an EXPLICIT
-        pivot-value list — skipping the values list would trigger an
-        extra collect-distinct job over the full table at 100 TB. One
-        shuffle on day; the pivot is a map-side when/otherwise fan-out
-        folded into the same aggregation."""
+        """Day × event-type value matrix as CONDITIONAL AGGREGATION
+        (sum(when(type=t))) rather than DataFrame.pivot(): pivot()
+        plans TWO aggregations with two exchanges (per-(day,type) sums,
+        then a pivotfirst regroup on day — verified via explain), and
+        without an explicit value list it also runs a collect-distinct
+        pre-job over the full table. The when/otherwise form folds the
+        whole matrix into ONE partial-agg shuffle keyed on day
+        (asserted by tests/test_plan_shape.py)."""
         ev = load_table(spark, sf_dir, "events")
         types = ["click", "error", "purchase", "signup", "view"]
-        piv = (
-            ev.groupBy(F.to_date("ts").alias("day"))
-            .pivot("event_type", types)
-            .agg(
-                F.sum(F.col("value").cast("decimal(18,2)"))
-                .cast("double")
+        aggs = [
+            F.sum(
+                F.when(
+                    F.col("event_type") == t,
+                    F.col("value").cast("decimal(18,2)"),
+                )
             )
-        )
-        return piv.select(
-            F.col("day").cast("string").alias("day"),
-            *[F.col(t).alias(f"{t}_value") for t in types],
+            .cast("double")
+            .alias(f"{t}_value")
+            for t in types
+        ]
+        return (
+            ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(*aggs)
+            .select(
+                F.col("day").cast("string").alias("day"),
+                *[f"{t}_value" for t in types],
+            )
         )
 
     q["events_pivot"] = events_pivot

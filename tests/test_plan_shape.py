@@ -372,3 +372,63 @@ def test_bloom_build_shuffles_only_bitmap_words(spark, tmp_path):
     full = _physical_plan(incremental_dedup_bloom(docs, index))
     assert "BroadcastExchange" in full, full
     assert "CartesianProduct" not in full, full
+
+
+def test_tpch_q19_disjunction_pushdown(spark):
+    """Catalyst must extract the per-side disjunctions of the
+    OR-of-ANDs predicate and push them into BOTH parquet scans (the
+    quantity OR-band into lineitem, brand×size into part), with the
+    part dim broadcast."""
+    import __spark_entry__ as entrymod
+
+    # widen FileScan metadata truncation so PushedFilters are visible
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    try:
+        df = entrymod.queries()["tpch_q19"](spark, "/root/testdata/sf0.001")
+        plan = _physical_plan(df)
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "BroadcastHashJoin" in plan, plan
+    scan_lines = [l for l in plan.splitlines() if "PushedFilters" in l]
+    joined = "\n".join(scan_lines)
+    assert "LessThanOrEqual(l_quantity,11.0)" in joined, joined
+    assert "EqualTo(p_brand,Brand#12)" in joined, joined
+
+
+def test_events_pivot_single_shuffle_no_distinct_job(spark):
+    """Explicit pivot values → ONE hash exchange (the day groupBy) and
+    no extra collect-distinct pre-job in the plan."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["events_pivot"](spark, "/root/testdata/sf0.001")
+    plan = _physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_quantize_embeddings_is_narrow_codegen(spark):
+    """Quantization is one narrow projection: no Exchange, no Python
+    runner in the plan."""
+    from narowi_ocr_spark.operators.similarity import quantize_embeddings
+    from narowi_ocr_spark.sources.tables import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = _physical_plan(quantize_embeddings(vecs))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_media_phash_pairs_never_cartesian(spark):
+    """The banded hamming join must be an equi-join on (band_idx,
+    band_val) — no CartesianProduct / BroadcastNestedLoopJoin."""
+    from narowi_ocr_spark.operators.multimodal import (
+        attach_binary,
+        media_phash_pairs,
+    )
+    from narowi_ocr_spark.sources.tables import load_table
+
+    docs = attach_binary(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    plan = _physical_plan(media_phash_pairs(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
