@@ -3009,6 +3009,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall"] = ann_recall_q
 
+    def emb_label_centroids(spark, sf_dir):
+        """Per-label centroid of the embedding corpus (the class-
+        centroid aggregation behind SemDeDup cluster seeds / IVF coarse
+        training) on the house int64 grid (floor(x·1e6+0.5)) so the
+        per-dimension sums are order-free integers — no float-summation
+        partitioning trap. posexplode to (label, dim, q) rides ONE
+        partial-agg shuffle whose combine collapses each input
+        partition to ≤ |labels|·dim rows before it moves."""
+        vecs = load_table(spark, sf_dir, "embeddings")
+        qv = F.transform(
+            F.col("embedding"),
+            lambda e: F.floor(e.cast("double") * 1000000.0 + 0.5).cast(
+                "long"
+            ),
+        )
+        ex = vecs.select(
+            "label", F.posexplode(qv).alias("dim", "q")
+        )
+        return (
+            ex.groupBy("label", "dim")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("q").cast("long").alias("sum_q"),
+            )
+            .select(
+                "label",
+                "dim",
+                "n",
+                "sum_q",
+                F.expr("sum_q div n").alias("mean_q"),
+                (
+                    F.expr("sum_q div n").cast("double") / F.lit(1e6)
+                ).alias("centroid_val"),
+            )
+        )
+
+    q["emb_label_centroids"] = emb_label_centroids
+
     def tpch_q14(spark, sf_dir):
         """TPC-H Q14: promo-revenue share for one month. The date
         filter pushes into the lineitem scan; the part dim broadcasts
@@ -5946,6 +5984,25 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON v.user_id = p.user_id
          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """
+
+    # emb_label_centroids: parallel unnests zip positionally in DuckDB;
+    # integer-grid sums make the aggregation order-free in both engines.
+    o["emb_label_centroids"] = """
+        WITH ex AS (
+          SELECT label,
+                 CAST(unnest(range(len(embedding))) AS INT) AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                            + 0.5) AS BIGINT) AS q
+          FROM embeddings),
+        agg AS (
+          SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(q) AS BIGINT) AS sum_q
+          FROM ex GROUP BY 1, 2)
+        SELECT label, dim, n, sum_q,
+               sum_q // n AS mean_q,
+               CAST(sum_q // n AS DOUBLE) / 1000000.0 AS centroid_val
+        FROM agg
     """
 
     o["tpch_q14"] = f"""
