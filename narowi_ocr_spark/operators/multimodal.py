@@ -278,18 +278,31 @@ def media_phash_pairs(
     Never an all-pairs join: each band is an equi-join on a 16-bit
     key, O(Σ bucket²) with 65 536 buckets per band."""
     sig = media_phash(df, id_col=id_col, payload_col=payload_col)
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band_idx"),
-            F.col(f"b{b}").alias("band_val"),
+    # One posexplode carries the FULL signature alongside each band row,
+    # so the self-join produces both sides' bands in place — no
+    # re-derivation joins back to the signature table. The Arrow decode
+    # stage therefore runs exactly twice (once per join subtree), not
+    # six times as a union-of-bands + two signature joins would; the
+    # extra shuffle payload is 4 ints per row.
+    bands = sig.select(
+        "doc_id",
+        *[f"b{b}" for b in range(4)],
+        F.posexplode(
+            F.array(*[F.col(f"b{b}") for b in range(4)])
+        ).alias("band_idx", "band_val"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    ham = sum(
+        F.bit_count(
+            F.col(f"x.b{b}")
+            .bitwiseXOR(F.col(f"y.b{b}"))
+            .cast("long")
         )
-        bands = part if bands is None else bands.unionByName(part)
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
+        for b in range(4)
+    )
+    return (
+        x.join(
+            y,
             (F.col("x.band_idx") == F.col("y.band_idx"))
             & (F.col("x.band_val") == F.col("y.band_val"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
@@ -297,26 +310,8 @@ def media_phash_pairs(
         .select(
             F.col("x.doc_id").alias("id_a"),
             F.col("y.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
         )
-        .distinct()
-    )
-    a = sig.select(
-        F.col("doc_id").alias("id_a"),
-        *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)],
-    )
-    bsig = sig.select(
-        F.col("doc_id").alias("id_b"),
-        *[F.col(f"b{b}").alias(f"bb{b}") for b in range(4)],
-    )
-    ham = sum(
-        F.bit_count(
-            F.col(f"a{b}").bitwiseXOR(F.col(f"bb{b}")).cast("long")
-        )
-        for b in range(4)
-    )
-    return (
-        cand.join(a, "id_a")
-        .join(bsig, "id_b")
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
