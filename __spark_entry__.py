@@ -3009,6 +3009,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall"] = ann_recall_q
 
+    def events_trending(spark, sf_dir):
+        """Top-3 event types per hour by count (top-N-per-group): one
+        partial-agg shuffle for the hourly counts, one window rank over
+        the already-tiny aggregate — the rank never touches raw events.
+        Ties break deterministically on event_type."""
+        ev = load_table(spark, sf_dir, "events")
+        hourly = ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        ).agg(F.count("*").alias("n_events"))
+        w = Window.partitionBy("hour_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        return (
+            hourly.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select(
+                F.col("hour_start").cast("string").alias("hour_start"),
+                "event_type",
+                "n_events",
+                "rank",
+            )
+        )
+
+    q["events_trending"] = events_trending
+
     def emb_label_centroids(spark, sf_dir):
         """Per-label centroid of the embedding corpus (the class-
         centroid aggregation behind SemDeDup cluster seeds / IVF coarse
@@ -5984,6 +6010,20 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON v.user_id = p.user_id
          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """
+
+    o["events_trending"] = """
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                 count(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT CAST(hour_start AS VARCHAR) AS hour_start, event_type,
+                 n_events,
+                 CAST(row_number() OVER (PARTITION BY hour_start
+                   ORDER BY n_events DESC, event_type ASC) AS INT) AS rank
+          FROM hourly)
+        SELECT * FROM ranked WHERE rank <= 3
     """
 
     # emb_label_centroids: parallel unnests zip positionally in DuckDB;
