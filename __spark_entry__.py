@@ -3009,6 +3009,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall"] = ann_recall_q
 
+    def corpus_diff(spark, sf_dir):
+        """Snapshot diff between two crawl versions — the change-
+        detection pass an incremental pipeline runs before reprocessing
+        (only `added`/`changed` docs re-enter extraction/dedup).
+        Snapshots are derived deterministically from `documents`:
+        OLD drops every 7th doc, NEW drops every 11th, perturbs every
+        5th, and adds new ids — all four statuses occur. Dataflow: content digests computed at the scan, ONE full
+        outer join on doc_id — text never shuffles, only (id, md5)."""
+        base = _docs(spark, sf_dir).select("doc_id", "text")
+        old = base.where(F.col("doc_id") % 7 != 0).select(
+            "doc_id", F.md5(F.col("text")).alias("old_md5")
+        )
+        new_src = base.where(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 400000).alias("doc_id"), F.col("text")
+        )
+        new = (
+            base.where(F.col("doc_id") % 11 != 0)
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.col("text"), F.lit(" [rev2]")),
+                ).otherwise(F.col("text")).alias("text"),
+            )
+            .unionByName(new_src)
+            .select("doc_id", F.md5(F.col("text")).alias("new_md5"))
+        )
+        j = old.join(new, "doc_id", "full_outer")
+        status = (
+            F.when(F.col("old_md5").isNull(), F.lit("added"))
+            .when(F.col("new_md5").isNull(), F.lit("removed"))
+            .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+        )
+        return j.select("doc_id", status.alias("status")).groupBy(
+            "status"
+        ).agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+
+    q["corpus_diff"] = corpus_diff
+
     def events_trending(spark, sf_dir):
         """Top-3 event types per hour by count (top-N-per-group): one
         partial-agg shuffle for the hourly counts, one window rank over
@@ -6010,6 +6054,31 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON v.user_id = p.user_id
          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """
+
+    o["corpus_diff"] = """
+        WITH old AS (
+          SELECT doc_id, md5(text) AS old_md5 FROM documents
+          WHERE doc_id % 7 <> 0),
+        newt AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 11 <> 0
+          UNION ALL
+          SELECT doc_id + 400000, text FROM documents WHERE doc_id % 9 = 0),
+        new AS (SELECT doc_id, md5(text) AS new_md5 FROM newt),
+        j AS (
+          SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+                 old_md5, new_md5
+          FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+        SELECT CASE WHEN old_md5 IS NULL THEN 'added'
+                    WHEN new_md5 IS NULL THEN 'removed'
+                    WHEN old_md5 <> new_md5 THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               count(*) AS n_docs,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM j GROUP BY 1
     """
 
     o["events_trending"] = """
