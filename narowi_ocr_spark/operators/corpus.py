@@ -990,12 +990,26 @@ def dup_span_stats(
     ~n_tokens rows — the same cardinality every shingle/minhash stage
     in this repo already handles.
     """
-    win = df.select(
+    # Stage the word array ONCE behind a projection boundary (the
+    # with_text_stats trick): n_tokens and the k-gram windows both
+    # derive from _w, so the O(len) trim+split runs once per row, not
+    # twice. size() is case-invariant, so size(_w) == token_count(text).
+    staged = df.select(
         F.col(id_col).alias("doc_id"),
-        token_count(text_col).alias("n_tokens"),
-        F.posexplode(F.transform(ngrams(text_col, k), F.md5)).alias(
-            "pos", "fp"
+        words(F.lower(F.col(text_col))).alias("_w"),
+    )
+    nw = F.size("_w")
+    grams = F.when(
+        nw >= k,
+        F.transform(
+            F.sequence(F.lit(1), nw - F.lit(k - 1)),
+            lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, k), " ")),
         ),
+    ).otherwise(F.array().cast("array<string>"))
+    win = staged.select(
+        "doc_id",
+        nw.alias("n_tokens"),
+        F.posexplode(grams).alias("pos", "fp"),
     )
     dup_fp = (
         win.groupBy("fp")

@@ -276,7 +276,17 @@ def media_phash_pairs(
     d+1-blocks rule, same geometry as ``dedup.simhash_near_pairs``),
     then the exact hamming distance (Σ bit_count(bᵢ⊕bᵢ')) filters.
     Never an all-pairs join: each band is an equi-join on a 16-bit
-    key, O(Σ bucket²) with 65 536 buckets per band."""
+    key, O(Σ bucket²) with 65 536 buckets per band.
+
+    As with ``dedup.simhash_near_pairs``, the 4-band pigeonhole only
+    guarantees recall for ``max_hamming`` ≤ 3 — larger radii would
+    silently drop pairs whose differing bits spread across all bands,
+    so they are rejected."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-band pigeonhole "
+            "guarantee (<= 3)"
+        )
     sig = media_phash(df, id_col=id_col, payload_col=payload_col)
     # One posexplode carries the FULL signature alongside each band row,
     # so the self-join produces both sides' bands in place — no

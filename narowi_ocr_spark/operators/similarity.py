@@ -533,14 +533,26 @@ def quantize_embeddings(
     code = lambda e: F.when(F.col("_scale") == 0.0, F.lit(0).cast("long")).otherwise(
         F.floor(e * F.lit(level) / F.col("_scale") + F.lit(0.5))
     )
-    deq = lambda e: code(e).cast("double") * F.col("_scale") / F.lit(level)
-    err2 = F.transform(F.col("_x"), lambda e: (e - deq(e)) * (e - deq(e)))
-    q_arr = F.transform(F.col("_x"), code)
+    # Stage the code array once, then derive the reconstruction error
+    # from it via zip_with: HOF lambdas are interpreted with no CSE, so
+    # inlining code(e) into the error expression would evaluate the
+    # quantization ~3× per dimension.
+    staged = staged.select(
+        F.col(id_col), "_x", "_scale", F.transform("_x", code).alias("_q")
+    )
+    err2 = F.zip_with(
+        "_x",
+        "_q",
+        lambda e, qv: (
+            e - qv.cast("double") * F.col("_scale") / F.lit(level)
+        )
+        * (e - qv.cast("double") * F.col("_scale") / F.lit(level)),
+    )
     staged = staged.select(
         F.col(id_col),
         F.size("_x").alias("n_dims"),
         round4(F.col("_scale")).alias("scale_r4"),
-        q_arr.alias("_q"),
+        F.col("_q"),
         F.aggregate(err2, F.lit(0.0), lambda a, b: a + b).alias("_sse"),
     )
     return staged.select(

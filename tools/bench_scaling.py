@@ -211,21 +211,32 @@ spark.stop()
     return json.loads(lines[-1])
 
 
+def ops_table(ops_ladder: dict) -> str:
+    """Markdown table for an ops ladder: one row per op, one column per
+    OPS_LADDER level, plus the t_N/(4·t_4N) efficiency on the (N, FOUR_N)
+    pair. Single source of truth for both ops_only() and main()."""
+    header = (
+        "| op | "
+        + " | ".join(f"local[{c}] s" for c in OPS_LADDER)
+        + f" | {N}→{FOUR_N} efficiency |"
+    )
+    sep = "|---|" + "---|" * (len(OPS_LADDER) + 1)
+    op_names = list(next(iter(ops_ladder.values())))
+    rows = [
+        f"| {name} | "
+        + " | ".join(str(ops_ladder[c][name]) for c in OPS_LADDER)
+        + f" | {round(ops_ladder[N][name] / (4 * ops_ladder[FOUR_N][name]), 3)} |"
+        for name in op_names
+    ]
+    return "\n".join([header, sep, *rows])
+
+
 def ops_only() -> None:
     """Re-run just the dedup/ANN operator ladder (REP×-amplified jobs)
     and print the table + raw JSON without rewriting BENCH.md."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ops_ladder = {c: run_ops_level(c, sf_dir)["ops"] for c in OPS_LADDER}
-    op_names = list(next(iter(ops_ladder.values())))
-    print("| op | local[2] s | local[8] s | local[32] s | 2→8 efficiency |")
-    print("|---|---|---|---|---|")
-    for name in op_names:
-        eff = round(ops_ladder[2][name] / (4 * ops_ladder[8][name]), 3)
-        print(
-            f"| {name} | "
-            + " | ".join(str(ops_ladder[c][name]) for c in OPS_LADDER)
-            + f" | {eff} |"
-        )
+    print(ops_table(ops_ladder))
     print(json.dumps({"ops_ladder": ops_ladder}))
 
 
@@ -252,25 +263,17 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ops_ladder = {c: run_ops_level(c, sf_dir)["ops"] for c in OPS_LADDER}
-    op_names = list(next(iter(ops_ladder.values())))
-    ops_rows = "\n".join(
-        f"| {name} | "
-        + " | ".join(str(ops_ladder[c][name]) for c in OPS_LADDER)
-        + f" | {round(ops_ladder[2][name] / (4 * ops_ladder[8][name]), 3)} |"
-        for name in op_names
-    )
     ops_md = f"""
 ## Dedup / ANN operator ladder (shuffle-bearing stages)
 
 Same protocol over the sf-dir tables ({sf_dir}; dup corpus = documents ∪
-exact ∪ near copies). These jobs DO shuffle (band-bucket joins, groupBy
+exact ∪ near copies, replicated REP× with content variation so fixed
+costs amortize). These jobs DO shuffle (band-bucket joins, groupBy
 signatures), so they evidence the shuffle stages' scaling, complementing
-the shuffle-free extraction ladder above. Efficiency = t_2 / (4·t_8)
-(throughput form of the N→4N rule on the 2→8 pair).
+the shuffle-free extraction ladder above. Efficiency = t_N / (4·t_4N)
+(throughput form of the N→4N rule on the {N}→{FOUR_N} pair).
 
-| op | local[2] s | local[8] s | local[32] s | 2→8 efficiency |
-|---|---|---|---|---|
-{ops_rows}
+{ops_table(ops_ladder)}
 """
 
     rows = "\n".join(
