@@ -217,6 +217,24 @@ PHASH_SCHEMA = T.StructType(
 PHASH_SAMPLES = 64  # one bit per grid sample, packed into 4×16-bit bands
 
 
+def phash64(s: str) -> tuple[int, int, int, int] | None:
+    """Pure perceptual-hash core (testable without Spark): 64 grid
+    samples (code point at (j·n) div 64), integer-exact threshold
+    64·v > Σv, bits packed into four 16-bit bands. None for empty
+    input. The Arrow kernel below and the DuckDB oracle both implement
+    exactly this function."""
+    n = len(s)
+    if n == 0:
+        return None
+    vals = [ord(s[(j * n) // PHASH_SAMPLES]) for j in range(PHASH_SAMPLES)]
+    total = sum(vals)
+    bands = [0, 0, 0, 0]
+    for j, v in enumerate(vals):
+        if PHASH_SAMPLES * v > total:
+            bands[j // 16] |= 1 << (j % 16)
+    return bands[0], bands[1], bands[2], bands[3]
+
+
 def media_phash(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -243,20 +261,10 @@ def media_phash(
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                s = bytes(payload).decode("utf-8")
-                n = len(s)
-                if n == 0:
+                bands = phash64(bytes(payload).decode("utf-8"))
+                if bands is None:
                     continue
-                vals = [
-                    ord(s[(j * n) // PHASH_SAMPLES])
-                    for j in range(PHASH_SAMPLES)
-                ]
-                total = sum(vals)
-                bands = [0, 0, 0, 0]
-                for j, v in enumerate(vals):
-                    if PHASH_SAMPLES * v > total:
-                        bands[j // 16] |= 1 << (j % 16)
-                rows.append((int(i), bands[0], bands[1], bands[2], bands[3]))
+                rows.append((int(i), *bands))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
             )

@@ -96,3 +96,44 @@ def test_round4_contract(x):
     r = round4_py(x)
     assert abs(r - x) <= 5e-5 + 1e-12
     assert round4_py(r) == r
+
+
+@given(st.text(min_size=0, max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_phash64_totality_and_band_bounds(s):
+    """phash64 never crashes, returns None exactly on empty input, and
+    every band is a 16-bit value."""
+    from narowi_ocr_spark.operators.multimodal import phash64
+
+    out = phash64(s)
+    if len(s) == 0:
+        assert out is None
+    else:
+        assert len(out) == 4
+        assert all(0 <= b < (1 << 16) for b in out)
+        # deterministic
+        assert phash64(s) == out
+
+
+@given(st.text(alphabet=string.printable, min_size=64, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_phash64_constant_shift_invariance(s):
+    """Shifting every sampled luminance by a constant must not change
+    the hash: bit_j compares 64·v_j against Σv, and both sides shift by
+    the same 64·c. (Caesar-shifting the whole string by +1 code point
+    shifts every sample by exactly 1.)"""
+    from narowi_ocr_spark.operators.multimodal import phash64
+
+    shifted = "".join(chr(ord(c) + 1) for c in s)
+    assert phash64(s) == phash64(shifted)
+
+
+@given(st.integers(min_value=-(10**12), max_value=10**12))
+@settings(max_examples=300, deadline=None)
+def test_cents_roundtrip_exact(k):
+    """_cents inverts the cents→double division exactly over the whole
+    int64-cents range the events table can produce (the spend-alert
+    twins rely on this to agree bit-for-bit)."""
+    from narowi_ocr_spark.streaming.stateful import _cents
+
+    assert _cents(k / 100.0) == k
