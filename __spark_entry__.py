@@ -3335,6 +3335,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_phash_pairs"] = media_phash_pairs_q
 
+    def media_dup_clusters(spark, sf_dir):
+        """Cross-family composition: perceptual-hash near-dup pairs →
+        connected components → one canonical payload per visual cluster
+        (the media analogue of dedup_rep selection). Edges are the
+        media_phash_pairs graph; the CC rounds shuffle only (long,
+        long) label pairs."""
+        from narowi_ocr_spark.operators.components import (
+            component_representatives,
+            connected_components,
+        )
+
+        pairs = media_phash_pairs_q(spark, sf_dir)
+        labels = connected_components(pairs)
+        return component_representatives(labels)
+
+    q["media_dup_clusters"] = media_dup_clusters
+
     def spend_alerts(spark, sf_dir):
         """Threshold-crossing spend alerts (batch twin of the
         applyInPandasWithState streaming FSM): first event where a
@@ -6252,6 +6269,49 @@ def oracle_sql() -> dict[str, str]:
           FROM cand JOIN sig a ON id_a = a.doc_id
                     JOIN sig b ON id_b = b.doc_id)
         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """
+    )
+
+    # media_dup_clusters: the phash pair graph closed transitively
+    # (recursive CTE = the CC oracle pattern), min-id component labels,
+    # one representative row per cluster.
+    o["media_dup_clusters"] = (
+        """
+        WITH RECURSIVE aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 300000,
+                 concat(substr(text, 1, 10), 'XX', substr(text, 13))
+          FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 13),
+        """
+        + _PHASH_SIG.format(src="aug")
+        + """,
+        bands AS (
+          SELECT doc_id, 0 AS bi, b0 AS bv FROM sig UNION ALL
+          SELECT doc_id, 1, b1 FROM sig UNION ALL
+          SELECT doc_id, 2, b2 FROM sig UNION ALL
+          SELECT doc_id, 3, b3 FROM sig),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM cand JOIN sig a ON id_a = a.doc_id
+                    JOIN sig b ON id_b = b.doc_id
+          WHERE bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
+              + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
+              + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
+              + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        closure(id, r) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.d, c.r FROM closure c JOIN edges e ON e.s = c.id),
+        labels AS (SELECT id, min(r) AS component FROM closure GROUP BY id)
+        SELECT component, min(id) AS keep_id, count(*) AS n_members
+        FROM labels GROUP BY component
     """
     )
 
