@@ -2875,6 +2875,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shard_assign"] = shard_assign_q
 
+    def shard_manifest_q(spark, sf_dir):
+        """Per-shard delivery manifest over the epoch0 assignment:
+        doc/token totals, id envelope, and an order-free int64 content
+        checksum (commutative sum of md5 prefixes) — the pre-training
+        corruption check."""
+        from narowi_ocr_spark.operators.shards import (
+            shard_assign,
+            shard_manifest,
+        )
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        assigned = shard_assign(
+            docs.select("doc_id"), hex_digits=1, salt="epoch0"
+        )
+        return shard_manifest(assigned, docs)
+
+    q["shard_manifest"] = shard_manifest_q
+
     def stream_attribution_q(spark, sf_dir):
         """Stream-stream event-time interval join (view→purchase within
         1 hour, both sides watermarked so join state stays bounded by
@@ -5848,6 +5866,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (PARTITION BY shard
                       ORDER BY digest, doc_id) AS INT) AS pos
         FROM s
+    """
+
+    # shard_manifest: 1-hex-digit shards over the same salted digest;
+    # checksum = commutative BIGINT sum of 12-hex md5 prefixes.
+    o["shard_manifest"] = f"""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(strpos('0123456789abcdef',
+                        substr(md5('epoch0' || CAST(doc_id AS VARCHAR)),
+                               1, 1)) - 1 AS INT) AS shard,
+                 CASE WHEN length({trimmed}) = 0 THEN 0
+                      ELSE len(regexp_split_to_array({trimmed}, '\\s+'))
+                 END AS ntok,
+                 CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS csum
+          FROM documents)
+        SELECT shard, count(*) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               min(doc_id) AS min_id, max(doc_id) AS max_id,
+               CAST(sum(csum) AS BIGINT) AS content_checksum
+        FROM s GROUP BY shard
     """
 
     # cooc_pmi: windowed skip-gram pairs via nested list lambdas (DuckDB

@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from narowi_ocr_spark.functions.textstats import token_count as token_count_col
+
 _HEX = "0123456789abcdef"
 
 
@@ -63,3 +65,38 @@ def shard_sizes(assigned: DataFrame) -> DataFrame:
     """Rows per shard — the balance check (md5 digits are uniform, so
     max/mean converges to 1 as shards fill; verify before writing)."""
     return assigned.groupBy("shard").agg(F.count("*").alias("n_docs"))
+
+
+def shard_manifest(
+    assigned: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard delivery manifest — the validation table a training
+    run checks before consuming shards: doc/token totals, id envelope,
+    and an ORDER-FREE content checksum (sum of the first 12 hex digits
+    of each doc's content md5 as int64 — commutative, so the value is
+    partition- and engine-independent; 12 digits keep the per-doc term
+    < 2⁴⁸, no overflow below ~30k docs/shard × 2⁴⁸ ≪ 2⁶³).
+
+    One broadcast-sized shuffle: the join keys on id against the
+    already-assigned table, and the rollup groups by shard. Re-running
+    the manifest after any shard rewrite and diffing checksums is the
+    cheap end-to-end corruption check.
+    """
+    content = df.select(
+        F.col(id_col).alias("_mid"),
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 12), 16, 10)
+        .cast("long")
+        .alias("_csum"),
+        token_count_col(F.col(text_col)).alias("_ntok"),
+    )
+    j = assigned.join(content, assigned[id_col] == content._mid)
+    return j.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_ntok").cast("long").alias("n_tokens"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+        F.sum("_csum").cast("long").alias("content_checksum"),
+    )
