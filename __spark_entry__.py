@@ -3353,6 +3353,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_phash_pairs"] = media_phash_pairs_q
 
+    def session_stats(spark, sf_dir):
+        """Distribution rollup over the sessionization output: session
+        count, exact mean/p50/p90 duration (seconds) and mean events
+        per session — the engagement dashboard fed by events_sessions.
+        The percentile runs over the already-collapsed session table
+        (~|users|·|sessions| rows), never raw events."""
+        from narowi_ocr_spark.functions.native import round4 as r4
+
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        secs = F.col("ts").cast("timestamp").cast("long")
+        gap = secs - F.lag(secs).over(w)
+        # durations in EXACT microseconds: every events row carries
+        # sub-second micros, so second-truncated casts would hit the
+        # truncate-then-diff trap (ADVICE r1) against the oracle
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        sess = (
+            ev.withColumn("new_s", F.when(gap > 1800, 1).otherwise(0))
+            .withColumn("session_idx", F.sum("new_s").over(w))
+            .groupBy("user_id", "session_idx")
+            .agg(
+                F.count("*").alias("n_events"),
+                (F.max(us) - F.min(us)).alias("dur_us"),
+            )
+        )
+        # means from EXACT int64 sums (one final division) — avg(double)
+        # would sum floats in partition order and can drift in the last
+        # ulps across partitionings/engines
+        pct = F.expr("percentile(dur_us, array(0.5D, 0.9D))")
+        return sess.agg(
+            F.count("*").alias("n_sessions"),
+            r4(
+                F.sum("dur_us").cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1e6)
+            ).alias("mean_dur_s"),
+            pct.alias("_p"),
+            r4(
+                F.sum("n_events").cast("double")
+                / F.count("*").cast("double")
+            ).alias("mean_events"),
+        ).select(
+            "n_sessions",
+            "mean_dur_s",
+            r4(F.col("_p")[0] / F.lit(1e6)).alias("p50_dur_s"),
+            r4(F.col("_p")[1] / F.lit(1e6)).alias("p90_dur_s"),
+            "mean_events",
+        )
+
+    q["session_stats"] = session_stats
+
     def media_dup_clusters(spark, sf_dir):
         """Cross-family composition: perceptual-hash near-dup pairs →
         connected components → one canonical payload per visual cluster
@@ -6309,6 +6360,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
     """
     )
+
+    o["session_stats"] = f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        sess AS (
+          SELECT user_id,
+                 sum(new_s) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid,
+                 ts
+          FROM flagged),
+        per AS (
+          SELECT user_id, sid,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                   AS dur_us
+          FROM sess GROUP BY 1, 2)
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               {_round4_sql("CAST(sum(dur_us) AS DOUBLE)"
+                            " / CAST(count(*) AS DOUBLE) / 1000000.0")}
+                 AS mean_dur_s,
+               {_round4_sql("quantile_cont(dur_us, 0.5) / 1000000.0")}
+                 AS p50_dur_s,
+               {_round4_sql("quantile_cont(dur_us, 0.9) / 1000000.0")}
+                 AS p90_dur_s,
+               {_round4_sql("CAST(sum(n_events) AS DOUBLE)"
+                            " / CAST(count(*) AS DOUBLE)")} AS mean_events
+        FROM per
+    """
 
     # media_dup_clusters: the phash pair graph closed transitively
     # (recursive CTE = the CC oracle pattern), min-id component labels,
