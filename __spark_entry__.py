@@ -3353,6 +3353,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_phash_pairs"] = media_phash_pairs_q
 
+    def dedup_rates(spark, sf_dir):
+        """Per-source duplicate-rate datasheet: how much of each source
+        is verbatim copies (the signal that decides which sources get
+        aggressive dedup). Digests at the scan; one (source, md5)
+        partial-agg shuffle; dup_frac in ppm fixed point."""
+        docs = _docs(spark, sf_dir).select(
+            "source", F.md5(F.col("text")).alias("fp")
+        )
+        per = docs.groupBy("source", "fp").agg(
+            F.count("*").cast("long").alias("c")
+        )
+        agg = per.groupBy("source").agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_distinct"),
+        )
+        dup = F.col("n_docs") - F.col("n_distinct")
+        return agg.select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            dup.alias("n_dup_copies"),
+            F.expr(
+                "(1000000 * (n_docs - n_distinct)) div n_docs"
+            ).alias("dup_frac_ppm"),
+        )
+
+    q["dedup_rates"] = dedup_rates
+
+    def url_dedup(spark, sf_dir):
+        """Composition: URL canonicalization → exact dedup over the
+        canonical form — the crawl-frontier dedup that collapses
+        tracking-param/fragment variants of one page. Synthesizes
+        variant URLs per doc (fragment + utm param + original), then
+        groups by the canonical url: each group must collapse to one
+        keep entry."""
+        from narowi_ocr_spark.operators.urls import with_url_parts
+
+        base = _docs(spark, sf_dir).select("doc_id")
+        urls = (
+            base.select(
+                "doc_id",
+                F.concat(
+                    F.lit("https://example"),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit(".com/p/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url"),
+            )
+        )
+        variants = urls.unionByName(
+            urls.select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                F.concat(F.col("url"), F.lit("#section2")).alias("url"),
+            )
+        ).unionByName(
+            urls.where(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 600000).alias("doc_id"),
+                F.concat(
+                    F.col("url"), F.lit("?utm_source=feed")
+                ).alias("url"),
+            )
+        )
+        canon = with_url_parts(variants, url_col="url").select(
+            "doc_id", F.col("url_parts.norm_url").alias("url_canon")
+        )
+        return canon.groupBy("url_canon").agg(
+            F.count("*").cast("int").alias("n_variants"),
+            F.min("doc_id").alias("keep_id"),
+        )
+
+    q["url_dedup"] = url_dedup
+
     def session_stats(spark, sf_dir):
         """Distribution rollup over the sessionization output: session
         count, exact mean/p50/p90 duration (seconds) and mean events
@@ -6360,6 +6432,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
     """
     )
+
+    o["dedup_rates"] = """
+        WITH per AS (
+          SELECT source, md5(text) AS fp, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2),
+        agg AS (
+          SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_distinct
+          FROM per GROUP BY source)
+        SELECT source, n_docs, n_distinct,
+               n_docs - n_distinct AS n_dup_copies,
+               (1000000 * (n_docs - n_distinct)) // n_docs AS dup_frac_ppm
+        FROM agg
+    """
+
+    # url_dedup: closed-form oracle — all three synthesized variants of
+    # a page (plain, #fragment, ?utm_source) must canonicalize to the
+    # same norm_url, so the truth is the constructed canonical itself
+    # (a semantic check on the parser, not a re-implementation of it).
+    o["url_dedup"] = """
+        WITH urls AS (
+          SELECT doc_id,
+                 'https://example' || CAST(doc_id % 50 AS VARCHAR)
+                 || '.com/p/' || CAST(doc_id AS VARCHAR) AS canon
+          FROM documents),
+        variants AS (
+          SELECT doc_id, canon FROM urls
+          UNION ALL
+          SELECT doc_id + 500000, canon FROM urls
+          UNION ALL
+          SELECT doc_id + 600000, canon FROM urls WHERE doc_id % 3 = 0)
+        SELECT canon AS url_canon,
+               CAST(count(*) AS INT) AS n_variants,
+               min(doc_id) AS keep_id
+        FROM variants GROUP BY 1
+    """
 
     o["session_stats"] = f"""
         WITH flagged AS (
