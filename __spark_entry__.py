@@ -3353,6 +3353,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_phash_pairs"] = media_phash_pairs_q
 
+    def events_ab_test(spark, sf_dir):
+        """A/B experiment readout: deterministic arm assignment (md5 of
+        user_id — the standard stable bucketing, no assignment table to
+        join), per-arm exposure/conversion counts and ppm conversion
+        rate. One partial-agg shuffle of (arm, flags); the assignment
+        is a pure projection."""
+        ev = load_table(spark, sf_dir, "events")
+        arm = F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("exp1:"),
+                                   F.col("user_id").cast("string"))),
+                    1, 1,
+                ),
+                16, 10,
+            ).cast("int") % 2 == 0,
+            F.lit("A"),
+        ).otherwise(F.lit("B"))
+        per_user = (
+            ev.select(
+                arm.alias("arm"),
+                "user_id",
+                (F.col("event_type") == "purchase").alias("is_conv"),
+            )
+            .groupBy("arm", "user_id")
+            .agg(F.max("is_conv").alias("converted"))
+        )
+        return per_user.groupBy("arm").agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(F.col("converted").cast("long"))
+            .cast("long")
+            .alias("n_converted"),
+        ).select(
+            "arm",
+            "n_users",
+            "n_converted",
+            F.expr("(1000000 * n_converted) div n_users").alias(
+                "conv_ppm"
+            ),
+        )
+
+    q["events_ab_test"] = events_ab_test
+
+    def containment_pairs(spark, sf_dir):
+        """Asymmetric containment similarity |A∩B|/|A| over LSH
+        candidate pairs — catches a short document wholly CONTAINED in
+        a longer one, which symmetric Jaccard under-scores (Broder's
+        containment, the news-wire-inclusion case). Candidates from
+        the same band join as lsh_pairs; shingle sets join only to the
+        candidate pair list."""
+        from narowi_ocr_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            shingles,
+        )
+
+        corpus = _dup_corpus(_docs(spark, sf_dir).select("doc_id", "text"))
+        pairs = lsh_candidate_pairs(corpus)
+        sh = corpus.select(
+            F.col("doc_id").alias("id"), shingles("text").alias("sh")
+        )
+        j = (
+            pairs.join(
+                sh.select(F.col("id"), F.col("sh").alias("sh_a")),
+                pairs.id_a == F.col("id"),
+            )
+            .drop("id")
+            .join(
+                sh.select(F.col("id"), F.col("sh").alias("sh_b")),
+                F.col("id_b") == F.col("id"),
+            )
+            .drop("id")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        return j.select(
+            "id_a",
+            "id_b",
+            inter.alias("n_shared"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+            F.expr(
+                "CASE WHEN size(sh_a) > 0 THEN"
+                " (1000000 * size(array_intersect(sh_a, sh_b)))"
+                " div size(sh_a) END"
+            ).alias("containment_a_ppm"),
+        ).where(F.col("n_shared") > 0)
+
+    q["containment_pairs"] = containment_pairs
+
     def dedup_rates(spark, sf_dir):
         """Per-source duplicate-rate datasheet: how much of each source
         is verbatim copies (the signal that decides which sources get
@@ -6432,6 +6520,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
     """
     )
+
+    o["events_ab_test"] = """
+        WITH pu AS (
+          SELECT CASE WHEN CAST(strpos('0123456789abcdef',
+                     substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
+                            1, 1)) - 1 AS INT) % 2 = 0
+                      THEN 'A' ELSE 'B' END AS arm,
+                 user_id,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+          FROM events GROUP BY 1, 2)
+        SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted,
+               (1000000 * CAST(sum(converted) AS BIGINT)) // count(*)
+                 AS conv_ppm
+        FROM pu GROUP BY arm
+    """
+
+    o["containment_pairs"] = f"""
+        WITH {_DUP_CORPUS_SQL},
+        {sig_cte},
+        bands AS ({band_union}),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.id < b.id)
+        SELECT p.id_a, p.id_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS INT) AS n_shared,
+               CAST(len(sa.sh) AS INT) AS n_a,
+               CAST(len(sb.sh) AS INT) AS n_b,
+               CASE WHEN len(sa.sh) > 0 THEN
+                 (1000000 * CAST(len(list_intersect(sa.sh, sb.sh))
+                                 AS BIGINT)) // len(sa.sh)
+               END AS containment_a_ppm
+        FROM pairs p
+        JOIN sh_docs sa ON sa.id = p.id_a
+        JOIN sh_docs sb ON sb.id = p.id_b
+        WHERE len(list_intersect(sa.sh, sb.sh)) > 0
+    """
 
     o["dedup_rates"] = """
         WITH per AS (
