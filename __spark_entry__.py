@@ -3353,6 +3353,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_phash_pairs"] = media_phash_pairs_q
 
+    def source_lang_mix(spark, sf_dir):
+        """Per-source language composition — the datasheet slice that
+        decides per-(source, lang) processing routes. One partial-agg
+        shuffle on (source, lang); the share is a window over the
+        already-tiny aggregate."""
+        from narowi_ocr_spark.functions.textstats import lang_id
+
+        docs = _docs(spark, sf_dir).select(
+            "source", lang_id("text").alias("lang_pred")
+        )
+        agg = docs.groupBy("source", "lang_pred").agg(
+            F.count("*").cast("long").alias("n_docs")
+        )
+        agg = agg.withColumn(
+            "_total",
+            F.sum("n_docs").over(Window.partitionBy("source")),
+        )
+        return agg.select(
+            "source",
+            "lang_pred",
+            "n_docs",
+            F.expr("(1000000 * n_docs) div _total").alias("share_ppm"),
+        )
+
+    q["source_lang_mix"] = source_lang_mix
+
     def events_ab_test(spark, sf_dir):
         """A/B experiment readout: deterministic arm assignment (md5 of
         user_id — the standard stable bucketing, no assignment table to
@@ -6520,6 +6546,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
     """
     )
+
+    o["source_lang_mix"] = f"""
+        WITH h AS (
+          SELECT source, {hits['en']} AS h_en, {hits['de']} AS h_de,
+                 {hits['fr']} AS h_fr
+          FROM documents),
+        lp AS (
+          SELECT source,
+                 CASE WHEN greatest(h_en, h_de, h_fr) = 0 THEN 'und'
+                      WHEN h_en = greatest(h_en, h_de, h_fr) THEN 'en'
+                      WHEN h_de = greatest(h_en, h_de, h_fr) THEN 'de'
+                      ELSE 'fr' END AS lang_pred
+          FROM h),
+        agg AS (
+          SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+          FROM lp GROUP BY 1, 2)
+        SELECT source, lang_pred, n_docs,
+               (1000000 * n_docs) //
+                 CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+                 AS share_ppm
+        FROM agg
+    """
 
     o["events_ab_test"] = """
         WITH pu AS (
