@@ -3353,6 +3353,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_phash_pairs"] = media_phash_pairs_q
 
+    def events_rfm(spark, sf_dir):
+        """RFM customer segmentation (recency / frequency / monetary)
+        over purchase events, with RANK-EXACT quintiles (q = ((rank-1)·5
+        div n)+1 over a deterministic (metric, user_id) order — ntile's
+        remainder spreading is engine-dependent at ties, this is not).
+        The recency anchor is the corpus max(ts) (deterministic, no
+        wall-clock). One user_id shuffle for the per-user rollup; the
+        quintile windows run over the already-collapsed user table.
+        Monetary stays integer cents end-to-end."""
+        ev = load_table(spark, sf_dir, "events")
+        p = ev.where(F.col("event_type") == "purchase")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        per = p.groupBy("user_id").agg(
+            F.max(us).alias("last_us"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).cast("long").alias("cents"),
+        )
+        anchor = p.agg(F.max(us).alias("anchor_us"))
+        j = per.crossJoin(F.broadcast(anchor))
+        j = j.withColumn(
+            "recency_s",
+            ((F.col("anchor_us") - F.col("last_us")) / 1_000_000)
+            .cast("long"),
+        )
+        n = F.count("*").over(Window.partitionBy())
+        def quint(order_cols, alias):
+            w = Window.orderBy(*order_cols)
+            rn = F.row_number().over(w)
+            return (((rn - 1) * 5 / n).cast("long") + 1).alias(alias)
+        scored = j.select(
+            "user_id",
+            "recency_s",
+            "freq",
+            "cents",
+            quint([F.asc("recency_s"), F.asc("user_id")], "r_score"),
+            quint([F.desc("freq"), F.asc("user_id")], "f_score"),
+            quint([F.desc("cents"), F.asc("user_id")], "m_score"),
+        )
+        return scored.select(
+            "user_id",
+            "recency_s",
+            "freq",
+            "cents",
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("rfm_segment"),
+        )
+
+    q["events_rfm"] = events_rfm
+
     def source_lang_mix(spark, sf_dir):
         """Per-source language composition — the datasheet slice that
         decides per-(source, lang) processing routes. One partial-agg
@@ -6546,6 +6603,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
     """
     )
+
+    o["events_rfm"] = """
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        per AS (
+          SELECT user_id,
+                 max(epoch_us(ts)) AS last_us,
+                 CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM p GROUP BY user_id),
+        a AS (SELECT max(epoch_us(ts)) AS anchor_us FROM p),
+        j AS (
+          SELECT per.*,
+                 CAST((anchor_us - last_us) // 1000000 AS BIGINT)
+                   AS recency_s
+          FROM per, a),
+        s AS (
+          SELECT *, CAST(count(*) OVER () AS BIGINT) AS n,
+                 row_number() OVER (ORDER BY recency_s ASC, user_id ASC)
+                   AS rn_r,
+                 row_number() OVER (ORDER BY freq DESC, user_id ASC)
+                   AS rn_f,
+                 row_number() OVER (ORDER BY cents DESC, user_id ASC)
+                   AS rn_m
+          FROM j)
+        SELECT user_id, recency_s, freq, cents,
+               ((rn_r - 1) * 5) // n + 1 AS r_score,
+               ((rn_f - 1) * 5) // n + 1 AS f_score,
+               ((rn_m - 1) * 5) // n + 1 AS m_score,
+               CAST(((rn_r - 1) * 5) // n + 1 AS VARCHAR)
+               || CAST(((rn_f - 1) * 5) // n + 1 AS VARCHAR)
+               || CAST(((rn_m - 1) * 5) // n + 1 AS VARCHAR)
+                 AS rfm_segment
+        FROM s
+    """
 
     o["source_lang_mix"] = f"""
         WITH h AS (
