@@ -3353,6 +3353,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_phash_pairs"] = media_phash_pairs_q
 
+    def events_json_robust(spark, sf_dir):
+        """Malformed-JSON-tolerant parsing rollup — the PERMISSIVE-mode
+        pattern for semi-structured columns at scale: corrupt payloads
+        (synthesized on every 13th event) parse to NULL instead of
+        failing the job, and the rollup reports the corruption rate per
+        type alongside the aggregate of the valid rows. Pure
+        projection + one partial-agg shuffle."""
+        ev = load_table(spark, sf_dir, "events")
+        props2 = F.when(
+            F.col("event_id") % 13 == 0, F.lit("{corrupt")
+        ).otherwise(F.col("props"))
+        parsed = F.from_json(props2, "k INT")
+        staged = ev.select(
+            "event_type",
+            parsed["k"].alias("k"),
+        )
+        return staged.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("k").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_corrupt"),
+            F.sum("k").cast("long").alias("sum_k_valid"),
+        )
+
+    q["events_json_robust"] = events_json_robust
+
     def events_rfm(spark, sf_dir):
         """RFM customer segmentation (recency / frequency / monetary)
         over purchase events, with RANK-EXACT quintiles (q = ((rank-1)·5
@@ -6603,6 +6629,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
     """
     )
+
+    # events_json_robust: corrupt payloads parse to NULL k in both
+    # engines (Spark from_json PERMISSIVE; DuckDB guarded by json_valid).
+    o["events_json_robust"] = """
+        WITH staged AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 13 = 0 THEN NULL
+                      ELSE CAST(json_extract(props, '$.k') AS INT)
+                 END AS k
+          FROM events)
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_corrupt,
+               CAST(sum(k) AS BIGINT) AS sum_k_valid
+        FROM staged GROUP BY event_type
+    """
 
     o["events_rfm"] = """
         WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
