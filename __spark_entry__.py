@@ -3353,6 +3353,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_phash_pairs"] = media_phash_pairs_q
 
+    def events_gap_histogram(spark, sf_dir):
+        """Inter-event cadence distribution per type: consecutive-event
+        gaps (per user, µs-exact) bucketed by binary magnitude — the
+        same integer bit-length trick as length_histogram, so no float
+        log2 edge cases. One window sort per user partition, then a
+        ≤64-group partial agg."""
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        gap = (us - F.lag(us).over(w)).alias("gap_us")
+        staged = ev.select("event_type", gap).where(
+            F.col("gap_us").isNotNull()
+        )
+        bucket = F.when(F.col("gap_us") <= 0, F.lit(0)).otherwise(
+            F.length(F.conv(F.col("gap_us"), 10, 2))
+        )
+        return (
+            staged.select(
+                "event_type", bucket.cast("int").alias("bucket_bits"),
+                "gap_us",
+            )
+            .groupBy("event_type", "bucket_bits")
+            .agg(
+                F.count("*").alias("n_gaps"),
+                F.min("gap_us").alias("min_gap_us"),
+                F.max("gap_us").alias("max_gap_us"),
+            )
+        )
+
+    q["events_gap_histogram"] = events_gap_histogram
+
     def events_json_robust(spark, sf_dir):
         """Malformed-JSON-tolerant parsing rollup — the PERMISSIVE-mode
         pattern for semi-structured columns at scale: corrupt payloads
@@ -6629,6 +6660,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
     """
     )
+
+    o["events_gap_histogram"] = """
+        WITH g AS (
+          SELECT event_type,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+          FROM events),
+        s AS (SELECT event_type, CAST(gap_us AS BIGINT) AS gap_us
+              FROM g WHERE gap_us IS NOT NULL)
+        SELECT event_type,
+               CAST(CASE WHEN gap_us <= 0 THEN 0
+                    ELSE length(to_base(gap_us, 2)) END AS INT)
+                 AS bucket_bits,
+               count(*) AS n_gaps,
+               min(gap_us) AS min_gap_us,
+               max(gap_us) AS max_gap_us
+        FROM s GROUP BY 1, 2
+    """
 
     # events_json_robust: corrupt payloads parse to NULL k in both
     # engines (Spark from_json PERMISSIVE; DuckDB guarded by json_valid).
