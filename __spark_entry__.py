@@ -3353,6 +3353,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_phash_pairs"] = media_phash_pairs_q
 
+    def host_reciprocity(spark, sf_dir):
+        """Link reciprocity of the host graph (share of directed edges
+        whose reverse also exists — the mutual-linking web-graph stat):
+        distinct directed edges LEFT SEMI joined to their own reversal.
+        Only (src, dst) string pairs shuffle; ppm fixed point."""
+        _, edges = _host_graph(spark, sf_dir)
+        e = edges.distinct()
+        rev = e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        mutual = e.join(rev, ["src", "dst"], "left_semi")
+        tot = e.agg(F.count("*").cast("long").alias("n_edges"))
+        mut = mutual.agg(F.count("*").cast("long").alias("n_mutual"))
+        return tot.crossJoin(mut).select(
+            "n_edges",
+            "n_mutual",
+            F.expr("(1000000 * n_mutual) div n_edges").alias(
+                "reciprocity_ppm"
+            ),
+        )
+
+    q["host_reciprocity"] = host_reciprocity
+
+    def events_power_users(spark, sf_dir):
+        """Revenue concentration (Pareto share): the fraction of total
+        purchase value contributed by the top decile of users. Per-user
+        integer-cents totals, rank-exact top-10% cutoff (ceil(n/10) by
+        (cents desc, user_id)), everything after the per-user rollup is
+        windows over the tiny user table."""
+        ev = load_table(spark, sf_dir, "events")
+        per = (
+            ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(
+                F.sum(
+                    (F.col("value").cast("decimal(18,2)") * 100).cast(
+                        "long"
+                    )
+                ).cast("long").alias("cents")
+            )
+        )
+        w = Window.orderBy(F.desc("cents"), F.asc("user_id"))
+        n = F.count("*").over(Window.partitionBy())
+        ranked = per.select(
+            "user_id",
+            "cents",
+            F.row_number().over(w).alias("rn"),
+            n.alias("_n"),
+        )
+        top = F.col("rn") <= F.ceil(F.col("_n").cast("double") / 10.0)
+        return ranked.agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.sum(F.when(top, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("top_decile_cents"),
+        ).select(
+            "n_users",
+            "total_cents",
+            "top_decile_cents",
+            F.expr(
+                "(1000000 * top_decile_cents) div total_cents"
+            ).alias("top_decile_share_ppm"),
+        )
+
+    q["events_power_users"] = events_power_users
+
     def events_gap_histogram(spark, sf_dir):
         """Inter-event cadence distribution per type: consecutive-event
         gaps (per user, µs-exact) bucketed by binary magnitude — the
@@ -6660,6 +6727,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
     """
     )
+
+    o["host_reciprocity"] = f"""
+        WITH {_HOST_GRAPH_CTE},
+        e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        m AS (
+          SELECT e.src, e.dst FROM e
+          JOIN e r ON e.src = r.dst AND e.dst = r.src),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual FROM m)
+        SELECT n_edges, n_mutual,
+               (1000000 * n_mutual) // n_edges AS reciprocity_ppm
+        FROM t, mm
+    """
+
+    o["events_power_users"] = """
+        WITH per AS (
+          SELECT user_id,
+                 CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id),
+        r AS (
+          SELECT cents,
+                 row_number() OVER (ORDER BY cents DESC, user_id ASC)
+                   AS rn,
+                 CAST(count(*) OVER () AS BIGINT) AS n
+          FROM per)
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(CASE WHEN rn <= ceil(CAST(n AS DOUBLE) / 10.0)
+                             THEN cents ELSE 0 END) AS BIGINT)
+                 AS top_decile_cents,
+               (1000000 * CAST(sum(CASE WHEN rn <= ceil(CAST(n AS DOUBLE)
+                                        / 10.0) THEN cents ELSE 0 END)
+                               AS BIGINT))
+                 // CAST(sum(cents) AS BIGINT) AS top_decile_share_ppm
+        FROM r
+    """
 
     o["events_gap_histogram"] = """
         WITH g AS (
