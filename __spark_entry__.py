@@ -1527,11 +1527,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = load_table(spark, sf_dir, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         # parquet yields TIMESTAMP_NTZ; go through TIMESTAMP for the epoch
-        # cast (differences are timezone-invariant)
-        secs = F.col("ts").cast("timestamp").cast("long")
-        gap = secs - F.lag(secs).over(w)
+        # cast (differences are timezone-invariant). Gap in EXACT int64
+        # microseconds: event rows carry sub-second micros, so a
+        # second-truncated cast('long') would classify a true gap in
+        # (1800, 1801) s differently from any fractional-precision
+        # engine (the truncate-then-diff trap, ADVICE r2).
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        gap_us = us - F.lag(us).over(w)
         flagged = ev.withColumn(
-            "new_s", F.when(gap > 1800, 1).otherwise(0)
+            "new_s", F.when(gap_us > 1_800_000_000, 1).otherwise(0)
         )
         sess = flagged.withColumn("session_idx", F.sum("new_s").over(w))
         return (
@@ -3730,14 +3734,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         ev = load_table(spark, sf_dir, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        secs = F.col("ts").cast("timestamp").cast("long")
-        gap = secs - F.lag(secs).over(w)
-        # durations in EXACT microseconds: every events row carries
-        # sub-second micros, so second-truncated casts would hit the
-        # truncate-then-diff trap (ADVICE r1) against the oracle
+        # gaps AND durations both in EXACT int64 microseconds: every
+        # events row carries sub-second micros, so a second-truncated
+        # cast('long') break flag would classify a true gap in
+        # (1800, 1801) s differently from the fractional oracle (the
+        # truncate-then-diff trap, ADVICE r1+r2)
         us = F.unix_micros(F.col("ts").cast("timestamp"))
+        gap_us = us - F.lag(us).over(w)
         sess = (
-            ev.withColumn("new_s", F.when(gap > 1800, 1).otherwise(0))
+            ev.withColumn(
+                "new_s", F.when(gap_us > 1_800_000_000, 1).otherwise(0)
+            )
             .withColumn("session_idx", F.sum("new_s").over(w))
             .groupBy("user_id", "session_idx")
             .agg(
@@ -5141,11 +5148,15 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2
     """
 
+    # exact int64-µs gap (epoch_us), matching the Spark side's
+    # unix_micros break flag — fractional epoch() doubles lose sub-µs
+    # precision near the 1800 s boundary (ADVICE r2)
     o["events_sessions"] = """
         WITH flagged AS (
           SELECT user_id, ts, event_id,
-                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                 CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id))
+                        > 1800000000
                       THEN 1 ELSE 0 END AS new_s
           FROM events),
         sess AS (
@@ -5161,8 +5172,9 @@ def oracle_sql() -> dict[str, str]:
     o["events_sessions_native"] = """
         WITH flagged AS (
           SELECT user_id, ts,
-                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-                        (PARTITION BY user_id ORDER BY ts)) >= 1800
+                 CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts))
+                        >= 1800000000
                       THEN 1 ELSE 0 END AS new_s
           FROM events),
         sess AS (
@@ -6287,7 +6299,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # shard_manifest: 1-hex-digit shards over the same salted digest;
-    # checksum = commutative BIGINT sum of 12-hex md5 prefixes.
+    # checksum = commutative BIGINT sum of 8-hex md5 prefixes (< 2^32
+    # per term — exact int64 to ~2^31 docs/shard on both engines;
+    # 12-hex terms overflow int64 at ~32k docs/shard, ADVICE r2).
     o["shard_manifest"] = f"""
         WITH s AS (
           SELECT doc_id,
@@ -6297,7 +6311,7 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN length({trimmed}) = 0 THEN 0
                       ELSE len(regexp_split_to_array({trimmed}, '\\s+'))
                  END AS ntok,
-                 CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS csum
+                 CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS csum
           FROM documents)
         SELECT shard, count(*) AS n_docs,
                CAST(sum(ntok) AS BIGINT) AS n_tokens,
@@ -6933,11 +6947,15 @@ def oracle_sql() -> dict[str, str]:
         FROM variants GROUP BY 1
     """
 
+    # break flag in exact int64 µs too (not just the durations) —
+    # epoch() fractional doubles vs Spark's unix_micros diverge for a
+    # true gap inside (1800, 1801) s (ADVICE r2)
     o["session_stats"] = f"""
         WITH flagged AS (
           SELECT user_id, ts, event_id,
-                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                 CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id))
+                        > 1800000000
                       THEN 1 ELSE 0 END AS new_s
           FROM events),
         sess AS (

@@ -216,6 +216,13 @@ PHASH_SCHEMA = T.StructType(
 
 PHASH_SAMPLES = 64  # one bit per grid sample, packed into 4×16-bit bands
 
+# row-preserving variant (emit_nulls=True): empty payloads keep their
+# row with all-null bands instead of being dropped
+PHASH_SCHEMA_NULLABLE = T.StructType(
+    [T.StructField("doc_id", T.LongType(), False)]
+    + [T.StructField(f"b{b}", T.IntegerType(), True) for b in range(4)]
+)
+
 
 def phash64(s: str) -> tuple[int, int, int, int] | None:
     """Pure perceptual-hash core (testable without Spark): 64 grid
@@ -236,7 +243,10 @@ def phash64(s: str) -> tuple[int, int, int, int] | None:
 
 
 def media_phash(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    emit_nulls: bool = False,
 ) -> DataFrame:
     """Perceptual-hash stage for media payloads — the NEAR-dup
     complement of ``media_dedup``'s exact digests (aHash recipe:
@@ -255,7 +265,15 @@ def media_phash(
     pair join needs, and no signed-overflow trap at bit 63.
 
     Payload bytes never leave the Arrow stage; only (id, 4×int16)
-    shuffles."""
+    shuffles.
+
+    Rows whose payload decodes to an EMPTY string carry no signal and
+    are OMITTED from the output by default (one row in → zero rows
+    out), so callers joining signatures back by id must left-join —
+    or pass ``emit_nulls=True``, which keeps those rows with all-null
+    bands (one row in → one row out; nulls never equi-join, so the
+    banded pair join is unaffected). (ADVICE r2: the silent drop was
+    previously undocumented.)"""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -263,13 +281,16 @@ def media_phash(
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 bands = phash64(bytes(payload).decode("utf-8"))
                 if bands is None:
+                    if emit_nulls:
+                        rows.append((int(i), None, None, None, None))
                     continue
                 rows.append((int(i), *bands))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(run, PHASH_SCHEMA)
+    schema = PHASH_SCHEMA_NULLABLE if emit_nulls else PHASH_SCHEMA
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
 def media_phash_pairs(

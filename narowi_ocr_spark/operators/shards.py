@@ -75,10 +75,14 @@ def shard_manifest(
 ) -> DataFrame:
     """Per-shard delivery manifest — the validation table a training
     run checks before consuming shards: doc/token totals, id envelope,
-    and an ORDER-FREE content checksum (sum of the first 12 hex digits
+    and an ORDER-FREE content checksum (sum of the first 8 hex digits
     of each doc's content md5 as int64 — commutative, so the value is
-    partition- and engine-independent; 12 digits keep the per-doc term
-    < 2⁴⁸, no overflow below ~30k docs/shard × 2⁴⁸ ≪ 2⁶³).
+    partition- and engine-independent; 8 digits keep every per-doc
+    term < 2³², so the int64 sum is exact up to ~2³¹ docs per shard —
+    production scale. 12 digits would overflow int64 silently beyond
+    ~32k docs/shard — ADVICE r2 — because engines disagree on
+    overflow: Spark wraps or throws under ANSI while DuckDB widens to
+    HUGEINT and errors on the BIGINT cast).
 
     One broadcast-sized shuffle: the join keys on id against the
     already-assigned table, and the rollup groups by shard. Re-running
@@ -87,7 +91,7 @@ def shard_manifest(
     """
     content = df.select(
         F.col(id_col).alias("_mid"),
-        F.conv(F.substring(F.md5(F.col(text_col)), 1, 12), 16, 10)
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10)
         .cast("long")
         .alias("_csum"),
         token_count_col(F.col(text_col)).alias("_ntok"),

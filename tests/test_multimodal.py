@@ -106,3 +106,23 @@ def test_media_phash_locality_and_pairs(spark):
     # all bands are 16-bit
     for b in sig.values():
         assert all(0 <= x < 65536 for x in b)
+
+
+def test_media_phash_empty_payload_modes(spark):
+    """Empty payloads: dropped by default (documented), row-preserving
+    all-null bands with emit_nulls=True (ADVICE r2)."""
+    from pyspark.sql import Row
+    from narowi_ocr_spark.operators.multimodal import attach_binary, media_phash
+
+    df = attach_binary(
+        spark.createDataFrame(
+            [Row(doc_id=1, text="some real content here"), Row(doc_id=2, text="")]
+        )
+    )
+    dropped = media_phash(df).collect()
+    assert {r["doc_id"] for r in dropped} == {1}
+
+    kept = {r["doc_id"]: r for r in media_phash(df, emit_nulls=True).collect()}
+    assert set(kept) == {1, 2}
+    assert all(kept[2][f"b{b}"] is None for b in range(4))
+    assert all(kept[1][f"b{b}"] is not None for b in range(4))

@@ -271,3 +271,31 @@ def test_attribution_outer_stream_matches_batch(spark):
         map(repr, spark.table(name).where(F.col("user_id") >= 0).collect())
     )
     assert got == want
+
+
+def test_shard_manifest_checksum_bounded_and_stable(spark):
+    """The order-free content checksum must stay exact int64 at
+    production shard sizes: every per-doc term is an 8-hex md5 prefix
+    (< 2^32), so the sum is overflow-free to ~2^31 docs/shard
+    (ADVICE r2: 12-hex terms wrapped silently past ~32k docs/shard).
+    Also: the checksum is partition-count independent."""
+    from narowi_ocr_spark.operators.shards import shard_manifest
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc body "), F.col("id").cast("string")).alias("text"),
+    )
+    assigned = shard_assign(df, hex_digits=1)
+    m1 = {r["shard"]: r for r in shard_manifest(assigned, df).collect()}
+    # per-doc terms < 2^32 ⇒ any shard's sum < n_docs * 2^32
+    for r in m1.values():
+        assert 0 <= r["content_checksum"] < r["n_docs"] * (1 << 32)
+    # repartitioning the input must not change any checksum (order-free)
+    df8 = df.repartition(8)
+    m2 = {
+        r["shard"]: r
+        for r in shard_manifest(shard_assign(df8, hex_digits=1), df8).collect()
+    }
+    assert {k: v["content_checksum"] for k, v in m1.items()} == {
+        k: v["content_checksum"] for k, v in m2.items()
+    }
