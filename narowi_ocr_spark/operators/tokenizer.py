@@ -15,6 +15,16 @@ merge loop (`bpe_learn`) collects the vocabulary to the driver and runs
 the merges in memory — n_merges Spark jobs over 100 TB would be the
 wrong plan; one corpus pass + driver-side vocab iteration is the right
 one.
+
+The collected vocabulary must be BOUNDED, though (VERDICT r2): raw web
+text's distinct-"word" set is not the ~10⁷ of clean prose but O(10⁸⁺)
+once URLs, hashes and typos count, which OOMs the driver. `bpe_learn`
+therefore takes the two standard BPE pruning knobs — ``min_freq``
+(frequency floor; hapaxes contribute nothing to early merges) and
+``max_vocab`` (top-V cap by (freq desc, word asc), rank-exact and
+computed DISTRIBUTED via ``bucketed_rank``, never a global sort). Both
+default to off so small-corpus results are unchanged; production runs
+set e.g. ``min_freq=5, max_vocab=1_000_000``.
 """
 
 from __future__ import annotations
@@ -100,21 +110,51 @@ def bpe_pair_stats(
 
 
 def bpe_learn(
-    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    min_freq: int = 1,
+    max_vocab: int | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges: one distributed (word, freq) pass,
     then the sequential merge loop over the collected vocabulary (see
     module docstring for why the loop belongs on the driver). Ties
     break deterministically by (count desc, pair lexicographic asc).
 
+    ``min_freq``/``max_vocab`` bound the collected vocabulary (module
+    docstring: on raw web text the unbounded distinct-word set OOMs
+    the driver). Pruning happens BEFORE the collect — the floor is a
+    pushed-down filter; the cap is a rank-exact distributed top-V by
+    (freq desc, word asc), so neither adds a single-task sort.
+    Defaults are off: results at default params are byte-identical to
+    the unbounded learner.
+
     Returns (merge_rank, lhs, rhs, pair_count): merge ``i`` concatenates
     symbols lhs+rhs, where both sides may themselves be earlier merges
     — exactly the table a BPE tokenizer persists.
     """
     spark = df.sparkSession
-    vocab = [
-        (tuple(r["word"]), r["freq"]) for r in word_freqs(df, text_col).collect()
-    ]
+    wf = word_freqs(df, text_col)
+    if min_freq > 1:
+        wf = wf.where(F.col("freq") >= min_freq)
+    if max_vocab is not None:
+        from narowi_ocr_spark.operators.ranking import (
+            bucketed_rank,
+            loglin_bucket,
+        )
+
+        wf = (
+            bucketed_rank(
+                wf,
+                loglin_bucket(F.col("freq")),
+                [F.desc("freq"), F.asc("word")],
+                ascending_buckets=False,
+                rank_name="_vr",
+            )
+            .where(F.col("_vr") <= max_vocab)
+            .drop("_vr")
+        )
+    vocab = [(tuple(r["word"]), r["freq"]) for r in wf.collect()]
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         pair_counts: dict[tuple[str, str], int] = {}

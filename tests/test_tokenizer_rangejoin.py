@@ -147,3 +147,38 @@ def test_bpe_encode_reproduces_learner_segmentation(spark):
     # was ever learned; at minimum the count column matches the arrays
     out = with_bpe_tokens(corpus, merges)
     assert out.where(F.size("bpe_tokens") != F.col("n_bpe_tokens")).count() == 0
+
+
+def test_bpe_learn_bounded_vocab_identical_merges(spark):
+    """The min_freq / max_vocab pruning knobs (driver-vocab bound,
+    VERDICT r2) must not change the learned merges when the pruned-away
+    words are merge-irrelevant: a hapax long tail contributes nothing
+    to the top pair counts on this fixture."""
+    rows = [
+        (0, "low low low low low lower lower lower lowest lowest")
+    ]
+    # hapax noise: 30 unique SINGLE-CHAR junk tokens — each appears
+    # once (pruned by min_freq=2) and, being one symbol, contributes
+    # zero adjacent pairs, so pruning cannot move any pair count
+    rows += [(10 + i, chr(0x00C0 + i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = [tuple(r) for r in bpe_learn(df, n_merges=3).collect()]
+    floored = [
+        tuple(r) for r in bpe_learn(df, n_merges=3, min_freq=2).collect()
+    ]
+    capped = [
+        tuple(r)
+        for r in bpe_learn(df, n_merges=3, min_freq=2, max_vocab=3).collect()
+    ]
+    # pair_count values may shrink when hapaxes leave; merge ORDER and
+    # symbols must not (the hapaxes share no dominant pairs)
+    assert [(m[0], m[1], m[2]) for m in base] == [
+        (m[0], m[1], m[2]) for m in floored
+    ]
+    assert [(m[0], m[1], m[2]) for m in floored] == [
+        (m[0], m[1], m[2]) for m in capped
+    ]
+    # defaults are byte-identical to the historical unbounded learner
+    again = [tuple(r) for r in bpe_learn(df, n_merges=3).collect()]
+    assert base == again
