@@ -1109,8 +1109,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_eval"] = dedup_eval_q
 
     def simhash_q(spark, sf_dir):
+        """Arrow-kernel signature path (value-identical JVM twin:
+        with_simhash; differential-asserted in tests)."""
+        from narowi_ocr_spark.operators.dedup import with_simhash_arrow
+
         docs = _docs(spark, sf_dir)
-        return with_simhash(docs).select(F.col("id").alias("doc_id"), "h")
+        return with_simhash_arrow(docs).select(
+            F.col("id").alias("doc_id"), "h"
+        )
 
     q["simhash"] = simhash_q
 

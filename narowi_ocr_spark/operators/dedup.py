@@ -410,6 +410,86 @@ def _bit_value(b: int) -> int:
     return (1 << b) if b < 63 else -(1 << 63)
 
 
+def with_simhash_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-kernel twin of ``with_simhash`` — value-identical (same
+    tokenize → distinct → 2×md5 digest → nibble-msb votes → majority
+    sign; asserted equal by tests/test_dedup_similarity.py incl. a
+    unicode-edge differential), but ONE narrow mapInPandas projection:
+    no explode, no shuffle, and none of the 64-aggregate codegen tree
+    whose JIT dominated the JVM variant's wall time at small-to-medium
+    scale (3.8–5.5 s run-to-run wobble at sf0.1, VERDICT r2 item 4).
+
+    Kernel shape: per distinct word, the 64 hex digits of
+    md5(w) ‖ md5('1:'+w) are one ``bytes.fromhex`` + ``unpackbits``;
+    each digit's parity vote is the msb of its nibble = every 4th bit
+    of the unpacked stream, so a word's 64 votes are one strided slice
+    and a document's bit counts are one ``sum(axis=0)``. A per-worker
+    word→votes memo collapses the Zipfian corpus vocabulary, so md5
+    cost is ~O(|vocab|) per worker, not O(tokens). Word splitting uses
+    the EXPLICIT Java-``\\s`` class ``[ \\t\\n\\x0b\\f\\r]+`` (the
+    ``words()`` contract — Python ``\\s`` and ``str.split`` both
+    disagree at the edges, see ``bpe_encode_udf``).
+
+    Scale shape: embarrassingly parallel scan-side projection —
+    (id, h) longs out, text never leaves the stage. At 100 TB this is
+    strictly better than the JVM variant's exchange of (id, 64 longs)
+    partial-agg rows; keep ``with_simhash`` where a Python-free
+    executor matters more than wall time."""
+    import re
+    from collections.abc import Iterator as _Iter
+    from hashlib import md5 as _md5
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def run(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        votes_memo: dict[str, np.ndarray] = {}
+
+        def word_votes(w: str) -> np.ndarray:
+            got = votes_memo.get(w)
+            if got is None:
+                b = w.encode("utf-8")
+                digest = _md5(b).hexdigest() + _md5(b"1:" + b).hexdigest()
+                got = votes_memo[w] = np.unpackbits(
+                    np.frombuffer(bytes.fromhex(digest), dtype=np.uint8)
+                )[::4].astype(np.int64)
+            return got
+
+        def doc_hash(t: str | None) -> int:
+            if t is None:
+                return 0
+            toks = {w for w in ws_re.split(t.lower()) if w}
+            n = len(toks)
+            if n == 0:
+                return 0
+            counts = np.sum([word_votes(w) for w in toks], axis=0)
+            h = 0
+            for b in np.nonzero(2 * counts > n)[0]:
+                h += _bit_value(int(b))
+            return h
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "h": [doc_hash(t) for t in pdf[text_col]],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("h", T.LongType(), False),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def _simhash_from_hashes(hw: Column, bits: int = SIMHASH_BITS) -> Column:
     assert bits <= 64, "the concatenated digests carry 64 hex-digit votes"
     out = F.lit(0).cast("long")
@@ -446,7 +526,7 @@ def simhash_band_key(h: Column, band: int) -> Column:
 
 def simhash_near_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_hamming: int = 3,
+    max_hamming: int = 3, engine: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance. Candidate generation
     uses the four 16-bit bands of the 64-bit hash as blocking keys: a
@@ -459,13 +539,20 @@ def simhash_near_pairs(
 
     The d+1-band guarantee requires ``max_hamming`` ≤ 3; larger radii
     would need more/finer bands (recall would silently drop otherwise).
+
+    ``engine``: 'arrow' (default — one-pass kernel, see
+    ``with_simhash_arrow``; note the self-join evaluates the signature
+    subtree twice, amortized by the per-worker vote memo) or 'jvm'
+    (Python-free executors, ``with_simhash``). Both produce identical
+    hashes, so identical pairs.
     """
     if max_hamming > SIMHASH_BANDS - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the {SIMHASH_BANDS}-band "
             f"pigeonhole guarantee (≤ {SIMHASH_BANDS - 1})"
         )
-    h = with_simhash(df, text_col, id_col)
+    sig = with_simhash_arrow if engine == "arrow" else with_simhash
+    h = sig(df, text_col, id_col)
     halves = h.select(
         "id",
         "h",
@@ -481,7 +568,34 @@ def simhash_near_pairs(
             )
         ).alias("blk"),
     ).select("id", "h", "blk.part", "blk.key")
+    # Explicit exchange on the join keys: both self-join sides then
+    # share ONE identical Exchange subtree, so ReuseExchange
+    # materializes the signature stage once — without it each side
+    # (and each branch of a unioned input) re-runs the Arrow kernel.
+    # The shuffled rows are (id, h, part, key) — 28 bytes/band-row,
+    # never text.
+    halves = halves.repartition(F.col("part"), F.col("key"))
     a, b = halves.alias("a"), halves.alias("b")
+    # Each pair is emitted from its FIRST matching band only: band i
+    # qualifies iff every earlier band's keys differ (computable from
+    # the carried full hashes). This replaces the old post-join
+    # DISTINCT — a shuffle of every (pair × matching-band) candidate
+    # row, 4× the pair count for identical docs — with a residual
+    # ALU predicate; the output pair set is identical.
+    def _bands_differ(upto: int) -> Column:
+        c = F.lit(True)
+        for j in range(upto):
+            c = c & (
+                simhash_band_key(F.col("a.h"), j)
+                != simhash_band_key(F.col("b.h"), j)
+            )
+        return c
+
+    first_match = F.lit(False)
+    for i in range(SIMHASH_BANDS):
+        first_match = F.when(
+            F.col("a.part") == i, _bands_differ(i)
+        ).otherwise(first_match)
     return (
         a.join(
             b,
@@ -489,13 +603,13 @@ def simhash_near_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .where(first_match)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             hamming64(F.col("a.h"), F.col("b.h")).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

@@ -254,3 +254,65 @@ def test_quantize_embeddings_codes_bounded(vectors):
     # shuffle-free narrow projection
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_simhash_arrow_twin_identical(spark):
+    """The Arrow kernel (with_simhash_arrow) must produce EXACTLY the
+    JVM variant's hashes — including unicode case-fold edges, mixed
+    whitespace (the Java-\\s class), empty and null documents — so the
+    two engines are interchangeable under simhash_near_pairs."""
+    from narowi_ocr_spark.operators.dedup import (
+        with_simhash,
+        with_simhash_arrow,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "THE QUICK Brown fox JUMPS over the lazy dog"),
+        (2, ""),
+        (3, None),
+        (4, "  \t tabs\x0band\fodd\rwhitespace\n mix "),
+        (5, "ümlaut ÜMLAUT Σίσυφος ΣΊΣΥΦΟΣ straße STRASSE"),
+        (6, "unicode İstanbul ı dotless れ漢字 émigré ÉMIGRÉ"),
+        (7, "a"),
+        (8, "repeated repeated repeated distinct"),
+        (9, "0123456789 !@#$%^&*() <html><body>&amp;</body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    jvm = {r["id"]: r["h"] for r in with_simhash(df).collect()}
+    arrow = {r["id"]: r["h"] for r in with_simhash_arrow(df).collect()}
+    assert arrow == jvm
+    # empty/null → 0 by contract
+    assert arrow[2] == 0 and arrow[3] == 0
+
+
+def test_simhash_arrow_twin_fuzz(spark):
+    """300-doc random differential: random words over a unicode-heavy
+    alphabet, random whitespace separators from the Java-\\s class."""
+    import random
+
+    rnd = random.Random(42)
+    alpha = "abcXYZ019äßÉİı漢れΣσς"
+    seps = " \t\n\x0b\f\r"
+
+    def doc():
+        parts = []
+        for _ in range(rnd.randrange(0, 30)):
+            parts.append(
+                "".join(rnd.choice(alpha) for _ in range(rnd.randrange(1, 8)))
+            )
+            parts.append(
+                "".join(rnd.choice(seps) for _ in range(rnd.randrange(1, 3)))
+            )
+        return "".join(parts)
+
+    rows = [(i, doc()) for i in range(300)]
+    from narowi_ocr_spark.operators.dedup import (
+        with_simhash,
+        with_simhash_arrow,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    jvm = {r["id"]: r["h"] for r in with_simhash(df).collect()}
+    arrow = {r["id"]: r["h"] for r in with_simhash_arrow(df).collect()}
+    assert arrow == jvm
