@@ -938,6 +938,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extraction_modes"] = extraction_modes
 
+    def extract_pdf_text(spark, sf_dir):
+        """North-rule "PDF/layout parse" mode, end-to-end: every
+        document's golden-augmented text is wrapped into a
+        deterministic minimal PDF (FlateDecode on every third doc —
+        operators/pdftext.build_pdf), and the SAME fused extraction
+        pipeline runs with doc_type='pdf', which swaps the DOM
+        tokenizer for the text-object parser via the T2 mode dispatch
+        (one unbranched plan, one Arrow stage). The text-object subset
+        round-trips exactly, so the oracle states extracted_text ==
+        trimmed input, the single-block confidence formula, and the
+        golden-span status rules — the full per-url result row is
+        hash-gated. Reference analogue: the preprocess→extract chain
+        (image_processor.py:82-156 → ocr_engine.py:51-70) applied to
+        the second input modality."""
+        import pandas as pd
+
+        from narowi_ocr_spark.operators.pdftext import build_pdf
+        from narowi_ocr_spark.plans.pipeline import extract_pages
+
+        def mk(batches):
+            ts = pd.Timestamp("2024-01-01")
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "url": [f"pdf://{int(i)}" for i in pdf["doc_id"]],
+                        "warc_ts": ts,
+                        "html": [
+                            build_pdf(
+                                "" if t is None else t,
+                                compress=(int(i) % 3 == 0),
+                            )
+                            for i, t in zip(pdf["doc_id"], pdf["aug"])
+                        ],
+                        "doc_type": "pdf",
+                    }
+                )
+
+        docs = _docs(spark, sf_dir)
+        pages = docs.select("doc_id", _aug_expr().alias("aug")).mapInPandas(
+            mk, "url string, warc_ts timestamp, html binary, doc_type string"
+        )
+        out = extract_pages(pages, doc_type_col="doc_type")
+        return out.select(
+            "url",
+            "status",
+            "extracted_text",
+            "confidence",
+            F.size("readings").alias("n_readings"),
+        )
+
+    q["extract_pdf_text"] = extract_pdf_text
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -4328,6 +4380,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(least(full_len, max_html_bytes) AS INT) AS byte_len,
                CASE WHEN text_len >= min_text_len THEN 1 ELSE 0 END AS n_content
         FROM m
+    """
+
+    # extract_pdf_text: the PDF text-object subset round-trips exactly,
+    # so extracted_text == trimmed (golden-augmented) input; confidence
+    # is the single-block score (link density 0, same IEEE op order as
+    # _score_block_py); status/n_readings come from the golden VALUES.
+    _pdf_trim = (
+        f"regexp_replace({_aug_sql()}, '^\\s+|\\s+$', '', 'g')"
+    )
+    _pdf_conf = _round4_sql(
+        "100.0 * least(greatest((0.7 * (1.0 - 0.0)) + "
+        "(0.3 * least(CAST(length(s) AS DOUBLE) / 200.0, 1.0)), 0.0), 1.0)"
+    )
+    o["extract_pdf_text"] = f"""
+        WITH {_golden_cte()},
+        {_status_cte()},
+        t AS (
+          SELECT doc_id, {_pdf_trim} AS s
+          FROM documents)
+        SELECT 'pdf://' || CAST(t.doc_id AS VARCHAR) AS url,
+               {_STATUS_SQL} AS status,
+               t.s AS extracted_text,
+               {_pdf_conf} AS confidence,
+               n_readings
+        FROM t JOIN doc_status ON t.doc_id = doc_status.doc_id
     """
 
     o["readings_spans"] = f"""

@@ -153,6 +153,9 @@ def tokenize_scored(html_col: Column | str) -> Column:
 CONTENT_TAGS = [
     "p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6",
     "td", "th", "article", "section", "blockquote", "pre",
+    # PDF text objects (operators/pdftext.py) — never emitted by the
+    # HTML tokenizer, so adding it cannot change any HTML-path result
+    "pdftext",
 ]
 MAX_LINK_DENSITY = 1.0 / 3.0
 MIN_TEXT_LEN = 1

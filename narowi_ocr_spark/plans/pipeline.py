@@ -41,13 +41,27 @@ def extract_page_py(
     payload: bytes | str | None,
     max_link_density: float | None = None,
     min_text_len: int | None = None,
+    parser: int = 0,
 ) -> tuple[str, float, list[dict]]:
     """The whole per-document chain (tokenize → score → classify →
     assemble → reading-span extraction) as one pure-Python call, executed
     only inside Arrow batches. Byte-identical to composing the individual
     operators (asserted by tests/test_pipeline_fused.py). The classifier
-    thresholds accept per-document overrides (T2 extraction modes)."""
-    blocks = tokenize_and_score_py(payload, max_link_density, min_text_len)
+    thresholds accept per-document overrides (T2 extraction modes).
+    ``parser`` selects the tokenizer: 0 = HTML DOM blocks, 1 = PDF text
+    objects (operators/pdftext.py) — everything downstream of
+    tokenization (scoring, classification, assembly, reading kernels)
+    is shared."""
+    if parser == 1:
+        from narowi_ocr_spark.operators.blocks import _score_block_py
+        from narowi_ocr_spark.operators.pdftext import tokenize_pdf_py
+
+        blocks = [
+            _score_block_py(b, max_link_density, min_text_len)
+            for b in tokenize_pdf_py(payload)
+        ]
+    else:
+        blocks = tokenize_and_score_py(payload, max_link_density, min_text_len)
     text = "\n".join(b["text"] for b in blocks if b["is_content"]).strip()
     nonempty = [b for b in blocks if b["text"]]
     if nonempty:
@@ -95,9 +109,19 @@ def _extract_arrow(batches):
         has_modes = "_mld" in b.schema.names
         mlds = b.column("_mld").to_pylist() if has_modes else None
         mtls = b.column("_mtl").to_pylist() if has_modes else None
+        parsers = (
+            b.column("_parser").to_pylist()
+            if "_parser" in b.schema.names
+            else None
+        )
         for i, payload in enumerate(b.column("html")):
             if has_modes:
-                t, c, r = extract_page_py(payload.as_py(), mlds[i], mtls[i])
+                t, c, r = extract_page_py(
+                    payload.as_py(),
+                    mlds[i],
+                    mtls[i],
+                    parsers[i] if parsers else 0,
+                )
             else:
                 t, c, r = extract_page_py(payload.as_py())
             texts.append(t)
@@ -155,19 +179,31 @@ EXTRACTION_MODES: dict[str, dict] = {
         "min_text_len": 5,
         "max_link_density": 0.25,
     },
+    # PDF byte streams (north_rule "PDF/layout parse"): text-object
+    # parser instead of the DOM tokenizer; PDFs carry no anchors so the
+    # link-density gate is moot, and machine-generated report PDFs run
+    # larger than pages — looser byte cap
+    "pdf": {
+        "max_html_bytes": 4 * 1024 * 1024,
+        "min_text_len": 1,
+        "max_link_density": 1.0 / 3.0,
+        "parser": 1,
+    },
 }
 DEFAULT_DOC_TYPE = "article"
 
 
 def mode_config(doc_type: Column) -> Column:
-    """struct<max_html_bytes,min_text_len,max_link_density> for the
-    row's doc type; unknown/null types fall back to 'article'."""
+    """struct<max_html_bytes,min_text_len,max_link_density,parser> for
+    the row's doc type; unknown/null types fall back to 'article'.
+    ``parser``: 0 = HTML DOM blocks, 1 = PDF text objects."""
 
     def as_struct(m: dict) -> Column:
         return F.struct(
             F.lit(int(m["max_html_bytes"])).alias("max_html_bytes"),
             F.lit(int(m["min_text_len"])).alias("min_text_len"),
             F.lit(float(m["max_link_density"])).alias("max_link_density"),
+            F.lit(int(m.get("parser", 0))).alias("parser"),
         )
 
     expr = as_struct(EXTRACTION_MODES[DEFAULT_DOC_TYPE])
@@ -257,6 +293,7 @@ def extract_pages(
         in_cols += [
             mode["max_link_density"].alias("_mld"),
             mode["min_text_len"].alias("_mtl"),
+            mode["parser"].alias("_parser"),
         ]
     res = nonempty.select(*in_cols).mapInArrow(_extract_arrow, EXTRACT_OUT_SCHEMA)
     out = with_status(res)

@@ -128,3 +128,41 @@ def synth_pages(spark: SparkSession, n_rows: int, partitions: int | None = None)
 
     rng = spark.range(n_rows, numPartitions=partitions)
     return rng.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def build_pdf_page(i: int) -> tuple[str, datetime, bytes, str, str]:
+    """One deterministic PDF document: same filler/golden content plan
+    as ``build_page``, but the payload is a minimal PDF (text objects,
+    FlateDecode on every third doc) built by ``pdftext.build_pdf`` —
+    the oracle ``text`` column is the expected extracted main text."""
+    from narowi_ocr_spark.operators.pdftext import build_pdf
+
+    content: list[str] = [_filler(i, k) for k in range(3 + _h(i, 2) % 6)]
+    if i % 5 == 0:
+        content.insert(1, GOLDEN_SNIPPETS[(i // 5) % len(GOLDEN_SNIPPETS)])
+    if i % 29 == 0:
+        content.append(GOLDEN_DOCS[(i // 29) % len(GOLDEN_DOCS)])
+    oracle = "\n".join(content)
+    payload = build_pdf(oracle, compress=(i % 3 == 0))
+    host = f"docs{_h(i, 7) % 500}.example"
+    url = f"https://{host}/report/{i}.pdf"
+    return url, _EPOCH + timedelta(seconds=i), payload, oracle, "en"
+
+
+def synth_pdf_pages(
+    spark: SparkSession, n_rows: int, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic PDF-documents table (same schema as
+    ``synth_pages``; payload rides the ``html`` binary column — the
+    pages table's payload column is modality-agnostic bytes, the
+    ``doc_type`` a caller attaches picks the parser)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [build_pdf_page(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    rng = spark.range(n_rows, numPartitions=partitions)
+    return rng.mapInPandas(gen, PAGES_SCHEMA)
