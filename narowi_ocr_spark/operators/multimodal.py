@@ -2,11 +2,14 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-The decode step itself is a STUB (the sandbox has no image/audio codecs):
-``decode_stub`` derives deterministic fake features from the raw bytes.
-Everything around it — schema, batch shape, partition behavior, the
-Arrow-batched UDF signature — is real and tested; swapping in a real
-codec (PIL / torchaudio / pyav) changes only the function body.
+The decode step defaults to a STUB (the sandbox has no image/audio
+codecs): ``decode_stub`` derives deterministic fake features from the
+raw bytes. Everything around it — schema, batch shape, partition
+behavior, the Arrow-batched UDF signature — is real and tested. A
+cluster with codecs installed opts into true pixel decode by setting
+``NAROWI_MEDIA_CODEC=pil`` (``spark.executorEnv.NAROWI_MEDIA_CODEC``);
+``resolve_decoder`` picks the kernel per worker, and the real-codec
+path is exercised by a skip-marked test that runs wherever PIL exists.
 
 Scale notes: payload columns are fat, so
   - metadata extraction keeps only (id, metadata) — payloads are dropped
@@ -56,6 +59,51 @@ def decode_stub(payload: bytes) -> tuple[int, int, str]:
     return n % 640, (n * 7) % 480, "stub"
 
 
+def decode_pil(payload: bytes) -> tuple[int, int, str]:
+    """Real-codec decode: true pixel dimensions via PIL. Import happens
+    inside the call so only the real-codec path needs the dependency;
+    undecodable payloads degrade to (0, 0, 'decode_error') — a status
+    row, never a crash, matching the extraction pipeline's garbage
+    policy."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 — executor-side lazy import
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return int(im.width), int(im.height), "ok"
+    except Exception:
+        return 0, 0, "decode_error"
+
+
+def resolve_decoder():
+    """Select the decode function from ``NAROWI_MEDIA_CODEC`` (read on
+    the EXECUTOR at kernel start, so a cluster sets it via
+    ``spark.executorEnv.NAROWI_MEDIA_CODEC``):
+
+    - unset / ``stub`` → ``decode_stub`` (sandbox default; the
+      geometry, schema and batch shape are identical to a real build);
+    - ``pil`` → ``decode_pil`` (true pixel decode; raises ImportError
+      with a clear message if PIL is absent rather than silently
+      falling back — a cluster that ASKS for real decode must get it).
+    """
+    import os
+
+    codec = os.environ.get("NAROWI_MEDIA_CODEC", "stub").lower()
+    if codec in ("", "stub"):
+        return decode_stub
+    if codec == "pil":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "NAROWI_MEDIA_CODEC=pil but PIL is not installed on this "
+                "executor; install pillow or unset the variable"
+            ) from e
+        return decode_pil
+    raise ValueError(f"unknown NAROWI_MEDIA_CODEC {codec!r}")
+
+
 def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Dev helper: materialize a binary payload column from text (UTF-8).
     In production the payload arrives as a real binary column."""
@@ -69,11 +117,12 @@ def extract_media_meta(
     Output carries no payload bytes — safe to shuffle/aggregate."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = resolve_decoder()  # per-worker, env-driven (stub | pil)
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                w, h, status = decode_stub(b)
+                w, h, status = decode(b)
                 rows.append(
                     (int(i), len(b), hashlib.md5(b).hexdigest(), w, h, status)
                 )

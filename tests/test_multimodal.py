@@ -126,3 +126,45 @@ def test_media_phash_empty_payload_modes(spark):
     assert set(kept) == {1, 2}
     assert all(kept[2][f"b{b}"] is None for b in range(4))
     assert all(kept[1][f"b{b}"] is not None for b in range(4))
+
+
+def test_resolve_decoder_env_switch(monkeypatch):
+    """Default/stub → decode_stub; pil without PIL installed → loud
+    ImportError (never a silent fallback); unknown codec → ValueError."""
+    import pytest as _pytest
+
+    from narowi_ocr_spark.operators import multimodal as mm
+
+    monkeypatch.delenv("NAROWI_MEDIA_CODEC", raising=False)
+    assert mm.resolve_decoder() is mm.decode_stub
+    monkeypatch.setenv("NAROWI_MEDIA_CODEC", "stub")
+    assert mm.resolve_decoder() is mm.decode_stub
+    monkeypatch.setenv("NAROWI_MEDIA_CODEC", "nosuch")
+    with _pytest.raises(ValueError):
+        mm.resolve_decoder()
+    monkeypatch.setenv("NAROWI_MEDIA_CODEC", "pil")
+    try:
+        import PIL  # noqa: F401
+
+        assert mm.resolve_decoder() is mm.decode_pil
+    except ImportError:
+        with _pytest.raises(ImportError):
+            mm.resolve_decoder()
+
+
+def test_decode_pil_real_codec():
+    """Real-codec path: runs wherever PIL exists (skipped in the
+    sandbox). Asserts true pixel dimensions and the garbage policy."""
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from narowi_ocr_spark.operators.multimodal import decode_pil
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    assert decode_pil(buf.getvalue()) == (17, 9, "ok")
+    assert decode_pil(b"not an image") == (0, 0, "decode_error")
