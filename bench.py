@@ -389,7 +389,31 @@ def main() -> None:
         extra_set=True,
     )
 
+    # round-3 additions: PDF extraction mode + the distributed-rank
+    # rewrites of the former global-window quantile family
+    from narowi_ocr_spark.plans.pipeline import extract_pages as _xp
+    from narowi_ocr_spark.sources.pages import synth_pdf_pages
+
+    _pdfs = synth_pdf_pages(spark, n_pages // 2, partitions=cpus).withColumn(
+        "doc_type", F.lit("pdf")
+    )
+    bench(
+        "pdf_extract",
+        lambda: materialize(_xp(_pdfs, doc_type_col="doc_type")),
+        extra_set=True,
+    )
+
     qs = entrymod.queries()
+    bench(
+        "quality_deciles",
+        lambda: materialize(qs["quality_deciles"](spark, sf_dir)),
+        extra_set=True,
+    )
+    bench(
+        "events_rfm",
+        lambda: materialize(qs["events_rfm"](spark, sf_dir)),
+        extra_set=True,
+    )
     bench("tpch_q1", lambda: materialize(qs["tpch_q1"](spark, sf_dir)))
     bench("events_hourly", lambda: materialize(qs["events_hourly"](spark, sf_dir)))
     bench(

@@ -229,7 +229,9 @@ def extract_pages(
     pools; fusing cut the boundary traffic to html-in/result-out and
     roughly halved wall-clock at 40k pages. ``keep_blocks=True`` switches
     to the two-stage variant, which materializes the scored block array
-    for debugging/inspection queries."""
+    for debugging/inspection queries; that debug path tokenizes as HTML
+    only (rows whose mode selects the PDF parser yield no blocks there
+    — use the default fused path for mixed-modality corpora)."""
     nonempty = pages.where(
         F.col("html").isNotNull() & (F.length("html") > 0)  # P1
     )

@@ -115,12 +115,32 @@ qv = vecs.where(F.col("vec_id") < 16)
 def noop(df):
     df.write.format("noop").mode("overwrite").save()
 
+# Global-rank pair (VERDICT r2 items 1+8): the SAME 4M-row exact rank,
+# once through the old unpartitioned window (every row through ONE
+# task's sort — the pre-fix quality_deciles/events_rfm shape) and once
+# through the distributed bucketed_rank that replaced it. The ladder
+# shows the window variant flat across core counts while the bucketed
+# variant scales — the efficiency number the fix exists for.
+from pyspark.sql.window import Window
+from narowi_ocr_spark.operators.ranking import bucketed_rank, loglin_bucket
+RANK_N = 4_000_000
+rank_base = (spark.range(RANK_N, numPartitions=cpus)
+             .select(F.col("id"), ((F.col("id") * 2654435761) % 999983)
+                     .alias("v")))
+rank_order = [F.desc("v"), F.asc("id")]
+
 ops = {{
     "lsh_pairs": lambda: noop(lsh_candidate_pairs(corpus)),
     "simhash_pairs": lambda: noop(simhash_near_pairs(corpus)),
     "emb_ann_bucketed": lambda: noop(bucketed_topk(vecs, qv, k=10)),
     "passage_dedup": lambda: noop(passage_dedup(corpus, passage_words=16)),
     "pack_sequences": lambda: noop(pack_sequences(docs, capacity=256)),
+    "rank_global_window": lambda: noop(
+        rank_base.select("id", F.row_number().over(
+            Window.orderBy(*rank_order)).alias("rn"))),
+    "rank_bucketed_dist": lambda: noop(
+        bucketed_rank(rank_base, loglin_bucket(F.col("v")), rank_order,
+                      ascending_buckets=False, rank_name="rn")),
 }}
 out = {{}}
 for name, fn in ops.items():
