@@ -459,25 +459,40 @@ def vocab_stats(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFram
 
     Scale shape: the explode partial-aggregates map-side, so only
     (word, count) pairs — vocabulary-bounded, not corpus-bounded —
-    reach the shuffle; the rank/cumsum window runs over the vocabulary
-    table only (|V| rows, one ordered pass), and the corpus-total join
-    is a broadcast 1-row aggregate. cum_frac is an exact integer sum
-    divided once (IEEE-exact, round4) so the oracle hash-matches."""
+    reach the shuffle. The rank is DISTRIBUTED (``bucketed_rank``,
+    log-linear count buckets + prefix-summed offsets): on web text the
+    vocabulary itself is O(10⁸⁺) rows, so the former unpartitioned
+    rank window was a single-task sort of the whole vocab. The cumsum
+    runs over the already-filtered top-``k`` rows (cum at rank r only
+    reads ranks ≤ r, so filtering first is exact), and the corpus
+    total is a broadcast 1-row aggregate. cum_frac is an exact integer
+    sum divided once (IEEE-exact, round4) so the oracle hash-matches."""
+    from pyspark.sql.window import Window
+
+    from narowi_ocr_spark.operators.ranking import (
+        bucketed_rank,
+        loglin_bucket,
+    )
+
     toks = df.select(F.explode(words(F.lower(F.col(text_col)))).alias("w"))
     cnts = toks.groupBy("w").agg(F.count("*").alias("cnt"))
     total = cnts.agg(F.sum("cnt").alias("total"))
-    from pyspark.sql.window import Window
-
-    ordered = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    order = [F.desc("cnt"), F.asc("w")]
+    topk = bucketed_rank(
+        cnts,
+        loglin_bucket(F.col("cnt")),
+        order,
+        ascending_buckets=False,
+        rank_name="rank",
+    ).where(F.col("rank") <= k)
+    cum_w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     return (
-        cnts.withColumn("rank", F.row_number().over(ordered))
-        .withColumn(
-            "cum_cnt", F.sum("cnt").over(ordered.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .where(F.col("rank") <= k)
+        topk.withColumn("cum_cnt", F.sum("cnt").over(cum_w))
         .crossJoin(F.broadcast(total))
         .select(
-            "rank",
+            F.col("rank").cast("int").alias("rank"),
             F.col("w").alias("word"),
             F.col("cnt").cast("long").alias("cnt"),
             round4(
