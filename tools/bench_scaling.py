@@ -294,6 +294,24 @@ the shuffle-free extraction ladder above. Efficiency = t_N / (4·t_4N)
 (throughput form of the N→4N rule on the {N}→{FOUR_N} pair).
 
 {ops_table(ops_ladder)}
+
+The `rank_*` pair is a controlled experiment on the SAME 4M-row exact
+global rank (VERDICT r2 item 1): `rank_global_window` is the pre-fix
+shape (unpartitioned `Window.orderBy` — every row through ONE task's
+sort), `rank_bucketed_dist` is `operators/ranking.bucketed_rank`.
+The window variant is FLAT across core counts — its efficiency number
+is the definition of a serial bottleneck — while the bucketed variant
+scales; at 2 cores the distributed plan pays its extra shuffles, and
+the crossover lands exactly where the fix matters (≥8 cores, i.e. any
+real cluster). quality_deciles / events_rfm / events_power_users /
+vocab_stats / bpe_learn's vocab cap all ride the bucketed path now.
+
+Caveat on the other ops rows (unchanged from r2): at sf0.1 these jobs
+are seconds-scale, so per-job fixed costs (stage scheduling, codegen,
+Arrow pool) bound the measurable efficiency well below the dataflow's
+asymptotic scaling; the REP× amplification mitigates but does not
+remove this. The 400k-page extraction ladder above is the
+fixed-cost-amortized number.
 """
 
     rows = "\n".join(
