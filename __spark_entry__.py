@@ -990,6 +990,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extract_pdf_text"] = extract_pdf_text
 
+    def warc_ingest(spark, sf_dir):
+        """WARC archive ingest (sources/warc.py — the step between raw
+        Common-Crawl segments and the pages table, north_star input):
+        every document's full page is serialized into a deterministic
+        WARC blob (warcinfo + response record; per-record gzip members
+        on even doc_ids — the .warc.gz convention), then parsed back by
+        the Arrow ingest stage. The oracle states perfect parse
+        fidelity: url, WARC-Date timestamp, and the byte length + md5
+        of the recovered html, all reconstructed from the documents
+        table. Blob bytes never leave the parse stage."""
+        import pandas as pd
+
+        from narowi_ocr_spark.sources.warc import build_warc, warc_pages
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.lit(NAV_HTML), _escape_html(F.col("text")), F.lit(FOOTER_HTML)
+            ).alias("page"),
+        )
+
+        def mk(batches):
+            import datetime as _dt
+
+            epoch = _dt.datetime(2024, 1, 1)
+            for pdf in batches:
+                blobs = []
+                for i, page in zip(pdf["doc_id"], pdf["page"]):
+                    i = int(i)
+                    iso = (
+                        epoch + _dt.timedelta(seconds=i)
+                    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+                    blobs.append(
+                        build_warc(
+                            [
+                                (
+                                    f"https://warc.example/{i}",
+                                    iso,
+                                    page.encode("utf-8"),
+                                )
+                            ],
+                            gzip_members=(i % 2 == 0),
+                        )
+                    )
+                yield pd.DataFrame({"blob": blobs})
+
+        blobs = docs.mapInPandas(mk, "blob binary")
+        pages = warc_pages(blobs)
+        return pages.select(
+            "url",
+            "warc_ts",
+            F.length("html").cast("int").alias("byte_len"),
+            F.md5("html").alias("content_md5"),
+        )
+
+    q["warc_ingest"] = warc_ingest
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -4405,6 +4462,17 @@ def oracle_sql() -> dict[str, str]:
                {_pdf_conf} AS confidence,
                n_readings
         FROM t JOIN doc_status ON t.doc_id = doc_status.doc_id
+    """
+
+    # warc_ingest: parse fidelity — the WARC round trip must hand back
+    # exactly the page bytes, target URI and WARC-Date it serialized.
+    o["warc_ingest"] = f"""
+        SELECT 'https://warc.example/' || CAST(doc_id AS VARCHAR) AS url,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + doc_id * INTERVAL 1 SECOND AS warc_ts,
+               CAST(length({_full_page}) AS INT) AS byte_len,
+               md5({_full_page}) AS content_md5
+        FROM documents
     """
 
     o["readings_spans"] = f"""

@@ -1,0 +1,80 @@
+"""WARC ingest (sources/warc.py): record round-trips (plain and
+per-record-gzip), garbage tolerance, and the full archive → pages →
+extraction chain running byte-identically."""
+
+from pyspark.sql import functions as F
+
+from narowi_ocr_spark.sources.warc import build_warc, parse_warc, warc_pages
+
+RECS = [
+    ("https://a.example/1", "2024-01-01T00:00:01Z", b"<html><p>one</p></html>"),
+    ("https://b.example/2", "2024-01-01T00:00:02Z", "<p>unicode ü</p>".encode()),
+    ("https://c.example/3", "2024-01-01T00:00:03Z", b""),
+]
+
+
+def test_warc_roundtrip_plain_and_gzip():
+    for gz in (False, True):
+        got = parse_warc(build_warc(RECS, gzip_members=gz))
+        assert [(g["url"], g["warc_date"], g["html"]) for g in got] == RECS, gz
+    # determinism (mtime pinned)
+    assert build_warc(RECS, gzip_members=True) == build_warc(
+        RECS, gzip_members=True
+    )
+
+
+def test_warc_skips_non_response_and_garbage():
+    blob = build_warc(RECS, with_warcinfo=True)
+    assert len(parse_warc(blob)) == len(RECS)  # warcinfo skipped
+    assert parse_warc(b"") == []
+    assert parse_warc(b"not a warc") == []
+    # truncation: well-formed prefix records survive, tail dropped
+    assert len(parse_warc(blob[: len(blob) // 2])) < len(RECS)
+    assert parse_warc(build_warc(RECS, gzip_members=True)[:40]) == []
+    # http payload without header split: body passthrough
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.example/\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 5\r\n\r\n"
+        b"nohdr\r\n\r\n"
+    )
+    got = parse_warc(raw)
+    assert got[0]["html"] == b"nohdr"
+
+
+def test_warc_to_extraction_chain(spark):
+    """Archive blobs → warc_pages → extract_pages: the recovered html
+    extracts byte-identically to the synthetic oracle text (the full
+    Common-Crawl-shaped path: segment bytes in, per-url text out)."""
+    from narowi_ocr_spark.plans.pipeline import extract_pages
+    from narowi_ocr_spark.sources.pages import build_page
+
+    import pandas as pd
+
+    n = 200
+
+    def mk(batches):
+        for pdf in batches:
+            blobs = []
+            for i in pdf["id"]:
+                url, ts, html, text, lang = build_page(int(i))
+                iso = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                blobs.append(
+                    build_warc([(url, iso, html)], gzip_members=(int(i) % 2 == 0))
+                )
+            yield pd.DataFrame({"blob": blobs})
+
+    blobs = spark.range(n, numPartitions=4).mapInPandas(mk, "blob binary")
+    pages = warc_pages(blobs)
+    assert pages.count() == n
+    out = extract_pages(pages)
+    expected = spark.createDataFrame(
+        [(build_page(i)[0], build_page(i)[3]) for i in range(n)],
+        "url string, expected string",
+    )
+    j = out.join(expected, "url")
+    assert j.count() == n
+    assert j.where(F.col("extracted_text") != F.col("expected")).count() == 0
+    # plan: blob bytes must not survive past the ingest Arrow stage
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "blob" not in plan.split("MapInArrow")[0]
