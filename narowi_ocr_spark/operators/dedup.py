@@ -269,6 +269,16 @@ def lsh_candidate_pairs(
     splitting handles; for known-degenerate corpora run exact_dedup first.
     """
     bands = with_minhash_bands(df, text_col, id_col)
+    # Explicit exchange on the join keys: both self-join sides share ONE
+    # identical Exchange subtree, so ReuseExchange materializes the
+    # signature dataflow (shingle explode → 16 hashes → min-agg) once
+    # instead of once per side. Shuffled rows stay (id, band_idx,
+    # band_hash) — ~48 bytes. (The DISTINCT stays, unlike
+    # simhash_near_pairs' first-band trick: deduping by first matching
+    # band would require carrying every band digest on both sides —
+    # ~264 bytes/row, 5× the shuffle — and band digests must stay full
+    # md5 strings because 64-bit truncation collides at 10⁹-doc scale.)
+    bands = bands.repartition(F.col("band_idx"), F.col("band_hash"))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -379,6 +379,10 @@ def media_phash_pairs(
             F.array(*[F.col(f"b{b}") for b in range(4)])
         ).alias("band_idx", "band_val"),
     )
+    # Explicit exchange on the join keys: both self-join sides share
+    # ONE identical Exchange subtree, so ReuseExchange materializes the
+    # Arrow decode+hash stage once instead of once per side.
+    bands = bands.repartition(F.col("band_idx"), F.col("band_val"))
     x, y = bands.alias("x"), bands.alias("y")
     ham = sum(
         F.bit_count(
@@ -388,6 +392,23 @@ def media_phash_pairs(
         )
         for b in range(4)
     )
+
+    # Each pair is emitted from its FIRST matching band only (every
+    # earlier band's values — carried on both sides anyway — must
+    # differ). Replaces the old post-join DISTINCT, a shuffle of every
+    # (pair × matching-band) row, with a residual predicate; the output
+    # pair set is identical. Same trick as dedup.simhash_near_pairs.
+    def _earlier_differ(upto: int):
+        c = F.lit(True)
+        for j in range(upto):
+            c = c & (F.col(f"x.b{j}") != F.col(f"y.b{j}"))
+        return c
+
+    first_match = F.lit(False)
+    for i in range(4):
+        first_match = F.when(
+            F.col("x.band_idx") == i, _earlier_differ(i)
+        ).otherwise(first_match)
     return (
         x.join(
             y,
@@ -395,11 +416,11 @@ def media_phash_pairs(
             & (F.col("x.band_val") == F.col("y.band_val"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
+        .where(first_match)
         .select(
             F.col("x.doc_id").alias("id_a"),
             F.col("y.doc_id").alias("id_b"),
             ham.cast("int").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
