@@ -78,3 +78,53 @@ def test_warc_to_extraction_chain(spark):
     # plan: blob bytes must not survive past the ingest Arrow stage
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "blob" not in plan.split("MapInArrow")[0]
+
+
+def test_warc_extraction_stream_resumes(spark, tmp_path):
+    """Streaming archive ingest: WARC segment blobs arriving as files →
+    parse → extract → idempotent per-batch sink; a resume with no new
+    input processes 0 batches, a new segment processes only itself."""
+    import pandas as pd
+
+    from narowi_ocr_spark.sources.pages import build_page
+    from narowi_ocr_spark.streaming.stream import run_warc_extraction_stream
+
+    src = str(tmp_path / "segments")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def segment(lo, hi, gz):
+        recs = []
+        for i in range(lo, hi):
+            url, ts, html, text, lang = build_page(i)
+            recs.append((url, ts.strftime("%Y-%m-%dT%H:%M:%SZ"), html))
+        return build_warc(recs, gzip_members=gz)
+
+    def land(name, blob):
+        spark.createDataFrame(
+            pd.DataFrame({"segment": [name], "blob": [blob]})
+        ).write.mode("append").parquet(src)
+
+    land("seg-0", segment(0, 40, False))
+    land("seg-1", segment(40, 80, True))
+
+    b1 = run_warc_extraction_stream(spark, src, out, ckpt, timeout_s=180)
+    assert len(b1) >= 1
+    got = spark.read.parquet(out)
+    assert got.count() == 80
+    expected = spark.createDataFrame(
+        [(build_page(i)[0], build_page(i)[3]) for i in range(80)],
+        "url string, expected string",
+    )
+    j = got.join(expected, "url")
+    assert j.where(F.col("extracted_text") != F.col("expected")).count() == 0
+
+    # pure resume: nothing new → no batches re-processed
+    b2 = run_warc_extraction_stream(spark, src, out, ckpt, timeout_s=180)
+    assert b2 == []
+
+    # one new segment → exactly the new data lands
+    land("seg-2", segment(80, 100, True))
+    b3 = run_warc_extraction_stream(spark, src, out, ckpt, timeout_s=180)
+    assert len(b3) == 1
+    assert spark.read.parquet(out).count() == 100
