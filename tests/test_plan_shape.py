@@ -432,3 +432,37 @@ def test_media_phash_pairs_never_cartesian(spark):
     plan = _physical_plan(media_phash_pairs(docs))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_r3_batch_plan_shapes(spark):
+    """The round-3 TPC-H batch: dimension sides broadcast, no cartesian
+    products, the outer/anti joins are really outer/anti (not rewritten
+    into something that would drop the zero-order customers), and the
+    only nested-loop joins are the deliberate 1-row stat broadcasts."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+
+    plans = {
+        name: _physical_plan(qs[name](spark, sf))
+        for name in (
+            "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q13",
+            "tpch_q15", "tpch_q17", "tpch_q22",
+        )
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+    # dims broadcast into the fact
+    for name in ("tpch_q7", "tpch_q8", "tpch_q9"):
+        assert plans[name].count("BroadcastHashJoin") >= 2, plans[name]
+    # q13 keeps zero-order customers via a real outer join
+    assert "LeftOuter" in plans["tpch_q13"], plans["tpch_q13"]
+    # q22 excludes urgent-order customers via a real anti join
+    assert "LeftAnti" in plans["tpch_q22"], plans["tpch_q22"]
+    # q15/q17/q22 1-row stat joins ride broadcast nested loop (1 row)
+    for name in ("tpch_q15", "tpch_q17", "tpch_q22"):
+        p = plans[name]
+        assert (
+            "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+        ), p
