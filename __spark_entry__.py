@@ -1047,6 +1047,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_ingest"] = warc_ingest
 
+    def c4_rules_q(spark, sf_dir):
+        """C4 line-level cleaning (Raffel et al. 2020 §2.2) over a
+        deterministic multi-line page: base text + golden snippet + a
+        short line + a 5-word sentence line, with lorem-ipsum and
+        curly-brace contamination injected on doc_id strata. kept_md5
+        pins the exact per-line keep decisions in the hash, not just
+        counts. Pure codegen HOFs — no shuffle, no Python."""
+        from narowi_ocr_spark.functions.textstats import with_c4_rules
+
+        docs = _docs(spark, sf_dir)
+        extra_lorem = F.when(
+            F.col("doc_id") % 7 == 0, F.lit("\nlorem ipsum boilerplate.")
+        ).otherwise(F.lit(""))
+        extra_brace = F.when(
+            F.col("doc_id") % 11 == 0, F.lit("\nfunction() { code }")
+        ).otherwise(F.lit(""))
+        txt = F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            _snippet_expr(),
+            F.lit("\nshort line\nThis line has five words here."),
+            extra_lorem,
+            extra_brace,
+        )
+        staged = docs.select("doc_id", txt.alias("text"))
+        return with_c4_rules(staged).withColumnRenamed("id", "doc_id")
+
+    q["c4_rules"] = c4_rules_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -4735,6 +4764,50 @@ def oracle_sql() -> dict[str, str]:
                {_pdf_conf} AS confidence,
                n_readings
         FROM t JOIN doc_status ON t.doc_id = doc_status.doc_id
+    """
+
+    # c4_rules: same deterministic multi-line construction, same line
+    # predicate (terminal punct + ≥5 words + no javascript), kept_md5
+    # over the joined kept lines.
+    o["c4_rules"] = f"""
+        WITH src AS (
+          SELECT doc_id,
+                 {_aug_sql()}
+                 || chr(10) || 'short line'
+                 || chr(10) || 'This line has five words here.'
+                 || CASE WHEN CAST(doc_id % 7 AS INT) = 0
+                         THEN chr(10) || 'lorem ipsum boilerplate.'
+                         ELSE '' END
+                 || CASE WHEN CAST(doc_id % 11 AS INT) = 0
+                         THEN chr(10) || 'function() {{ code }}'
+                         ELSE '' END AS text
+          FROM documents),
+        k AS (
+          SELECT doc_id, text,
+                 len(string_split(text, chr(10))) AS n_lines,
+                 list_filter(string_split(text, chr(10)),
+                   ln -> regexp_matches(ln, '[.!?"]$')
+                     AND len(list_filter(
+                           regexp_split_to_array(ln, '\\s+'),
+                           w -> length(w) > 0)) >= 5
+                     AND NOT contains(lower(ln), 'javascript')) AS kept
+          FROM src)
+        SELECT doc_id,
+               CAST(n_lines AS INT) AS n_lines,
+               CAST(len(kept) AS INT) AS n_kept_lines,
+               contains(text, '{{') AS has_brace,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               (contains(lower(text), 'porn')
+                OR contains(lower(text), 'xxx')
+                OR contains(lower(text), 'nsfw')) AS has_badword,
+               (len(kept) >= 3
+                AND NOT contains(text, '{{')
+                AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT (contains(lower(text), 'porn')
+                         OR contains(lower(text), 'xxx')
+                         OR contains(lower(text), 'nsfw'))) AS c4_keep,
+               md5(array_to_string(kept, chr(10))) AS kept_md5
+        FROM k
     """
 
     # warc_ingest: parse fidelity — the WARC round trip must hand back

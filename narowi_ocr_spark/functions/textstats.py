@@ -591,6 +591,80 @@ def with_gopher_rules(
     )
 
 
+# ------------------------------------------------------- C4 rules
+
+# Raffel et al. 2020 ("Exploring the Limits of Transfer Learning...",
+# §2.2) — the line-level cleaning recipe behind C4. Thresholds verbatim
+# from the paper; the dirty-word list is a tiny documented stand-in for
+# the "List of Dirty, Naughty, Obscene..." blocklist (swap in the full
+# list in production — the dataflow is list-size-independent since the
+# match folds into one regexp alternation).
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_KEPT_LINES = 3  # the paper's "fewer than 3 sentences" gate,
+# applied to kept lines (each kept line ends in terminal punctuation —
+# the closest line-level stand-in for a sentence)
+C4_BAD_WORDS = ["porn", "xxx", "nsfw"]
+_C4_TERMINAL_RE = '[.!?"]$'
+
+
+def with_c4_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style line-level cleaning as explicit per-rule columns:
+
+      (id, n_lines, n_kept_lines, has_brace, has_lorem, has_badword,
+       c4_keep, kept_md5)
+
+    A line is KEPT iff it ends in terminal punctuation, has ≥ 5
+    whitespace words, and does not mention javascript (the paper's
+    line rules); the page is kept iff it has ≥ 3 kept lines and no
+    curly brace / "lorem ipsum" / blocklist hit (the page rules).
+    ``kept_md5`` is the digest of the cleaned text (kept lines joined
+    by newline) — it pins the exact per-line decisions in the oracle
+    hash, not just the counts.
+
+    All pure-codegen higher-order expressions over one line split; no
+    shuffle, no Python."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def line_words(ln: Column) -> Column:
+        return F.size(
+            F.filter(F.split(ln, r"\s+"), lambda w: F.length(w) > 0)
+        )
+
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(_C4_TERMINAL_RE)
+        & (line_words(ln) >= C4_MIN_WORDS_PER_LINE)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    low = F.lower(t)
+    has_bad = None
+    for w in C4_BAD_WORDS:
+        cond = low.contains(w)
+        has_bad = cond if has_bad is None else (has_bad | cond)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        t.contains("{").alias("has_brace"),
+        low.contains("lorem ipsum").alias("has_lorem"),
+        has_bad.alias("has_badword"),
+        F.md5(F.array_join(kept, "\n")).alias("kept_md5"),
+    )
+    return staged.withColumn(
+        "c4_keep",
+        (F.col("n_kept_lines") >= C4_MIN_KEPT_LINES)
+        & ~F.col("has_brace")
+        & ~F.col("has_lorem")
+        & ~F.col("has_badword"),
+    ).select(
+        "id", "n_lines", "n_kept_lines", "has_brace", "has_lorem",
+        "has_badword", "c4_keep", "kept_md5",
+    )
+
+
 # ------------------------------------------------- compression ratio
 
 COMP_SCALE = 1_000_000

@@ -105,3 +105,44 @@ def test_rfm_quintiles_bounded_and_deterministic(spark):
     for seg in a.values():
         assert len(seg) == 3
         assert all(ch in "12345" for ch in seg)
+
+
+def test_c4_rules_line_and_page_gates(spark):
+    """Hand-built pages against the C4 recipe: line keeps (terminal
+    punct + >=5 words + no javascript), page gates (>=3 kept lines, no
+    brace/lorem/blocklist), and kept_md5 = digest of kept lines only."""
+    import hashlib
+
+    from narowi_ocr_spark.functions.textstats import with_c4_rules
+
+    good = (
+        "This is a proper sentence one.\n"
+        "Here is another proper sentence two!\n"
+        "And a third full sentence ends here?\n"
+        "short one.\n"
+        "no terminal punctuation on this line\n"
+        "This line mentions JavaScript heavily today."
+    )
+    braced = good + "\nfunction() { return 1; }."
+    lorem = good + "\nLorem ipsum dolor sit amet there."
+    thin = "Only one proper sentence lives here.\nmeh\nnope"
+    rows = [(1, good), (2, braced), (3, lorem), (4, thin), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in with_c4_rules(df).collect()}
+
+    kept_good = [
+        "This is a proper sentence one.",
+        "Here is another proper sentence two!",
+        "And a third full sentence ends here?",
+    ]
+    assert out[1]["n_kept_lines"] == 3 and out[1]["c4_keep"] is True
+    assert out[1]["kept_md5"] == hashlib.md5(
+        "\n".join(kept_good).encode()
+    ).hexdigest()
+    # brace/lorem pages lose the page gate even with enough kept lines
+    assert out[2]["has_brace"] is True and out[2]["c4_keep"] is False
+    assert out[3]["has_lorem"] is True and out[3]["c4_keep"] is False
+    # fewer than 3 kept lines → dropped
+    assert out[4]["n_kept_lines"] == 1 and out[4]["c4_keep"] is False
+    # empty page: one empty line, nothing kept
+    assert out[5]["n_kept_lines"] == 0 and out[5]["c4_keep"] is False
