@@ -466,3 +466,35 @@ def test_tpch_r3_batch_plan_shapes(spark):
         assert (
             "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
         ), p
+
+
+def test_tpch_completion_batch_plan_shapes(spark):
+    """q2/q11/q12/q20/q21 — the queries that complete the 22: dims
+    broadcast, the q21 EXISTS/NOT-EXISTS pair is real semi/anti HASH
+    joins on l_orderkey (the suppkey inequality is a residual filter,
+    never a nested-loop driver), q20's supplier keep is a semi join,
+    and nothing degenerates into a cartesian product."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+
+    plans = {
+        name: _physical_plan(qs[name](spark, sf))
+        for name in ("tpch_q2", "tpch_q11", "tpch_q12", "tpch_q20",
+                     "tpch_q21")
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+    # q2: part + regional-supplier dims broadcast into lineitem
+    assert plans["tpch_q2"].count("BroadcastHashJoin") >= 2, \
+        plans["tpch_q2"]
+    # q20 keeps matching suppliers via a real semi join
+    assert "LeftSemi" in plans["tpch_q20"], plans["tpch_q20"]
+    # q21: one semi (exists) + one anti (not exists), both HASH joins —
+    # a BroadcastNestedLoopJoin here would mean the inequality leaked
+    # into the join key and the plan is O(n·m)
+    p21 = plans["tpch_q21"]
+    assert "LeftSemi" in p21, p21
+    assert "LeftAnti" in p21, p21
+    assert "BroadcastNestedLoopJoin" not in p21, p21
