@@ -1076,6 +1076,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c4_rules"] = c4_rules_q
 
+    def line_boilerplate_q(spark, sf_dir):
+        """CCNet/OSCAR line-frequency boilerplate removal over a
+        deterministic multi-line page: base text + a cookie banner on
+        even ids + a footer on id%5 strata (UPPERCASED with padding on
+        id%10 — same normalized hash, exercising the case/trim fold) +
+        a blank line on id%3 + a two-doc "pair marker" line that sits
+        just UNDER the min_docs=3 threshold. The banner/footer lines
+        must vanish from every doc (including the first occurrence);
+        pair markers and unique base lines survive; kept text preserves
+        original casing and order."""
+        from narowi_ocr_spark.operators.corpus import line_boilerplate
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        txt = F.concat(
+            F.col("text"),
+            F.when(
+                did % 2 == 0,
+                F.lit("\nAccept all cookies to continue."),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 10 == 0,
+                F.lit("\n  © EXAMPLE SITE — ALL RIGHTS RESERVED.  "),
+            )
+            .when(
+                did % 5 == 0,
+                F.lit("\n© example site — all rights reserved."),
+            )
+            .otherwise(F.lit("")),
+            F.when(did % 3 == 0, F.lit("\n   ")).otherwise(F.lit("")),
+            F.concat(
+                F.lit("\npair marker "),
+                F.expr("CAST(doc_id DIV 2 AS BIGINT)").cast("string"),
+            ),
+        )
+        staged = docs.select("doc_id", txt.alias("text"))
+        return line_boilerplate(staged, min_docs=3).withColumnRenamed(
+            "id", "doc_id"
+        )
+
+    q["line_boilerplate"] = line_boilerplate_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -5044,6 +5086,50 @@ def oracle_sql() -> dict[str, str]:
                          OR contains(lower(text), 'nsfw'))) AS c4_keep,
                md5(array_to_string(kept, chr(10))) AS kept_md5
         FROM k
+    """
+
+    o["line_boilerplate"] = """
+        WITH src AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 2 = 0
+                         THEN chr(10) || 'Accept all cookies to continue.'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 10 = 0
+                         THEN chr(10)
+                              || '  © EXAMPLE SITE — ALL RIGHTS RESERVED.  '
+                         WHEN doc_id % 5 = 0
+                         THEN chr(10)
+                              || '© example site — all rights reserved.'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '   '
+                         ELSE '' END
+                 || chr(10) || 'pair marker '
+                 || CAST(doc_id // 2 AS VARCHAR) AS text
+          FROM documents),
+        ex AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS ln,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS idx
+          FROM src),
+        nb AS (
+          SELECT doc_id, idx, ln, md5(lower(trim(ln))) AS h
+          FROM ex WHERE trim(ln) <> ''),
+        boiler AS (
+          SELECT h FROM nb GROUP BY h
+          HAVING count(DISTINCT doc_id) >= 3),
+        kept AS (
+          SELECT doc_id, idx, ln FROM nb
+          WHERE h NOT IN (SELECT h FROM boiler)),
+        agg AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(ln, chr(10) ORDER BY idx) AS text_clean
+          FROM kept GROUP BY doc_id)
+        SELECT s.doc_id,
+               CAST(len(string_split(s.text, chr(10))) AS INT) AS n_lines,
+               CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+               coalesce(a.text_clean, '') AS text_clean
+        FROM src s LEFT JOIN agg a ON s.doc_id = a.doc_id
     """
 
     # warc_ingest: parse fidelity — the WARC round trip must hand back

@@ -1137,3 +1137,79 @@ def token_budget_sample(
         )
         .drop("_budget")
     )
+
+
+def line_boilerplate(
+    df: DataFrame,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency line boilerplate removal — the CCNet/OSCAR
+    "drop lines shared by many pages" rule (Wenzek et al. 2019 §3.1;
+    the RefinedWeb/Dolma pipelines apply the same idea per-shard):
+    a line whose case-folded, space-trimmed form appears in at least
+    ``min_docs`` DISTINCT documents is boilerplate (nav bars, cookie
+    banners, footers — template text survives extraction on every page
+    of a host) and is removed from every document, including the first.
+    Blank lines are dropped unconditionally (whitespace normalization,
+    as in passage_dedup).
+
+    Returns (id, n_lines, n_kept, text_clean): original line text and
+    order preserved for kept lines, joined by newline; clean text ==
+    '' when everything was boilerplate. The doc-frequency threshold is
+    an exact distinct count, so the decision is deterministic and
+    partition-independent.
+
+    Scale shape (the same only-digests-move discipline as
+    passage_dedup): the line split is staged ONCE per doc; only
+    (id, idx, md5) triples cross the exchanges — the doc-frequency
+    count is a two-phase partial aggregation over (h, id), the
+    boilerplate set joins back by hash (at web scale it is the small
+    side — template lines are few but heavy — and AQE will broadcast
+    it), and reassembly sends only (id, keep-idx list) back to the
+    staged corpus on an id-keyed join. Raw text never shuffles.
+
+    Reference analogue: the reference's per-image noise mask
+    (image_processor.py:96-117) removes globally-recurring speckle
+    before recognition; this is the corpus-level twin where
+    "recurring" is measured across documents instead of pixels.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        lines.alias("lns"),
+        F.size(lines).cast("int").alias("n_lines"),
+    )
+    exploded = staged.select(
+        "id", F.posexplode("lns").alias("idx", "ln")
+    ).where(F.trim(F.col("ln")) != "")
+    hashed = exploded.select(
+        "id", "idx", F.md5(F.lower(F.trim(F.col("ln")))).alias("h")
+    )
+    boiler = (
+        hashed.groupBy("h")
+        .agg(F.count_distinct("id").alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("h")
+    )
+    kept = (
+        hashed.join(boiler, "h", "left_anti")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("idx")).alias("keep_idx"))
+    )
+    return staged.join(kept, "id", "left").select(
+        "id",
+        "n_lines",
+        F.coalesce(F.size("keep_idx"), F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.col("keep_idx"),
+                    lambda i: F.element_at(F.col("lns"), i + F.lit(1)),
+                ),
+                "\n",
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
+    )

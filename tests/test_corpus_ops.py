@@ -569,3 +569,44 @@ def test_dup_span_stats_disjoint_spans_stay_split(spark):
     # 3 + 3 = 6 dup tokens of 10
     for d in (4, 5):
         assert (out[d]["n_spans"], out[d]["dup_tokens"], out[d]["n_tokens"]) == (2, 6, 10)
+
+
+def test_line_boilerplate_frequency_threshold(spark):
+    # "banner" appears in 3 docs (>= min_docs=3, removed EVERYWHERE,
+    # case/whitespace-folded), "pair" in 2 docs (kept), unique lines
+    # kept in original order and casing; blank lines always dropped.
+    from narowi_ocr_spark.operators.corpus import line_boilerplate
+
+    rows = [
+        Row(doc_id=0, text="Unique Zero\nBanner Line\npair"),
+        Row(doc_id=1, text="  banner line  \nunique one\n   "),
+        Row(doc_id=2, text="BANNER LINE\npair\nunique two"),
+        Row(doc_id=3, text=""),
+    ]
+    got = {
+        r["id"]: r
+        for r in line_boilerplate(
+            spark.createDataFrame(rows), min_docs=3
+        ).collect()
+    }
+    assert got[0]["n_lines"] == 3
+    assert got[0]["text_clean"] == "Unique Zero\npair"
+    # doc 1: banner folded via trim+lower, blank line dropped
+    assert got[1]["n_kept"] == 1
+    assert got[1]["text_clean"] == "unique one"
+    assert got[2]["text_clean"] == "pair\nunique two"
+    # empty doc: one blank "line" from the split, nothing kept
+    assert got[3]["n_kept"] == 0 and got[3]["text_clean"] == ""
+
+
+def test_line_boilerplate_first_occurrence_also_removed(spark):
+    # unlike passage_dedup (first occurrence survives), a boilerplate
+    # line is removed from ALL documents including the first
+    from narowi_ocr_spark.operators.corpus import line_boilerplate
+
+    rows = [
+        Row(doc_id=i, text=f"footer text\nbody {i}") for i in range(4)
+    ]
+    out = line_boilerplate(spark.createDataFrame(rows), min_docs=3)
+    for r in out.collect():
+        assert r["text_clean"] == f"body {r['id']}"
