@@ -1118,6 +1118,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_boilerplate"] = line_boilerplate_q
 
+    def anchor_texts_q(spark, sf_dir):
+        """Per-target anchor-text aggregation over a deterministic
+        synthetic link layer: every page carries root-relative nav
+        links (resolve against the page's own host origin), a
+        cross-host content link whose anchor body alternates between
+        'Great <b>Article</b> ' and 'great article' (both must fold to
+        the same anchor after tag-strip/trim/lower), a host-local
+        section link, and a mailto link that must be DROPPED by the
+        absolute/root-relative resolution subset."""
+        from narowi_ocr_spark.operators.urls import anchor_texts
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        url = F.concat(
+            F.lit("https://host"), s(did % 20), F.lit(".example/d/"), s(did)
+        )
+        anchor_var = F.when(
+            did % 2 == 0, F.lit("Great <b>Article</b> ")
+        ).otherwise(F.lit("great article"))
+        html = F.concat(
+            F.lit('<nav><a href="/h">home</a> <a href="/a">About</a>'
+                  "</nav><p>"),
+            F.lit('<a href="https://host'),
+            s((did * 3) % 20),
+            F.lit(".example/page"),
+            s(did % 5),
+            F.lit('">'),
+            anchor_var,
+            F.lit("</a>"),
+            F.lit(' <a href="/local'),
+            s(did % 7),
+            F.lit('">Local section</a>'),
+            F.lit('<a href="mailto:x@y.example">mail</a></p>'),
+        )
+        pages = docs.select(url.alias("url"), html.alias("html"))
+        return anchor_texts(pages)
+
+    q["anchor_texts"] = anchor_texts_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -5130,6 +5170,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
                coalesce(a.text_clean, '') AS text_clean
         FROM src s LEFT JOIN agg a ON s.doc_id = a.doc_id
+    """
+
+    o["anchor_texts"] = r"""
+        WITH src AS (
+          SELECT 'https://host' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+                 '<nav><a href="/h">home</a> <a href="/a">About</a>'
+                 || '</nav><p>'
+                 || '<a href="https://host'
+                 || CAST((doc_id * 3) % 20 AS VARCHAR)
+                 || '.example/page' || CAST(doc_id % 5 AS VARCHAR) || '">'
+                 || CASE WHEN doc_id % 2 = 0 THEN 'Great <b>Article</b> '
+                         ELSE 'great article' END
+                 || '</a>'
+                 || ' <a href="/local' || CAST(doc_id % 7 AS VARCHAR)
+                 || '">Local section</a>'
+                 || '<a href="mailto:x@y.example">mail</a></p>' AS html
+          FROM documents),
+        pairs AS (
+          SELECT url AS srcp,
+                 unnest(regexp_extract_all(html,
+                   '(?i)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1))
+                   AS href,
+                 unnest(regexp_extract_all(html,
+                   '(?i)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 2))
+                   AS body
+          FROM src),
+        resolved AS (
+          SELECT srcp,
+                 CASE WHEN href LIKE 'http%' THEN href
+                      WHEN href LIKE '/%' THEN
+                        regexp_extract(srcp, '^(https?://[^/]+)', 1)
+                        || href
+                 END AS target,
+                 lower(trim(regexp_replace(body, '<[^>]*>', '', 'g')))
+                   AS anchor
+          FROM pairs),
+        r AS (SELECT * FROM resolved
+              WHERE target IS NOT NULL AND target <> ''),
+        per_target AS (
+          SELECT target, CAST(count(*) AS BIGINT) AS n_refs,
+                 CAST(count(DISTINCT srcp) AS BIGINT) AS n_src_pages
+          FROM r GROUP BY target),
+        per_anchor AS (
+          SELECT target, anchor, CAST(count(*) AS BIGINT) AS cnt
+          FROM r GROUP BY target, anchor),
+        mx AS (SELECT target, max(cnt) AS mxc FROM per_anchor
+               GROUP BY target),
+        top AS (
+          SELECT pa.target, max(pa.anchor) AS top_anchor,
+                 CAST(max(pa.cnt) AS BIGINT) AS top_anchor_refs
+          FROM per_anchor pa JOIN mx ON pa.target = mx.target
+          WHERE pa.cnt = mx.mxc
+          GROUP BY pa.target)
+        SELECT pt.target, pt.n_refs, pt.n_src_pages,
+               t.top_anchor, t.top_anchor_refs
+        FROM per_target pt JOIN top t ON pt.target = t.target
     """
 
     # warc_ingest: parse fidelity — the WARC round trip must hand back

@@ -249,3 +249,85 @@ def url_filter(
     for pat in blocked_url_res or []:
         kept = kept.where(~F.col(url_col).rlike(pat))
     return kept
+
+
+# ------------------------------------------------- anchor-text aggregation
+
+# href + anchor body of an <a> element. Lazy body, no newline crossing —
+# identical semantics under java.util.regex (Spark) and RE2 (DuckDB):
+# both treat '.' as not-newline and support (?i) and lazy quantifiers.
+ANCHOR_RE = r'(?i)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def anchor_texts(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic web-graph
+    signal (how OTHER pages describe a page; search engines rank with
+    it, curation pipelines use it as an off-page quality/topic label).
+
+    Extracts every ``<a href>`` from the raw html, resolves absolute
+    and root-relative targets against the source page's origin (other
+    relative forms are dropped — documented subset), folds the anchor
+    body (inner tags stripped, whitespace-trimmed, case-folded), and
+    aggregates per target:
+
+      (target, n_refs, n_src_pages, top_anchor, top_anchor_refs)
+
+    where top_anchor is the most frequent folded anchor text, ties
+    broken by lexicographically-largest text — fully deterministic,
+    no arg_max nondeterminism.
+
+    Scale shape: link extraction is a pure-codegen
+    ``regexp_extract_all`` projection (no Python, no pre-shuffle); the
+    exploded (target, src, anchor) stream partial-aggregates before
+    both target-keyed shuffles, and anchors are typically tiny strings
+    — the raw html never leaves its scan stage. Self-links are kept
+    (they are real references); pages with no links simply emit
+    nothing. Reference analogue: blocks.py's link-density signal uses
+    the SAME <a> census per page; this is its graph-transposed twin.
+    """
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 1)
+    bodies = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 2)
+    origin = F.regexp_extract(F.col(url_col), r"^(https?://[^/]+)", 1)
+    pairs = (
+        df.select(
+            F.col(url_col).alias("src"),
+            origin.alias("_origin"),
+            F.explode(F.arrays_zip(hrefs.alias("href"),
+                                   bodies.alias("body"))).alias("z"),
+        )
+        .select(
+            "src",
+            F.when(
+                F.col("z.href").startswith("http"), F.col("z.href")
+            )
+            .when(
+                F.col("z.href").startswith("/"),
+                F.concat(F.col("_origin"), F.col("z.href")),
+            )
+            .alias("target"),
+            F.lower(
+                F.trim(F.regexp_replace(F.col("z.body"), "<[^>]*>", ""))
+            ).alias("anchor"),
+        )
+        .where(F.col("target").isNotNull() & (F.col("target") != ""))
+    )
+    per_target = pairs.groupBy("target").agg(
+        F.count("*").cast("long").alias("n_refs"),
+        F.count_distinct("src").cast("long").alias("n_src_pages"),
+    )
+    per_anchor = pairs.groupBy("target", "anchor").agg(
+        F.count("*").cast("long").alias("_cnt")
+    )
+    maxcnt = per_anchor.groupBy("target").agg(F.max("_cnt").alias("_mx"))
+    top = (
+        per_anchor.join(maxcnt, "target")
+        .where(F.col("_cnt") == F.col("_mx"))
+        .groupBy("target")
+        .agg(
+            F.max("anchor").alias("top_anchor"),
+            F.max("_mx").cast("long").alias("top_anchor_refs"),
+        )
+    )
+    return per_target.join(top, "target")

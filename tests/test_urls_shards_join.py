@@ -299,3 +299,57 @@ def test_shard_manifest_checksum_bounded_and_stable(spark):
     assert {k: v["content_checksum"] for k, v in m1.items()} == {
         k: v["content_checksum"] for k, v in m2.items()
     }
+
+
+def test_anchor_texts_resolution_and_fold(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import anchor_texts
+
+    rows = [
+        Row(
+            url="https://a.example/p1",
+            html='<a href="https://t.example/x">Great <b>Site</b> </a>'
+            '<a href="/rel">RelLink</a>'
+            '<a href="mailto:x@y">mail</a>',
+        ),
+        Row(
+            url="https://b.example/p2",
+            html='<a href="https://t.example/x">great site</a>'
+            '<a href="https://t.example/x">other words</a>',
+        ),
+        Row(url="https://c.example/p3", html="<p>no links at all</p>"),
+    ]
+    got = {
+        r["target"]: r
+        for r in anchor_texts(spark.createDataFrame(rows)).collect()
+    }
+    # cross-page target: 3 refs from 2 pages; tag-strip + trim + lower
+    # folds 'Great <b>Site</b> ' and 'great site' into one anchor that
+    # outvotes 'other words'
+    t = got["https://t.example/x"]
+    assert t["n_refs"] == 3 and t["n_src_pages"] == 2
+    assert t["top_anchor"] == "great site"
+    assert t["top_anchor_refs"] == 2
+    # root-relative resolves against the SOURCE page's origin
+    r = got["https://a.example/rel"]
+    assert r["n_refs"] == 1 and r["top_anchor"] == "rellink"
+    # mailto dropped; no-link page emits nothing
+    assert all(not k.startswith("mailto") for k in got)
+    assert len(got) == 2
+
+
+def test_anchor_texts_tie_breaks_lexicographically(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import anchor_texts
+
+    rows = [
+        Row(url="https://a.example/1",
+            html='<a href="https://t.example/">alpha</a>'),
+        Row(url="https://a.example/2",
+            html='<a href="https://t.example/">beta</a>'),
+    ]
+    (r,) = anchor_texts(spark.createDataFrame(rows)).collect()
+    # 1-1 tie: lexicographically-largest anchor wins, deterministically
+    assert r["top_anchor"] == "beta" and r["top_anchor_refs"] == 1
