@@ -4156,6 +4156,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dup_spans"] = dup_spans
 
+    def dup_span_removal_q(spark, sf_dir):
+        """Lee-et-al span REMOVAL twin of dup_spans: delete every
+        duplicated 8-token window occurrence except the packed-key
+        first, merge into maximal spans, and reassemble the surviving
+        tokens — the corpus edit whose mass dup_spans predicts."""
+        from narowi_ocr_spark.operators.corpus import dup_span_removal
+
+        return dup_span_removal(
+            _docs(spark, sf_dir).select("doc_id", "text"), k=8
+        )
+
+    q["dup_span_removal"] = dup_span_removal_q
+
     def events_retention(spark, sf_dir):
         """Weekly cohort retention matrix — the canonical growth-
         analytics rollup. cohort_week = a user's first active week;
@@ -8150,6 +8163,67 @@ def oracle_sql() -> dict[str, str]:
                CAST((1000000 * dup_tokens) // n_tokens AS DOUBLE)
                  / 1000000.0 AS dup_frac
         FROM agg
+    """
+
+    # dup_span_removal: same window/island machinery as dup_spans, plus
+    # keep-first (min packed doc_id*2^24+pos per digest) and token-level
+    # reassembly of the survivors.
+    o["dup_span_removal"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN length({trimmed}) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array({trimmed}, '\\s+') END AS ws
+          FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(range(1, len(ws) - 8 + 2)) AS i, ws
+          FROM d WHERE len(ws) >= 8),
+        win AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 md5(array_to_string(
+                   list_transform(ws[i:i+7], x -> lower(x)), ' ')) AS fp,
+                 doc_id * 16777216 + (i - 1) AS pk
+          FROM pos),
+        firsts AS (
+          SELECT fp, min(pk) AS first_pk FROM win
+          GROUP BY fp HAVING count(*) >= 2),
+        rem AS (
+          SELECT doc_id, pos FROM win JOIN firsts USING (fp)
+          WHERE pk <> first_pk),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN max(pos + 7) OVER pw IS NULL
+                        OR pos > max(pos + 7) OVER pw + 1
+                      THEN 1 ELSE 0 END AS new_span
+          FROM rem
+          WINDOW pw AS (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        sid AS (
+          SELECT doc_id, pos,
+                 sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS span_id
+          FROM isl),
+        spans AS (
+          SELECT doc_id, span_id, min(pos) AS s, max(pos) + 7 AS e
+          FROM sid GROUP BY 1, 2),
+        rpos AS (SELECT doc_id, unnest(range(s, e + 1)) AS rp FROM spans),
+        tok AS (
+          SELECT doc_id, unnest(ws) AS w,
+                 generate_subscripts(ws, 1) - 1 AS j
+          FROM d),
+        kept AS (
+          SELECT t.doc_id, t.w, t.j
+          FROM tok t LEFT JOIN rpos r
+            ON t.doc_id = r.doc_id AND t.j = r.rp
+          WHERE r.rp IS NULL),
+        txt AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+                 string_agg(w, ' ' ORDER BY j) AS text_dedup
+          FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(len(d.ws) AS INT) AS n_tokens,
+               CAST(len(d.ws) - coalesce(t.n_kept, 0) AS INT) AS n_removed,
+               coalesce(t.text_dedup, '') AS text_dedup
+        FROM d LEFT JOIN txt t ON d.doc_id = t.doc_id
     """
 
     # events_retention: weeks are Monday-truncated in both engines, so

@@ -1213,3 +1213,115 @@ def line_boilerplate(
             F.lit(""),
         ).alias("text_clean"),
     )
+
+
+def dup_span_removal(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated-substring REMOVAL — the edit pass that
+    ``dup_span_stats`` only measures (Lee et al., ACL 2022: delete
+    every duplicated span but keep ONE canonical occurrence so the
+    corpus still contains the content once). A k-token window is
+    duplicated if its case-folded digest occurs >= 2 times corpus-wide;
+    every occurrence EXCEPT the packed-key-minimal first (same
+    (id≪24)∣pos order as passage_dedup) is removable; removable
+    windows merge into maximal spans (gaps-and-islands) and their
+    token positions are deleted. Window-level granularity means a few
+    boundary tokens beyond the true byte-level suffix-array span can
+    be removed — the documented approximation, conservative in the
+    safe direction (never keeps a duplicate).
+
+    Returns one row per document: (doc_id, n_tokens, n_removed,
+    text_dedup), original casing and token order preserved; whitespace
+    runs normalize to single spaces (inherent to word-level
+    reassembly, as in passage_dedup).
+
+    Scale shape: identical to dup_span_stats — only (doc_id, pos,
+    digest, packed-key) rows shuffle, never text; first-occurrence is
+    a partial-aggregated min over the packed bigint; the islands merge
+    is one sort per doc_id partition; reassembly sends only (doc_id,
+    span list) back onto the staged corpus, and the kept-position set
+    is computed as an O(n+removed) ``array_except`` (hash-based), not
+    a per-token span scan.
+    """
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        words(F.col(text_col)).alias("ws"),
+    )
+    nw = F.size("ws")
+    lw = F.transform(F.col("ws"), F.lower)
+    grams = F.when(
+        nw >= k,
+        F.transform(
+            F.sequence(F.lit(1), nw - F.lit(k - 1)),
+            lambda i: F.md5(F.array_join(F.slice(lw, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    win = staged.select(
+        "doc_id", F.posexplode(grams).alias("pos", "fp")
+    ).select(
+        "doc_id",
+        "pos",
+        "fp",
+        (
+            F.shiftleft(F.col("doc_id").cast("long"), PASSAGE_IDX_BITS)
+            + F.col("pos")
+        ).alias("pk"),
+    )
+    firsts = (
+        win.groupBy("fp")
+        .agg(F.count("*").alias("_occ"), F.min("pk").alias("first_pk"))
+        .where(F.col("_occ") >= 2)
+        .select("fp", "first_pk")
+    )
+    removable = (
+        win.join(firsts, "fp")
+        .where(F.col("pk") != F.col("first_pk"))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        removable.withColumn(
+            "new_span",
+            F.when(
+                prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w))
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(k - 1)).alias("e"),
+        )
+    )
+    span_lists = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_spans")
+    )
+    removed = F.coalesce(
+        F.flatten(
+            F.transform(
+                F.col("_spans"), lambda sp: F.sequence(sp["s"], sp["e"])
+            )
+        ),
+        F.array().cast("array<int>"),
+    )
+    kept = F.when(nw == 0, F.array().cast("array<int>")).otherwise(
+        F.array_except(F.sequence(F.lit(0), nw - 1), removed)
+    )
+    return staged.join(span_lists, "doc_id", "left").select(
+        "doc_id",
+        nw.cast("int").alias("n_tokens"),
+        F.size(removed).cast("int").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                kept, lambda j: F.element_at(F.col("ws"), j + F.lit(1))
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )

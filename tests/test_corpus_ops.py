@@ -610,3 +610,53 @@ def test_line_boilerplate_first_occurrence_also_removed(spark):
     out = line_boilerplate(spark.createDataFrame(rows), min_docs=3)
     for r in out.collect():
         assert r["text_clean"] == f"body {r['id']}"
+
+
+def test_dup_span_removal_keeps_first_occurrence(spark):
+    from narowi_ocr_spark.operators.corpus import dup_span_removal
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-token window
+    rows = [
+        Row(doc_id=0, text=f"{shared} tail zero"),
+        Row(doc_id=1, text=f"head one {shared}"),
+        Row(doc_id=2, text="totally unique words only here now"),
+        Row(doc_id=3, text=f"{shared} mid {shared}"),  # self-repetition
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in dup_span_removal(
+            spark.createDataFrame(rows), k=8
+        ).collect()
+    }
+    # doc 0 owns the packed-key-first occurrence -> untouched
+    assert got[0]["n_removed"] == 0
+    assert got[0]["text_dedup"] == f"{shared} tail zero"
+    # doc 1's occurrence is removed, the rest survives
+    assert got[1]["n_removed"] == 8
+    assert got[1]["text_dedup"] == "head one"
+    # no duplicated window -> identity (modulo whitespace normalization)
+    assert got[2]["n_removed"] == 0
+    # doc 3: both shared copies are removed (spans [0,7] and [9,16]);
+    # the bridging token survives — its own windows mix in 'mid' and
+    # are corpus-unique
+    assert got[3]["n_removed"] == 16
+    assert got[3]["text_dedup"] == "mid"
+
+
+def test_dup_span_removal_case_folded_matching(spark):
+    from narowi_ocr_spark.operators.corpus import dup_span_removal
+
+    lo = "a b c d e f g h"
+    rows = [
+        Row(doc_id=0, text=lo),
+        Row(doc_id=1, text=lo.upper()),  # same folded window
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in dup_span_removal(
+            spark.createDataFrame(rows), k=8
+        ).collect()
+    }
+    # doc 0 keeps its casing; doc 1 is the removed duplicate
+    assert got[0]["text_dedup"] == lo
+    assert got[1]["text_dedup"] == "" and got[1]["n_removed"] == 8
