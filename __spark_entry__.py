@@ -4169,6 +4169,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dup_span_removal"] = dup_span_removal_q
 
+    def quality_classifier_q(spark, sf_dir):
+        """Hashing-trick linear classifier (fastText/FineWeb-Edu shape)
+        with the deterministic stub weight vector: 256 md5-hex buckets,
+        non-negative integer milli-weights folded into the plan as a
+        literal array — zero shuffles, zero Python."""
+        from narowi_ocr_spark.functions.textstats import (
+            linear_quality_classifier,
+        )
+
+        return linear_quality_classifier(
+            _docs(spark, sf_dir).select("doc_id", "text")
+        )
+
+    q["quality_classifier"] = quality_classifier_q
+
     def events_retention(spark, sf_dir):
         """Weekly cohort retention matrix — the canonical growth-
         analytics rollup. cohort_week = a user's first active week;
@@ -8224,6 +8239,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(d.ws) - coalesce(t.n_kept, 0) AS INT) AS n_removed,
                coalesce(t.text_dedup, '') AS text_dedup
         FROM d LEFT JOIN txt t ON d.doc_id = t.doc_id
+    """
+
+    # quality_classifier: bucket = first two md5 hex digits (strpos
+    # replaces conv, as in shard_assign); stub weight (b·2654435761)
+    # mod 1000 — non-negative, so // and div agree.
+    o["quality_classifier"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN length({trimmed}) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(lower({trimmed}), '\\s+')
+                 END AS ws
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(ws) AS w FROM d),
+        b AS (
+          SELECT doc_id,
+                 (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1
+                   AS bkt
+          FROM tok),
+        sc AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+                 CAST(sum((bkt * 2654435761) % 1000) AS BIGINT)
+                   AS score_milli
+          FROM b GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(sc.n_tokens, 0) AS n_tokens,
+               coalesce(sc.score_milli, 0) AS score_milli,
+               CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 0
+                    ELSE sc.score_milli // sc.n_tokens END AS mean_milli,
+               (CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 0
+                     ELSE sc.score_milli // sc.n_tokens END) >= 500 AS keep
+        FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
     """
 
     # events_retention: weeks are Monday-truncated in both engines, so

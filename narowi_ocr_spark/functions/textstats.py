@@ -722,3 +722,98 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("_c")
     )
+
+
+# --------------------------------------------- hashed linear classifier
+
+_HEX_ALPHABET = "0123456789abcdef"
+
+# Knuth multiplicative constant — the deterministic STUB weight
+# generator (see linear_quality_classifier docstring).
+_STUB_WEIGHT_MULT = 2654435761
+
+
+def stub_classifier_weights(n_buckets: int = 256) -> list:
+    """Deterministic stand-in for trained classifier weights: bucket b
+    weighs (b·2654435761) mod 1000 milli-units, all non-negative. A
+    real deployment loads the trained vector instead; everything else
+    in the classifier path is production-shaped."""
+    return [(b * _STUB_WEIGHT_MULT) % 1000 for b in range(n_buckets)]
+
+
+def linear_quality_classifier(
+    df: DataFrame,
+    weights: list | None = None,
+    threshold_milli: int = 500,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick linear text classifier — the model-based quality
+    filter shape (fastText-style bag-of-hashed-words; the
+    FineWeb-Edu/DCLM pipelines run exactly this dataflow with trained
+    weights): each case-folded token hashes into one of
+    ``len(weights)`` buckets (16 or 256 — first one/two hex digits of
+    md5, the repo's portable engine-neutral hash), the document score
+    is the SUM of its tokens' bucket weights (integer milli-units,
+    all non-negative by construction so floor- and truncate-division
+    agree across engines), and ``keep`` is mean-weight >=
+    ``threshold_milli``.
+
+    Returns (doc_id, n_tokens, score_milli, mean_milli, keep);
+    zero-token documents score 0/0/False deterministically.
+
+    Scale shape: the weight vector FOLDS INTO THE PLAN as a literal
+    array — scoring is one pure-codegen ``aggregate`` over the staged
+    token array, zero shuffles, zero joins, zero Python; a corpus scan
+    at 100 TB scores in the same stage that reads it. For a
+    multi-million-bucket production model the literal-array form gives
+    way to an explode + broadcast-join against the weight table (same
+    partial-aggregated single shuffle as doc_keywords); the hash and
+    arithmetic stay identical.
+    """
+    if weights is None:
+        weights = stub_classifier_weights()
+    if len(weights) == 16:
+        n_hex = 1
+    elif len(weights) == 256:
+        n_hex = 2
+    else:
+        raise ValueError("weights must have 16 or 256 entries")
+    if any(w < 0 for w in weights):
+        raise ValueError("weights must be non-negative (integer-div "
+                         "portability)")
+
+    hex_arr = F.array(*[F.lit(c) for c in _HEX_ALPHABET])
+    w_arr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+
+    def bucket(tok: Column) -> Column:
+        h = F.md5(tok)
+        b = F.array_position(hex_arr, F.substring(h, 1, 1)) - 1
+        if n_hex == 2:
+            b = b * 16 + F.array_position(hex_arr, F.substring(h, 2, 1)) - 1
+        return b
+
+    toks = words(F.lower(F.col(text_col)))
+    staged = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    n = F.size("_t")
+    score = F.aggregate(
+        F.col("_t"),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.element_at(w_arr, (bucket(t) + 1).cast("int")),
+    )
+    return staged.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        F.when(n == 0, F.lit(0).cast("long")).otherwise(score).alias(
+            "score_milli"
+        ),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "score_milli",
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("score_milli div n_tokens"))
+        .alias("mean_milli"),
+    ).withColumn(
+        "keep", F.col("mean_milli") >= F.lit(int(threshold_milli))
+    )

@@ -215,3 +215,47 @@ def test_compression_ratio_matches_pure_python(spark):
             assert r["ratio"] is None
     # repetitive text compresses far better than prose
     assert got[0]["ratio"] < 0.05 < got[1]["ratio"]
+
+
+def test_linear_quality_classifier_plan_and_edges(spark):
+    # weight vector folds into the plan: no Exchange, no Python eval;
+    # zero-token docs score 0/0/False; 16-bucket variant accepted
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.functions.textstats import (
+        linear_quality_classifier,
+        stub_classifier_weights,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="hello world"), Row(doc_id=1, text="   ")]
+    )
+    out = linear_quality_classifier(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["n_tokens"] == 0
+    assert got[1]["score_milli"] == 0 and got[1]["mean_milli"] == 0
+    assert got[1]["keep"] is False
+    # hand-check doc 0 against the stub weights
+    import hashlib
+
+    w = stub_classifier_weights()
+    exp = sum(
+        w[int(hashlib.md5(t.encode()).hexdigest()[:2], 16)]
+        for t in ("hello", "world")
+    )
+    assert got[0]["score_milli"] == exp
+    assert got[0]["mean_milli"] == exp // 2
+
+    # 16-bucket variant
+    out16 = linear_quality_classifier(df, weights=list(range(16)))
+    assert out16.where(F.col("doc_id") == 0).collect()[0]["n_tokens"] == 2
+
+    # negative weights rejected (integer-div portability)
+    try:
+        linear_quality_classifier(df, weights=[-1] * 256)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
