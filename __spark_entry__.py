@@ -1158,6 +1158,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["anchor_texts"] = anchor_texts_q
 
+    def page_meta_q(spark, sf_dir):
+        """HTML metadata census over deterministic synthetic heads:
+        lang attr cycling 4 values, charset present on %2 (quoted and
+        bare forms), robots noindex on %7 / nofollow on %5 (shared
+        content attr), canonical on %3, and a title that carries inner
+        tags + padding the extractor must strip."""
+        from narowi_ocr_spark.operators.urls import page_meta
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        url = F.concat(F.lit("https://m.example/d/"), s(did))
+        langv = F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("")),
+            (did % 4).cast("int") + 1,
+        )
+        charset = F.when(
+            did % 4 == 0, F.lit('<meta charset="UTF-8">')
+        ).when(did % 2 == 0, F.lit("<meta charset=latin-1>")).otherwise(
+            F.lit("")
+        )
+        robots = F.when(
+            (did % 7 == 0) & (did % 5 == 0),
+            F.lit('<meta name="robots" content="NOINDEX, nofollow">'),
+        ).when(
+            did % 7 == 0, F.lit('<meta name="robots" content="noindex">')
+        ).when(
+            did % 5 == 0, F.lit('<meta name="robots" content="nofollow">')
+        ).otherwise(F.lit(""))
+        canonical = F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://m.example/c/'),
+                s(did % 50),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit(""))
+        html = F.concat(
+            F.lit('<html lang="'), langv, F.lit('"><head>'),
+            F.lit("<title> Doc <b>"), s(did), F.lit("</b> </title>"),
+            charset, robots, canonical,
+            F.lit("</head><body><p>body</p></body></html>"),
+        )
+        pages = docs.select(url.alias("url"), html.alias("html"))
+        return page_meta(pages)
+
+    q["page_meta"] = page_meta_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -5255,6 +5303,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT pt.target, pt.n_refs, pt.n_src_pages,
                t.top_anchor, t.top_anchor_refs
         FROM per_target pt JOIN top t ON pt.target = t.target
+    """
+
+    o["page_meta"] = r"""
+        WITH src AS (
+          SELECT 'https://m.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+                 '<html lang="'
+                 || CASE CAST(doc_id % 4 AS INT)
+                      WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                      WHEN 2 THEN 'fr' ELSE '' END
+                 || '"><head>'
+                 || '<title> Doc <b>' || CAST(doc_id AS VARCHAR)
+                 || '</b> </title>'
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN '<meta charset="UTF-8">'
+                         WHEN doc_id % 2 = 0
+                         THEN '<meta charset=latin-1>'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 AND doc_id % 5 = 0 THEN
+                      '<meta name="robots" content="NOINDEX, nofollow">'
+                    WHEN doc_id % 7 = 0 THEN
+                      '<meta name="robots" content="noindex">'
+                    WHEN doc_id % 5 = 0 THEN
+                      '<meta name="robots" content="nofollow">'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0 THEN
+                      '<link rel="canonical" href="https://m.example/c/'
+                      || CAST(doc_id % 50 AS VARCHAR) || '">'
+                    ELSE '' END
+                 || '</head><body><p>body</p></body></html>' AS html
+          FROM documents)
+        SELECT url,
+               trim(regexp_replace(
+                 regexp_extract(html, '(?i)<title[^>]*>(.*?)</title>', 1),
+                 '<[^>]*>', '', 'g')) AS title,
+               lower(regexp_extract(html,
+                 '(?i)<html[^>]*\slang="([^"]*)"', 1)) AS lang_attr,
+               lower(regexp_extract(html,
+                 '(?i)<meta[^>]*charset="?([A-Za-z0-9_\-]+)', 1))
+                 AS charset,
+               contains(lower(regexp_extract(html,
+                 '(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1)),
+                 'noindex') AS noindex,
+               contains(lower(regexp_extract(html,
+                 '(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1)),
+                 'nofollow') AS nofollow,
+               regexp_extract(html,
+                 '(?i)<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
+                 AS canonical
+        FROM src
     """
 
     # warc_ingest: parse fidelity — the WARC round trip must hand back

@@ -331,3 +331,53 @@ def anchor_texts(
         )
     )
     return per_target.join(top, "target")
+
+
+# ------------------------------------------------- page metadata census
+
+# All RE2-safe (no backreferences/lookaheads) so java.util.regex and
+# DuckDB agree; both engines return '' for a no-match group.
+TITLE_RE = r"(?i)<title[^>]*>(.*?)</title>"
+HTMLLANG_RE = r'(?i)<html[^>]*\slang="([^"]*)"'
+CHARSET_RE = r'(?i)<meta[^>]*charset="?([A-Za-z0-9_\-]+)'
+ROBOTS_RE = r'(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"'
+CANONICAL_RE = r'(?i)<link[^>]*rel="canonical"[^>]*href="([^"]*)"'
+
+
+def page_meta(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per-page HTML metadata census — the fields a crawl-curation
+    pipeline reads BEFORE content extraction: <title> (inner tags
+    stripped, trimmed), <html lang>, declared charset, robots
+    noindex/nofollow directives (pages a polite corpus must drop), and
+    the canonical link target (the dedup key the site itself declares
+    — feeding the url_frontier/canonical-dedup ops upstream of any
+    content hash).
+
+    Returns (url, title, lang_attr, charset, noindex, nofollow,
+    canonical); absent fields are '' (flags false), never NULL, so
+    downstream grouping is total.
+
+    Scale shape: six pure-codegen regexp_extract projections over the
+    html scan — no shuffle, no Python, column-pruned to nothing when a
+    caller selects a subset. First match wins for each field, matching
+    browser behavior. Reference analogue: the pre-OCR header probe of
+    image dimensions/mode (image_processor.py:62-80) — cheap metadata
+    read before the expensive recognition pass.
+    """
+    h = F.col(html_col)
+    robots = F.lower(F.regexp_extract(h, ROBOTS_RE, 1))
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_extract(h, TITLE_RE, 1), "<[^>]*>", ""
+            )
+        ).alias("title"),
+        F.lower(F.regexp_extract(h, HTMLLANG_RE, 1)).alias("lang_attr"),
+        F.lower(F.regexp_extract(h, CHARSET_RE, 1)).alias("charset"),
+        robots.contains("noindex").alias("noindex"),
+        robots.contains("nofollow").alias("nofollow"),
+        F.regexp_extract(h, CANONICAL_RE, 1).alias("canonical"),
+    )

@@ -353,3 +353,35 @@ def test_anchor_texts_tie_breaks_lexicographically(spark):
     (r,) = anchor_texts(spark.createDataFrame(rows)).collect()
     # 1-1 tie: lexicographically-largest anchor wins, deterministically
     assert r["top_anchor"] == "beta" and r["top_anchor_refs"] == 1
+
+
+def test_page_meta_fields_and_plan(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import page_meta
+
+    rows = [
+        Row(
+            url="https://x.example/1",
+            html='<html lang="EN-us"><head><title> Hi <i>there</i> '
+            '</title><meta charset=UTF-8>'
+            '<meta name="robots" content="NOINDEX">'
+            '<link rel="canonical" href="https://x.example/canon">'
+            "</head><body/></html>",
+        ),
+        Row(url="https://x.example/2", html="<html><body>bare</body></html>"),
+    ]
+    out = page_meta(spark.createDataFrame(rows))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r["url"]: r for r in out.collect()}
+    r1 = got["https://x.example/1"]
+    assert r1["title"] == "Hi there"
+    assert r1["lang_attr"] == "en-us"
+    assert r1["charset"] == "utf-8"
+    assert r1["noindex"] is True and r1["nofollow"] is False
+    assert r1["canonical"] == "https://x.example/canon"
+    # absent fields -> '' and false, never NULL
+    r2 = got["https://x.example/2"]
+    assert r2["title"] == "" and r2["lang_attr"] == "" and r2["charset"] == ""
+    assert r2["noindex"] is False and r2["canonical"] == ""
