@@ -1206,6 +1206,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["page_meta"] = page_meta_q
 
+    def fix_mojibake_q(spark, sf_dir):
+        """ftfy-core UTF-8/Latin-1 double-encoding repair: docs on the
+        %3 stratum get a mojibake tail ('cafÃ© …' — the latin-1
+        misreading of a UTF-8 'café …') that the whole-string
+        round-trip must restore; the untouched ASCII strata must come
+        back verbatim with was_fixed=false — the heuristic never
+        touches clean input."""
+        from narowi_ocr_spark.functions.normalize import fix_mojibake
+
+        docs = _docs(spark, sf_dir)
+        moji = "cafÃ© seÃ±or naÃ¯ve " \
+               "Ã¼ber Ã©lan"
+        txt = F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + moji)),
+        ).otherwise(F.col("text"))
+        fixed = fix_mojibake(txt)
+        return docs.select(
+            "doc_id",
+            fixed["text_fixed"].alias("text_fixed"),
+            fixed["was_fixed"].alias("was_fixed"),
+        )
+
+    q["fix_mojibake"] = fix_mojibake_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -5352,6 +5377,19 @@ def oracle_sql() -> dict[str, str]:
                  '(?i)<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
                  AS canonical
         FROM src
+    """
+
+    # fix_mojibake: the oracle states the EXPECTED repair — the %3
+    # strata carry the latin-1 misreading of a UTF-8 snippet, which the
+    # whole-string round trip must restore to the clean form; all
+    # other rows pass through byte-identical.
+    o["fix_mojibake"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' café señor naïve über élan'
+                    ELSE text END AS text_fixed,
+               doc_id % 3 = 0 AS was_fixed
+        FROM documents
     """
 
     # warc_ingest: parse fidelity — the WARC round trip must hand back

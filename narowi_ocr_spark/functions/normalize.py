@@ -72,3 +72,63 @@ def normalize_text(
     if collapse_ws:
         out = F.trim(F.regexp_replace(out, r"[ \t\n\x0b\f\r]+", " "))
     return out
+
+
+_MOJIBAKE_UDF = None
+
+
+def _make_mojibake_udf():
+    @pandas_udf("struct<text_fixed:string,was_fixed:boolean>")
+    def _fix_mojibake(
+        batches: Iterator[pd.Series],
+    ) -> Iterator[pd.DataFrame]:
+        def fix(t):
+            if t is None:
+                return None, None
+            try:
+                b = t.encode("latin-1")
+            except UnicodeEncodeError:
+                return t, False
+            try:
+                u = b.decode("utf-8")
+            except UnicodeDecodeError:
+                return t, False
+            return (u, True) if u != t else (t, False)
+
+        for s in batches:
+            pairs = [fix(t) for t in s]
+            yield pd.DataFrame(
+                {
+                    "text_fixed": [p[0] for p in pairs],
+                    "was_fixed": [p[1] for p in pairs],
+                }
+            )
+
+    return _fix_mojibake
+
+
+def fix_mojibake(col: Column | str) -> Column:
+    """UTF-8/Latin-1 double-encoding repair — the ftfy-core heuristic
+    every web-text pipeline needs: a page whose bytes were UTF-8 but
+    were decoded as Latin-1 somewhere upstream shows 'cafÃ©' for
+    'café'. If the WHOLE string round-trips encode('latin-1') →
+    decode('utf-8') and the round trip changes it, the decoded form is
+    the repair (was_fixed=true); any failure leaves the text untouched
+    (pure ASCII round-trips unchanged → false; genuine Latin-1 text
+    with real accents fails the UTF-8 decode → false — the heuristic
+    never corrupts clean input).
+
+    Returns struct(text_fixed, was_fixed). Single deterministic pass
+    (the double-mojibake fixpoint loop composes by calling this twice).
+    Arrow-batched iterator UDF — same cost class as unicode_normalize;
+    per-batch C-speed codecs, no per-row Python at the driver.
+
+    Reference analogue: the pre-OCR bilateral denoise
+    (image_processor.py:96-117) — reverse a known upstream corruption
+    before recognition, never touching already-clean inputs.
+    """
+    global _MOJIBAKE_UDF
+    if _MOJIBAKE_UDF is None:
+        _MOJIBAKE_UDF = _make_mojibake_udf()
+    c = F.col(col) if isinstance(col, str) else col
+    return _MOJIBAKE_UDF(c)

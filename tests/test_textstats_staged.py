@@ -259,3 +259,38 @@ def test_linear_quality_classifier_plan_and_edges(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_fix_mojibake_round_trip_and_safety(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.functions.normalize import fix_mojibake
+
+    clean = "café señor naïve über élan"
+    moji = clean.encode("utf-8").decode("latin-1")
+    genuine_latin1 = "résumé"  # real accents: must NOT be touched
+    rows = [
+        Row(doc_id=0, text=moji),
+        Row(doc_id=1, text="plain ascii only"),
+        Row(doc_id=2, text=genuine_latin1),
+        Row(doc_id=3, text="日本語テキスト"),  # not latin-1 encodable
+        Row(doc_id=4, text=None),
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.select(
+        "doc_id",
+        fix_mojibake("text")["text_fixed"].alias("t"),
+        fix_mojibake("text")["was_fixed"].alias("f"),
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["t"] == clean and got[0]["f"] is True
+    assert got[1]["t"] == "plain ascii only" and got[1]["f"] is False
+    assert got[2]["t"] == genuine_latin1 and got[2]["f"] is False
+    assert got[3]["t"] == "日本語テキスト" and got[3]["f"] is False
+    assert got[4]["t"] is None and got[4]["f"] is None
+    # double mojibake: two passes reach the fixpoint
+    double = moji.encode("utf-8").decode("latin-1")
+    df2 = spark.createDataFrame([Row(text=double)])
+    once = df2.select(fix_mojibake("text")["text_fixed"].alias("text"))
+    twice = once.select(fix_mojibake("text")["text_fixed"].alias("t"))
+    assert twice.collect()[0]["t"] == clean
