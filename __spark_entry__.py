@@ -1231,6 +1231,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fix_mojibake"] = fix_mojibake_q
 
+    def _robots_corpus(spark, sf_dir):
+        """20 deterministic per-host robots.txt bodies: a googlebot
+        group that must be IGNORED, a * group with /admin disallowed,
+        an /admin/public allow on even hosts, a /tmp disallow on %3
+        hosts, an empty Disallow (no rule per RFC) and an unknown
+        directive (skipped)."""
+        docs = _docs(spark, sf_dir)
+        hosts = docs.select(
+            (F.col("doc_id") % 20).cast("int").alias("h")
+        ).distinct()
+        s = lambda c: c.cast("string")  # noqa: E731
+        body = F.concat(
+            F.lit("# corpus robots\nUser-agent: googlebot\n"
+                  "Disallow: /private\n\nUser-agent: *\n"
+                  "Disallow: /admin\n"),
+            F.when(
+                F.col("h") % 2 == 0, F.lit("Allow: /admin/public\n")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("h") % 3 == 0, F.lit("Disallow: /tmp\n")
+            ).otherwise(F.lit("")),
+            F.lit("Disallow:\nCrawl-delay: 10\n"),
+        )
+        return hosts.select(
+            F.concat(F.lit("host"), s(F.col("h")), F.lit(".example"))
+            .alias("host"),
+            body.alias("robots_txt"),
+        )
+
+    def robots_rules_q(spark, sf_dir):
+        """robots.txt parse: only the * group's Allow/Disallow lines
+        survive, empty-valued Disallow and unknown directives drop."""
+        from narowi_ocr_spark.operators.urls import parse_robots
+
+        return parse_robots(_robots_corpus(spark, sf_dir))
+
+    q["robots_rules"] = robots_rules_q
+
+    def robots_filter_q(spark, sf_dir):
+        """RFC 9309 longest-match verdicts: /admin/public/... URLs are
+        allowed only where the longer Allow rule exists (even hosts),
+        /admin/... is disallowed, /tmp/... depends on the %3 stratum,
+        and unmatched paths default to allowed."""
+        from narowi_ocr_spark.operators.urls import (
+            parse_robots,
+            robots_filter,
+        )
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        path = (
+            F.when(did % 4 == 0, F.lit("/admin/public/page"))
+            .when(did % 4 == 1, F.lit("/admin/x"))
+            .when(did % 4 == 2, F.lit("/tmp/y"))
+            .otherwise(F.lit("/free"))
+        )
+        urls = docs.select(
+            F.concat(
+                F.lit("https://host"), s(did % 20), F.lit(".example"),
+                path, F.lit("-"), s(did),
+            ).alias("url")
+        )
+        rules = parse_robots(_robots_corpus(spark, sf_dir))
+        return robots_filter(urls, rules)
+
+    q["robots_filter"] = robots_filter_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -5390,6 +5458,91 @@ def oracle_sql() -> dict[str, str]:
                     ELSE text END AS text_fixed,
                doc_id % 3 = 0 AS was_fixed
         FROM documents
+    """
+
+    # robots corpus CTEs shared by robots_rules / robots_filter: the
+    # same deterministic per-host bodies, line-exploded, with the
+    # governing user-agent resolved by a last-non-null window.
+    _robots_cte = """
+        hosts AS (
+          SELECT DISTINCT CAST(doc_id % 20 AS INT) AS h FROM documents),
+        rb AS (
+          SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
+                 '# corpus robots' || chr(10)
+                 || 'User-agent: googlebot' || chr(10)
+                 || 'Disallow: /private' || chr(10) || chr(10)
+                 || 'User-agent: *' || chr(10)
+                 || 'Disallow: /admin' || chr(10)
+                 || CASE WHEN h % 2 = 0
+                         THEN 'Allow: /admin/public' || chr(10)
+                         ELSE '' END
+                 || CASE WHEN h % 3 = 0
+                         THEN 'Disallow: /tmp' || chr(10)
+                         ELSE '' END
+                 || 'Disallow:' || chr(10) || 'Crawl-delay: 10'
+                 || chr(10) AS robots_txt
+          FROM hosts),
+        lines AS (
+          SELECT host,
+                 generate_subscripts(string_split(robots_txt, chr(10)), 1)
+                   - 1 AS idx,
+                 trim(unnest(string_split(robots_txt, chr(10)))) AS ln
+          FROM rb),
+        cur AS (
+          SELECT host, idx, ln, lower(ln) AS low,
+                 last_value(CASE WHEN lower(ln) LIKE 'user-agent:%'
+                                 THEN trim(substr(ln, 12)) END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY host ORDER BY idx
+                         ROWS UNBOUNDED PRECEDING) AS ua
+          FROM lines),
+        rules AS (
+          SELECT host,
+                 low LIKE 'allow:%' AS allow,
+                 CASE WHEN low LIKE 'allow:%' THEN trim(substr(ln, 7))
+                      ELSE trim(substr(ln, 10)) END AS path_prefix
+          FROM cur
+          WHERE ua = '*'
+            AND (low LIKE 'allow:%' OR low LIKE 'disallow:%')
+            AND CASE WHEN low LIKE 'allow:%' THEN trim(substr(ln, 7))
+                     ELSE trim(substr(ln, 10)) END <> '')
+    """
+
+    o["robots_rules"] = f"""
+        WITH {_robots_cte}
+        SELECT host, allow, path_prefix,
+               CAST(length(path_prefix) AS INT) AS rule_len
+        FROM rules
+    """
+
+    o["robots_filter"] = f"""
+        WITH {_robots_cte},
+        u AS (
+          SELECT 'https://host' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.example'
+                 || CASE CAST(doc_id % 4 AS INT)
+                      WHEN 0 THEN '/admin/public/page'
+                      WHEN 1 THEN '/admin/x'
+                      WHEN 2 THEN '/tmp/y'
+                      ELSE '/free' END
+                 || '-' || CAST(doc_id AS VARCHAR) AS url,
+                 'host' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+                   AS uh,
+                 CASE CAST(doc_id % 4 AS INT)
+                      WHEN 0 THEN '/admin/public/page'
+                      WHEN 1 THEN '/admin/x'
+                      WHEN 2 THEN '/tmp/y'
+                      ELSE '/free' END
+                 || '-' || CAST(doc_id AS VARCHAR) AS up
+          FROM documents)
+        SELECT u.url,
+               coalesce(
+                 max(length(r.path_prefix) * 2
+                     + CASE WHEN r.allow THEN 1 ELSE 0 END) % 2 = 1,
+                 TRUE) AS fetch_allowed
+        FROM u LEFT JOIN rules r
+          ON u.uh = r.host AND starts_with(u.up, r.path_prefix)
+        GROUP BY u.url
     """
 
     # warc_ingest: parse fidelity — the WARC round trip must hand back

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from narowi_ocr_spark.functions.native import bind_once
 
@@ -380,4 +381,124 @@ def page_meta(
         robots.contains("noindex").alias("noindex"),
         robots.contains("nofollow").alias("nofollow"),
         F.regexp_extract(h, CANONICAL_RE, 1).alias("canonical"),
+    )
+
+
+# ------------------------------------------------- robots.txt politeness
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", robots_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse robots.txt bodies into a (host, allow, path_prefix,
+    rule_len) rule table — the crawl-politeness input every fetch
+    frontier joins against (RFC 9309). Group semantics: a rule line
+    belongs to the most recent ``User-agent:`` line above it; only the
+    ``*`` group is kept (a per-product agent string is a parameter
+    swap). ``Allow``/``Disallow`` values are used verbatim as path
+    prefixes; an empty-valued ``Disallow:`` means allow-everything per
+    the RFC and contributes no rule; comments and unknown directives
+    are skipped.
+
+    Scale shape: one posexplode over lines + a per-host ordered window
+    to resolve the governing user-agent (robots bodies are a few KB —
+    the per-host partition is trivially small), then a pure filter.
+    The output rule table is tiny relative to any corpus and is meant
+    to be BROADCAST into robots_filter.
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\n")).alias("idx", "ln"),
+    ).select("host", "idx", F.trim(F.col("ln")).alias("ln"))
+    low = F.lower(F.col("ln"))
+    ua_val = F.when(
+        low.startswith("user-agent:"),
+        F.trim(F.substring(F.col("ln"), 12, 10000)),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cur = lines.select(
+        "host",
+        "idx",
+        "ln",
+        low.alias("_low"),
+        F.last(ua_val, ignorenulls=True).over(w).alias("_ua"),
+    )
+    rule_val = F.when(
+        F.col("_low").startswith("allow:"),
+        F.struct(
+            F.lit(True).alias("allow"),
+            F.trim(F.substring(F.col("ln"), 7, 10000)).alias("p"),
+        ),
+    ).when(
+        F.col("_low").startswith("disallow:"),
+        F.struct(
+            F.lit(False).alias("allow"),
+            F.trim(F.substring(F.col("ln"), 10, 10000)).alias("p"),
+        ),
+    )
+    return (
+        cur.where(F.col("_ua") == "*")
+        .select("host", rule_val.alias("_r"))
+        .where(F.col("_r").isNotNull() & (F.col("_r.p") != ""))
+        .select(
+            "host",
+            F.col("_r.allow").alias("allow"),
+            F.col("_r.p").alias("path_prefix"),
+            F.length("_r.p").cast("int").alias("rule_len"),
+        )
+    )
+
+
+def robots_filter(
+    urls: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Apply a parsed robots rule table to a URL set: RFC 9309
+    longest-match — the most specific (longest) matching prefix rule
+    decides, Allow winning prefix-length ties; a URL with no matching
+    rule is allowed. Returns the input plus ``fetch_allowed``.
+
+    Scale shape: the rule table broadcasts (robots rules are per-host
+    and tiny; the corpus side never shuffles); prefix matching is a
+    codegen ``startswith`` residual on the host-equi broadcast join,
+    and the per-URL verdict is ONE partial-aggregated max over packed
+    (rule_len, allow) — longest-match as an integer max, no window, no
+    sort.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1)
+    path = F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.col(url_col), r"^https?://[^/]+(/.*)$", 1),
+            F.lit(""),
+        ),
+        F.lit("/"),
+    )
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        host.alias("_h"),
+        path.alias("_p"),
+    )
+    j = u.join(
+        F.broadcast(rules),
+        (F.col("_h") == F.col("host"))
+        & F.col("_p").startswith(F.col("path_prefix")),
+        "left",
+    )
+    # packed verdict: longer rule wins; at equal length allow (1) beats
+    # disallow (0) — pack as rule_len*2 + allow so ONE max decides both
+    packed = F.when(
+        F.col("rule_len").isNotNull(),
+        F.col("rule_len") * 2 + F.col("allow").cast("int"),
+    )
+    return (
+        j.groupBy("url")
+        .agg(F.max(packed).alias("_best"))
+        .select(
+            "url",
+            F.coalesce(F.col("_best") % 2 == 1, F.lit(True)).alias(
+                "fetch_allowed"
+            ),
+        )
     )

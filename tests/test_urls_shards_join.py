@@ -385,3 +385,58 @@ def test_page_meta_fields_and_plan(spark):
     r2 = got["https://x.example/2"]
     assert r2["title"] == "" and r2["lang_attr"] == "" and r2["charset"] == ""
     assert r2["noindex"] is False and r2["canonical"] == ""
+
+
+def test_robots_parse_groups_and_edge_lines(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import parse_robots
+
+    body = (
+        "# hi\n"
+        "User-agent: googlebot\n"
+        "Disallow: /g-only\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /admin\n"
+        "Allow: /admin/ok\n"
+        "Disallow:\n"            # empty value: allow-all, NO rule
+        "Crawl-delay: 10\n"      # unknown directive: skipped
+        "User-agent: badbot\n"
+        "Disallow: /\n"          # different group: ignored
+    )
+    rules = parse_robots(
+        spark.createDataFrame([Row(host="h.example", robots_txt=body)])
+    ).collect()
+    got = {(r["allow"], r["path_prefix"]) for r in rules}
+    assert got == {(False, "/admin"), (True, "/admin/ok")}
+    assert all(r["rule_len"] == len(r["path_prefix"]) for r in rules)
+
+
+def test_robots_filter_longest_match_and_default(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import parse_robots, robots_filter
+
+    body = "User-agent: *\nDisallow: /a\nAllow: /a/b\nDisallow: /a/b\n"
+    rules = parse_robots(
+        spark.createDataFrame([Row(host="h.example", robots_txt=body)])
+    )
+    urls = spark.createDataFrame(
+        [
+            Row(url="https://h.example/a/x"),      # /a -> disallow
+            Row(url="https://h.example/a/b/c"),    # tie at /a/b -> allow
+            Row(url="https://h.example/other"),    # no match -> allow
+            Row(url="https://h.example"),          # bare: path '/' -> allow
+            Row(url="https://unknown.example/a"),  # no rules host -> allow
+        ]
+    )
+    got = {
+        r["url"]: r["fetch_allowed"]
+        for r in robots_filter(urls, rules).collect()
+    }
+    assert got["https://h.example/a/x"] is False
+    assert got["https://h.example/a/b/c"] is True  # allow wins the tie
+    assert got["https://h.example/other"] is True
+    assert got["https://h.example"] is True
+    assert got["https://unknown.example/a"] is True
