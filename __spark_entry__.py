@@ -1299,6 +1299,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_filter"] = robots_filter_q
 
+    def otsu_gate_q(spark, sf_dir):
+        """Otsu automatic quality cut over the hashed-classifier mean
+        score (10-milli bins): the corpus reduces to a <=100-row
+        histogram, between-class variance picks the split — the
+        reference's adaptive ROI threshold recast corpus-level."""
+        from narowi_ocr_spark.functions.textstats import (
+            linear_quality_classifier,
+        )
+        from narowi_ocr_spark.operators.corpus import otsu_threshold
+
+        scored = linear_quality_classifier(
+            _docs(spark, sf_dir).select("doc_id", "text")
+        ).select(F.expr("mean_milli div 10").alias("bin"))
+        return otsu_threshold(scored)
+
+    q["otsu_gate"] = otsu_gate_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -8560,6 +8577,37 @@ def oracle_sql() -> dict[str, str]:
                      ELSE sc.score_milli // sc.n_tokens END) >= 500 AS keep
         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
     """
+
+    # otsu_gate: nests the quality_classifier oracle as its scoring
+    # CTE; the variance expression tree mirrors the Spark side token
+    # for token so the double argmax lands on the same bin.
+    o["otsu_gate"] = f"""
+        WITH qc AS ({o['quality_classifier']}),
+        hist AS (
+          SELECT mean_milli // 10 AS b, CAST(count(*) AS BIGINT) AS cnt
+          FROM qc GROUP BY 1),
+        tot AS (SELECT sum(cnt) AS n, sum(cnt * b) AS s FROM hist),
+        c AS (
+          SELECT b,
+                 sum(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                   AS n0,
+                 sum(cnt * b) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                   AS s0,
+                 n, s
+          FROM hist, tot),
+        cand AS (
+          SELECT b, n0, n - n0 AS n1, s0, s - s0 AS s1
+          FROM c WHERE n0 > 0 AND n - n0 > 0),
+        v AS (
+          SELECT b, n0, n1,
+                 pow(CAST(s0 * n1 - s1 * n0 AS DOUBLE), 2)
+                   / CAST(n0 * n1 AS DOUBLE) AS var
+          FROM cand)
+        SELECT CAST(b AS INT) AS threshold_bin,
+               CAST(n0 AS BIGINT) AS n_le, CAST(n1 AS BIGINT) AS n_gt
+        FROM v ORDER BY var DESC, b DESC LIMIT 1
+    """
+
 
     # events_retention: weeks are Monday-truncated in both engines, so
     # the day delta is always a multiple of 7 and integer-divides exactly.

@@ -1325,3 +1325,81 @@ def dup_span_removal(
             " ",
         ).alias("text_dedup"),
     )
+
+
+def otsu_threshold(
+    df: DataFrame, bin_col: str = "bin", n_bins: int = 100
+) -> DataFrame:
+    """Otsu's method over an integer score histogram — the reference's
+    adaptive ROI threshold (image_processor.py's histogram-based
+    binarize step before segmentation) recast at corpus level: given
+    per-document integer quality bins in [0, n_bins), pick the cut
+    that maximizes between-class variance, splitting the corpus into
+    its natural low/high quality modes with NO hand-tuned threshold —
+    the unsupervised complement of adaptive_quality_gate's fixed
+    keep-fraction.
+
+    Input: any DataFrame with an integer ``bin_col``. Output: ONE row
+    (threshold_bin, n_le, n_gt) — documents with bin <= threshold_bin
+    form the low class. Between-class variance is computed per
+    candidate cut as (s0·n1 − s1·n0)²/(n0·n1) from exact integer
+    cumulative sums; the single float division happens on n_bins
+    candidate rows only, with ties broken toward the LARGER bin
+    deterministically. Empty-class cuts are excluded (classic Otsu).
+
+    Scale shape: the corpus reduces to an n_bins-row histogram in one
+    partial-aggregated groupBy — the only corpus-wide pass; the
+    cumulative window and argmax run over that fixed-size table, so
+    they cost the same at 500 docs and 10^12 (the single-partition
+    window over <= n_bins rows is the DESIGNED reduction, not a skew
+    accident).
+    """
+    hist = df.groupBy(F.col(bin_col).alias("b")).agg(
+        F.count("*").cast("long").alias("cnt"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    tot = hist.agg(
+        F.sum("cnt").alias("_n"),
+        F.sum(F.col("cnt") * F.col("b")).alias("_s"),
+    )
+    cand = (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.sum("cnt").over(w).alias("n0"),
+            F.sum(F.col("cnt") * F.col("b")).over(w).alias("s0"),
+            "_n",
+            "_s",
+        )
+        .select(
+            "b",
+            "n0",
+            (F.col("_n") - F.col("n0")).alias("n1"),
+            "s0",
+            (F.col("_s") - F.col("s0")).alias("s1"),
+        )
+        .where((F.col("n0") > 0) & (F.col("n1") > 0))
+        .select(
+            "b",
+            "n0",
+            "n1",
+            (
+                F.pow(
+                    (
+                        F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0")
+                    ).cast("double"),
+                    F.lit(2.0),
+                )
+                / (F.col("n0") * F.col("n1")).cast("double")
+            ).alias("_var"),
+        )
+    )
+    best = cand.agg(
+        F.max(F.struct(F.col("_var"), F.col("b"), F.col("n0"), F.col("n1")))
+        .alias("m")
+    ).where(F.col("m").isNotNull())  # single-bin input: no valid cut
+    return best.select(
+        F.col("m.b").cast("int").alias("threshold_bin"),
+        F.col("m.n0").alias("n_le"),
+        F.col("m.n1").alias("n_gt"),
+    )

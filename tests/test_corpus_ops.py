@@ -660,3 +660,25 @@ def test_dup_span_removal_case_folded_matching(spark):
     # doc 0 keeps its casing; doc 1 is the removed duplicate
     assert got[0]["text_dedup"] == lo
     assert got[1]["text_dedup"] == "" and got[1]["n_removed"] == 8
+
+
+def test_otsu_threshold_bimodal_and_ties(spark):
+    from narowi_ocr_spark.operators.corpus import otsu_threshold
+
+    # clean bimodal: mass at bins 10 and 90 -> the cut lands strictly
+    # between the modes, classes = the two clusters
+    rows = [Row(bin=10)] * 40 + [Row(bin=90)] * 60
+    (r,) = otsu_threshold(spark.createDataFrame(rows)).collect()
+    assert 10 <= r["threshold_bin"] < 90
+    assert r["n_le"] == 40 and r["n_gt"] == 60
+
+    # degenerate single-bin input: no valid cut with both classes
+    # nonempty -> empty result (documented classic-Otsu exclusion)
+    same = spark.createDataFrame([Row(bin=5)] * 10)
+    assert otsu_threshold(same).count() == 0
+
+    # symmetric tie: variance equal at the two mirror cuts -> larger
+    # bin wins deterministically
+    sym = spark.createDataFrame([Row(bin=0), Row(bin=1), Row(bin=2)])
+    (t,) = otsu_threshold(sym).collect()
+    assert t["threshold_bin"] == 1
