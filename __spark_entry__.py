@@ -1316,6 +1316,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["otsu_gate"] = otsu_gate_q
 
+    def _sitemap_corpus(spark, sf_dir):
+        """Per-host sitemap.xml bodies: loc entries with/without
+        lastmod and whitespace padding, a loc-less (malformed) entry
+        that must drop, and a <sitemapindex> child on %4 hosts."""
+        docs = _docs(spark, sf_dir)
+        hosts = docs.select(
+            (F.col("doc_id") % 20).cast("int").alias("h")
+        ).distinct()
+        s = lambda c: c.cast("string")  # noqa: E731
+        base = F.concat(F.lit("https://host"), s(F.col("h")), F.lit(".example"))
+        day = F.lpad(s(F.col("h") % 27 + 1), 2, "0")
+        xml = F.concat(
+            F.lit('<?xml version="1.0"?><urlset>\n<url><loc> '),
+            base, F.lit("/p0 </loc><lastmod>2024-01-"), day,
+            F.lit("</lastmod></url>\n<url><loc>"),
+            base, F.lit("/p1</loc></url>\n"),
+            F.lit("<url><lastmod>2024-02-01</lastmod></url>\n"),
+            F.lit("<url><loc>"), base,
+            F.lit("/admin/x</loc></url>\n<url><loc>"),
+            base, F.lit("/p2</loc><lastmod>2024-03-01</lastmod></url>\n"),
+            F.when(
+                F.col("h") % 4 == 0,
+                F.concat(F.lit("<sitemap><loc>"), base,
+                         F.lit("/sitemap2.xml</loc>"
+                               "<lastmod>2024-01-05</lastmod></sitemap>\n")),
+            ).otherwise(F.lit("")),
+            F.lit("</urlset>"),
+        )
+        return hosts.select(
+            F.concat(F.lit("host"), s(F.col("h")), F.lit(".example"))
+            .alias("host"),
+            xml.alias("sitemap_xml"),
+        )
+
+    def sitemap_entries_q(spark, sf_dir):
+        """sitemaps.org parse: block-scoped loc/lastmod pairing (a
+        positional zip would misalign on the sporadic lastmod), index
+        children flagged, loc-less entries dropped."""
+        from narowi_ocr_spark.operators.urls import parse_sitemap
+
+        return parse_sitemap(_sitemap_corpus(spark, sf_dir))
+
+    q["sitemap_entries"] = sitemap_entries_q
+
+    def crawl_schedule_q(spark, sf_dir):
+        """Politeness-capped fetch schedule: sitemap pages → robots
+        longest-match filter (the /admin entries must drop) →
+        per-host top-2 by lastmod freshness with ''-last ordering."""
+        from narowi_ocr_spark.operators.urls import (
+            crawl_schedule,
+            parse_robots,
+            parse_sitemap,
+        )
+
+        entries = parse_sitemap(_sitemap_corpus(spark, sf_dir))
+        rules = parse_robots(_robots_corpus(spark, sf_dir))
+        return crawl_schedule(entries, rules, per_host_cap=2)
+
+    q["crawl_schedule"] = crawl_schedule_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -5560,6 +5620,100 @@ def oracle_sql() -> dict[str, str]:
         FROM u LEFT JOIN rules r
           ON u.uh = r.host AND starts_with(u.up, r.path_prefix)
         GROUP BY u.url
+    """
+
+    # sitemap corpus + parse CTEs (shared by sitemap_entries /
+    # crawl_schedule); hosts CTE comes from _robots_cte's text where
+    # needed.
+    _sitemap_cte = """
+        sm AS (
+          SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
+                 '<?xml version="1.0"?><urlset>' || chr(10)
+                 || '<url><loc> https://host' || CAST(h AS VARCHAR)
+                 || '.example/p0 </loc><lastmod>2024-01-'
+                 || lpad(CAST(h % 27 + 1 AS VARCHAR), 2, '0')
+                 || '</lastmod></url>' || chr(10)
+                 || '<url><loc>https://host' || CAST(h AS VARCHAR)
+                 || '.example/p1</loc></url>' || chr(10)
+                 || '<url><lastmod>2024-02-01</lastmod></url>' || chr(10)
+                 || '<url><loc>https://host' || CAST(h AS VARCHAR)
+                 || '.example/admin/x</loc></url>' || chr(10)
+                 || '<url><loc>https://host' || CAST(h AS VARCHAR)
+                 || '.example/p2</loc><lastmod>2024-03-01</lastmod></url>'
+                 || chr(10)
+                 || CASE WHEN h % 4 = 0 THEN
+                      '<sitemap><loc>https://host' || CAST(h AS VARCHAR)
+                      || '.example/sitemap2.xml</loc>'
+                      || '<lastmod>2024-01-05</lastmod></sitemap>'
+                      || chr(10)
+                    ELSE '' END
+                 || '</urlset>' AS xml
+          FROM hosts),
+        ue AS (
+          SELECT host,
+                 regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)
+                   AS loc,
+                 regexp_extract(blk,
+                   '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1) AS lastmod,
+                 FALSE AS is_index
+          FROM (SELECT host,
+                       unnest(regexp_extract_all(xml,
+                         '(?s)<url>(.*?)</url>', 1)) AS blk
+                FROM sm)),
+        ie AS (
+          SELECT host,
+                 regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)
+                   AS loc,
+                 regexp_extract(blk,
+                   '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1) AS lastmod,
+                 TRUE AS is_index
+          FROM (SELECT host,
+                       unnest(regexp_extract_all(xml,
+                         '(?s)<sitemap>(.*?)</sitemap>', 1)) AS blk
+                FROM sm)),
+        entries AS (
+          SELECT * FROM ue WHERE loc <> ''
+          UNION ALL
+          SELECT * FROM ie WHERE loc <> '')
+    """
+
+    o["sitemap_entries"] = f"""
+        WITH hosts AS (
+          SELECT DISTINCT CAST(doc_id % 20 AS INT) AS h FROM documents),
+        {_sitemap_cte}
+        SELECT host, loc, lastmod, is_index FROM entries
+    """
+
+    o["crawl_schedule"] = f"""
+        WITH {_robots_cte},
+        {_sitemap_cte},
+        pages AS (
+          SELECT host, loc, lastmod FROM entries WHERE NOT is_index),
+        pp AS (
+          SELECT host, loc, lastmod,
+                 regexp_extract(loc, '^https?://([^/]+)', 1) AS uh,
+                 coalesce(nullif(regexp_extract(loc,
+                   '^https?://[^/]+(/.*)$', 1), ''), '/') AS up
+          FROM pages),
+        verd AS (
+          SELECT pp.loc,
+                 coalesce(max(length(r.path_prefix) * 2
+                     + CASE WHEN r.allow THEN 1 ELSE 0 END) % 2 = 1,
+                   TRUE) AS ok
+          FROM pp LEFT JOIN rules r
+            ON pp.uh = r.host AND starts_with(pp.up, r.path_prefix)
+          GROUP BY pp.loc),
+        allowed AS (
+          SELECT pp.host, pp.loc, pp.lastmod
+          FROM pp JOIN verd ON pp.loc = verd.loc WHERE verd.ok),
+        ranked AS (
+          SELECT host, loc, lastmod,
+                 CAST(row_number() OVER (PARTITION BY host
+                   ORDER BY (lastmod = ''), lastmod DESC, loc) AS INT)
+                   AS fetch_rank
+          FROM allowed)
+        SELECT host, loc, lastmod, fetch_rank
+        FROM ranked WHERE fetch_rank <= 2
     """
 
     # warc_ingest: parse fidelity — the WARC round trip must hand back

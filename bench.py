@@ -414,6 +414,21 @@ def main() -> None:
         lambda: materialize(qs["events_rfm"](spark, sf_dir)),
         extra_set=True,
     )
+    # round-3 web-curation additions (oracle-gated queries, timed on the
+    # same sf-dir inputs the driver uses)
+    for _r3 in (
+        "line_boilerplate",
+        "dup_span_removal",
+        "quality_classifier",
+        "anchor_texts",
+        "robots_filter",
+    ):
+        bench(
+            _r3,
+            lambda _n=_r3: materialize(qs[_n](spark, sf_dir)),
+            extra_set=True,
+        )
+
     bench("tpch_q1", lambda: materialize(qs["tpch_q1"](spark, sf_dir)))
     bench("events_hourly", lambda: materialize(qs["events_hourly"](spark, sf_dir)))
     bench(

@@ -502,3 +502,98 @@ def robots_filter(
             ),
         )
     )
+
+
+# ------------------------------------------------- sitemap + frontier
+
+# (?s): <url> blocks span lines; dotall is spelled the same in
+# java.util.regex and RE2.
+SITEMAP_URL_RE = r"(?s)<url>(.*?)</url>"
+SITEMAP_IDX_RE = r"(?s)<sitemap>(.*?)</sitemap>"
+LOC_RE = r"(?s)<loc>\s*(.*?)\s*</loc>"
+LASTMOD_RE = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
+
+
+def parse_sitemap(
+    df: DataFrame, host_col: str = "host", xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """Parse sitemap.xml bodies (sitemaps.org protocol) into one row
+    per entry: (host, loc, lastmod, is_index) — ``is_index`` marks
+    <sitemapindex> children (nested sitemaps a fetcher must recurse
+    into) vs plain <urlset> page entries. ``lastmod`` is '' when the
+    optional tag is absent; entries with no <loc> are dropped
+    (malformed per the protocol).
+
+    Scale shape: two pure-codegen regexp_extract_all projections (url
+    blocks, index blocks) + one explode each — block-scoped extraction
+    keeps loc/lastmod pairing correct even when lastmod is sporadic
+    (a positional zip of independent global extracts would misalign).
+    No shuffle, no Python.
+    """
+    def entries(block_re: str, is_index: bool):
+        return (
+            df.select(
+                F.col(host_col).alias("host"),
+                F.explode(
+                    F.regexp_extract_all(
+                        F.col(xml_col), F.lit(block_re), 1
+                    )
+                ).alias("blk"),
+            )
+            .select(
+                "host",
+                F.regexp_extract(F.col("blk"), LOC_RE, 1).alias("loc"),
+                F.regexp_extract(F.col("blk"), LASTMOD_RE, 1).alias(
+                    "lastmod"
+                ),
+                F.lit(is_index).alias("is_index"),
+            )
+            .where(F.col("loc") != "")
+        )
+
+    return entries(SITEMAP_URL_RE, False).unionByName(
+        entries(SITEMAP_IDX_RE, True)
+    )
+
+
+def crawl_schedule(
+    entries: DataFrame,
+    rules: DataFrame,
+    per_host_cap: int = 5,
+) -> DataFrame:
+    """Politeness-capped fetch schedule: sitemap page entries →
+    robots longest-match filter → per-host top-``per_host_cap`` by
+    freshness (lastmod desc, '' last, loc asc tie-break). Returns
+    (host, loc, lastmod, fetch_rank) — the batch a polite fetcher
+    issues per host per cycle.
+
+    Scale shape: the robots verdict reuses ``robots_filter`` (rule
+    table broadcast, no corpus shuffle); the cap is a per-HOST window
+    — bounded partitions by construction (a host's sitemap is capped
+    at 50k entries by the protocol), so the rank never degenerates
+    into a global sort; Spark 4 plan-rewrites the rank<=cap into
+    WindowGroupLimit partial pushdown.
+    """
+    pages = entries.where(~F.col("is_index")).select(
+        "host", "loc", "lastmod"
+    )
+    verdicts = robots_filter(
+        pages.select(F.col("loc").alias("url")), rules
+    )
+    allowed = pages.join(
+        verdicts.where(F.col("fetch_allowed")).select(
+            F.col("url").alias("loc")
+        ),
+        "loc",
+        "left_semi",
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("lastmod") == "", F.col("lastmod").desc(), F.col("loc")
+    )
+    return (
+        allowed.withColumn(
+            "fetch_rank", F.row_number().over(w).cast("int")
+        )
+        .where(F.col("fetch_rank") <= per_host_cap)
+        .select("host", "loc", "lastmod", "fetch_rank")
+    )

@@ -440,3 +440,70 @@ def test_robots_filter_longest_match_and_default(spark):
     assert got["https://h.example/other"] is True
     assert got["https://h.example"] is True
     assert got["https://unknown.example/a"] is True
+
+
+def test_sitemap_parse_block_pairing(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import parse_sitemap
+
+    xml = (
+        "<urlset>"
+        "<url><loc> https://h.example/a </loc>"
+        "<lastmod>2024-05-01</lastmod></url>"
+        "<url><loc>https://h.example/b</loc></url>"       # no lastmod
+        "<url><lastmod>2024-06-01</lastmod></url>"        # no loc: drop
+        "</urlset>"
+        "<sitemapindex><sitemap>"
+        "<loc>https://h.example/more.xml</loc></sitemap></sitemapindex>"
+    )
+    got = {
+        r["loc"]: r
+        for r in parse_sitemap(
+            spark.createDataFrame([Row(host="h.example", sitemap_xml=xml)])
+        ).collect()
+    }
+    assert len(got) == 3
+    # block-scoped pairing: /b must NOT inherit /a's (or the orphan's)
+    # lastmod
+    assert got["https://h.example/a"]["lastmod"] == "2024-05-01"
+    assert got["https://h.example/b"]["lastmod"] == ""
+    assert got["https://h.example/more.xml"]["is_index"] is True
+
+
+def test_crawl_schedule_cap_and_ordering(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import (
+        crawl_schedule,
+        parse_robots,
+        parse_sitemap,
+    )
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://h.example/old</loc>"
+        "<lastmod>2023-01-01</lastmod></url>"
+        "<url><loc>https://h.example/new</loc>"
+        "<lastmod>2024-01-01</lastmod></url>"
+        "<url><loc>https://h.example/undated</loc></url>"
+        "<url><loc>https://h.example/admin/secret</loc>"
+        "<lastmod>2025-01-01</lastmod></url>"
+        "</urlset>"
+    )
+    entries = parse_sitemap(
+        spark.createDataFrame([Row(host="h.example", sitemap_xml=xml)])
+    )
+    rules = parse_robots(
+        spark.createDataFrame(
+            [Row(host="h.example",
+                 robots_txt="User-agent: *\nDisallow: /admin\n")]
+        )
+    )
+    got = crawl_schedule(entries, rules, per_host_cap=2).collect()
+    ranked = {r["fetch_rank"]: r["loc"] for r in got}
+    # admin is robots-blocked even though freshest; undated sorts last
+    assert ranked == {
+        1: "https://h.example/new",
+        2: "https://h.example/old",
+    }
