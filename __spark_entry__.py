@@ -1376,6 +1376,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_schedule"] = crawl_schedule_q
 
+    def template_clusters_q(spark, sf_dir):
+        """DOM-structure template census: pages share a fingerprint
+        iff their tag SEQUENCE matches — text varies per doc but the
+        synthetic layouts differ only by (%3 div-nesting depth, %5
+        aside, %7 table) strata, so exactly those combos cluster."""
+        from narowi_ocr_spark.operators.urls import template_clusters
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        html = F.concat(
+            F.lit("<html><body><nav><a>x</a></nav>"),
+            F.repeat(F.lit("<div>"), (did % 3).cast("int")),
+            F.lit("<p>"),
+            F.col("text"),
+            F.lit("</p>"),
+            F.when(did % 5 == 0, F.lit("<aside><span>s</span></aside>"))
+            .otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit("<table><tr><td>t</td></tr></table>"))
+            .otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://t.example/d/"), s(did)).alias("url"),
+            html.alias("html"),
+        )
+        return template_clusters(pages)
+
+    q["template_clusters"] = template_clusters_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -5714,6 +5744,43 @@ def oracle_sql() -> dict[str, str]:
           FROM allowed)
         SELECT host, loc, lastmod, fetch_rank
         FROM ranked WHERE fetch_rank <= 2
+    """
+
+    # template_clusters: lowercased tag-name sequence, md5 over
+    # '>'-joined names; closing tags are skipped by the capture (the
+    # '/' fails [a-zA-Z]) in BOTH engines.
+    o["template_clusters"] = r"""
+        WITH src AS (
+          SELECT 'https://t.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+                 '<html><body><nav><a>x</a></nav>'
+                 || repeat('<div>', CAST(doc_id % 3 AS INT))
+                 || '<p>' || text || '</p>'
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN '<aside><span>s</span></aside>'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN '<table><tr><td>t</td></tr></table>'
+                         ELSE '' END
+                 || '</body></html>' AS html
+          FROM documents),
+        fp AS (
+          SELECT url,
+                 md5(array_to_string(
+                   list_transform(
+                     regexp_extract_all(html,
+                       '(?i)<([a-zA-Z][a-zA-Z0-9]*)', 1),
+                     t -> lower(t)), '>')) AS template_fp,
+                 CAST(len(regexp_extract_all(html,
+                   '(?i)<([a-zA-Z][a-zA-Z0-9]*)', 1)) AS INT) AS n_tags
+          FROM src),
+        cl AS (
+          SELECT template_fp, CAST(count(*) AS BIGINT) AS n_pages,
+                 min(url) AS example_url
+          FROM fp GROUP BY template_fp
+          HAVING count(*) >= 2)
+        SELECT cl.template_fp, cl.n_pages, f.n_tags, cl.example_url
+        FROM cl JOIN fp f
+          ON cl.template_fp = f.template_fp AND cl.example_url = f.url
     """
 
     # warc_ingest: parse fidelity — the WARC round trip must hand back

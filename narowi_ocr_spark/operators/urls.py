@@ -597,3 +597,65 @@ def crawl_schedule(
         .where(F.col("fetch_rank") <= per_host_cap)
         .select("host", "loc", "lastmod", "fetch_rank")
     )
+
+
+# ------------------------------------------------- DOM template clusters
+
+TAG_SEQ_RE = r"(?i)<([a-zA-Z][a-zA-Z0-9]*)"
+
+
+def dom_fingerprint(html: Column) -> Column:
+    """Layout fingerprint: md5 over the page's lowercased tag-name
+    sequence (order-preserving, text content ignored). Two pages from
+    the same template engine collide here even when their text is
+    completely different — the structural complement of the content
+    hashes every dedup op in this repo keys on. Pure codegen."""
+    tags = F.transform(
+        F.regexp_extract_all(html, F.lit(TAG_SEQ_RE), 1),
+        F.lower,
+    )
+    return F.md5(F.array_join(tags, ">"))
+
+
+def template_clusters(
+    df: DataFrame, url_col: str = "url", html_col: str = "html",
+    min_pages: int = 2,
+) -> DataFrame:
+    """Group pages by DOM-structure fingerprint and keep clusters with
+    >= ``min_pages`` members — the template-farm census (SEO farms and
+    mirror networks generate thousands of structurally identical pages
+    with rotated text; content dedup misses them by design, structure
+    dedup catches them).
+
+    Returns (template_fp, n_pages, n_tags, example_url) — n_tags from
+    the deterministic min-url member, example_url the lexicographically
+    smallest member.
+
+    Scale shape: the fingerprint is one codegen projection at the
+    scan; only (fp, url, n_tags) triples shuffle into a single
+    partial-aggregated groupBy. Hot templates (millions of pages) are
+    exactly what partial aggregation flattens — per-partition combines
+    reduce each template to one row per task before the exchange.
+    """
+    h = F.col(html_col)
+    staged = df.select(
+        F.col(url_col).alias("url"),
+        dom_fingerprint(h).alias("template_fp"),
+        F.size(F.regexp_extract_all(h, F.lit(TAG_SEQ_RE), 1))
+        .cast("int")
+        .alias("n_tags"),
+    )
+    return (
+        staged.groupBy("template_fp")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.min(F.struct("url", "n_tags")).alias("_m"),
+        )
+        .where(F.col("n_pages") >= min_pages)
+        .select(
+            "template_fp",
+            "n_pages",
+            F.col("_m.n_tags").alias("n_tags"),
+            F.col("_m.url").alias("example_url"),
+        )
+    )

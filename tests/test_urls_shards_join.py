@@ -507,3 +507,27 @@ def test_crawl_schedule_cap_and_ordering(spark):
         1: "https://h.example/new",
         2: "https://h.example/old",
     }
+
+
+def test_template_clusters_structure_not_content(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import (
+        dom_fingerprint,
+        template_clusters,
+    )
+
+    rows = [
+        Row(url="https://a/1", html="<div><p>totally different text</p></div>"),
+        Row(url="https://a/2", html="<DIV><P>other words here</P></DIV>"),
+        Row(url="https://a/3", html="<div><span>x</span></div>"),  # distinct
+    ]
+    df = spark.createDataFrame(rows)
+    # same structure, case-insensitive; closing tags ignored
+    fps = df.select(dom_fingerprint(F.col("html")).alias("f")).collect()
+    assert fps[0]["f"] == fps[1]["f"] != fps[2]["f"]
+    got = template_clusters(df).collect()
+    assert len(got) == 1
+    (c,) = got
+    assert c["n_pages"] == 2 and c["example_url"] == "https://a/1"
+    assert c["n_tags"] == 2
