@@ -1406,6 +1406,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["template_clusters"] = template_clusters_q
 
+    def _feed_corpus(spark, sf_dir):
+        """20 deterministic per-host feed bodies: even hosts serve RSS
+        2.0 (three <item>s — padded link, tag-polluted title, a
+        link-less entry that must drop), odd hosts serve Atom (two
+        <entry>s, one link-less). Dates vary by host so the published
+        column is non-trivial."""
+        docs = _docs(spark, sf_dir)
+        hosts = docs.select(
+            (F.col("doc_id") % 20).cast("int").alias("h")
+        ).distinct()
+        s = lambda c: c.cast("string")  # noqa: E731
+        hs = s(F.col("h"))
+        base = F.concat(F.lit("http://host"), hs, F.lit(".example"))
+        day = F.lpad(s(F.col("h") % 27 + 1), 2, "0")
+        rss = F.concat(
+            F.lit("<rss><channel><item><title>Story "), hs,
+            F.lit(" &amp; more</title><link> "), base,
+            F.lit("/r0 </link><pubDate>Mon, "), day,
+            F.lit(" Jan 2024 00:00:00 GMT</pubDate></item>"
+                  "<item><title><b>hot</b> take</title><link>"),
+            base, F.lit("/r1</link></item>"
+                        "<item><title>orphan</title></item>"
+                        "</channel></rss>"),
+        )
+        atom = F.concat(
+            F.lit("<feed><entry><title>Atom "), hs,
+            F.lit('</title><link rel="alternate" href="'), base,
+            F.lit('/a0"/><updated>2024-05-'), day,
+            F.lit("T00:00:00Z</updated></entry>"
+                  "<entry><title>nolink</title></entry></feed>"),
+        )
+        return hosts.select(
+            F.concat(F.lit("host"), hs, F.lit(".example")).alias("host"),
+            F.when(F.col("h") % 2 == 0, rss).otherwise(atom)
+            .alias("feed_xml"),
+        )
+
+    def feed_entries_q(spark, sf_dir):
+        """RSS/Atom feed parse: block-scoped field extraction (sporadic
+        pubDate/updated can't misalign), inner tags stripped from
+        titles, link-less entries dropped."""
+        from narowi_ocr_spark.operators.urls import parse_feed
+
+        return parse_feed(_feed_corpus(spark, sf_dir))
+
+    q["feed_entries"] = feed_entries_q
+
+    def structured_data_q(spark, sf_dir):
+        """OpenGraph + JSON-LD census: og fields present on disjoint
+        doc_id strata (first match wins where %11 plants a duplicate),
+        schema.org @type names deduped+sorted from JSON-LD blocks."""
+        from narowi_ocr_spark.operators.urls import og_jsonld
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        html = F.concat(
+            F.lit('<html><head><meta name="viewport" content="w">'),
+            F.when(did % 2 == 0, F.concat(
+                F.lit('<meta property="og:title" content="T'), s(did),
+                F.lit('">'))).otherwise(F.lit("")),
+            F.when(did % 3 == 0,
+                   F.lit('<meta property="og:type" content="article">'))
+            .when(did % 3 == 1,
+                  F.lit('<meta property="og:type" content="product">'))
+            .otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.concat(
+                F.lit('<meta property="og:image" content="https://img.example/'),
+                s(did), F.lit('.jpg">'))).otherwise(F.lit("")),
+            F.when(did % 11 == 0,
+                   F.lit('<meta property="og:title" content="DUP">'))
+            .otherwise(F.lit("")),
+            F.when(did % 3 == 0, F.lit(
+                '<script type="application/ld+json">'
+                '{"@type": "Article", "author": {"@type": "Person"}}'
+                "</script>")).
+            when(did % 7 == 0, F.lit(
+                '<script type="application/ld+json">'
+                '{"@type": "Product"}</script>')).otherwise(F.lit("")),
+            F.lit("</head><body>b</body></html>"),
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://sd.example/d/"), s(did)).alias("url"),
+            html.alias("html"),
+        )
+        return og_jsonld(pages)
+
+    q["structured_data"] = structured_data_q
+
+    def extraction_prf_q(spark, sf_dir):
+        """Token-multiset P/R/F1 of a deterministically perturbed
+        extraction against documents.text as gold: %4 strata are
+        perfect / empty / two-spurious-tokens / fully doubled — the
+        doubled stratum proves multiset (not set) semantics."""
+        from narowi_ocr_spark.operators.evaluation import token_prf
+
+        docs = _docs(spark, sf_dir)
+        m = (F.col("doc_id") % 4).cast("int")
+        t = F.col("text")
+        ev = docs.select(
+            "doc_id",
+            t.alias("truth"),
+            F.when(m == 0, t)
+            .when(m == 1, F.lit(""))
+            .when(m == 2, F.concat(t, F.lit(" zz zz")))
+            .otherwise(F.concat(t, F.lit(" "), t))
+            .alias("extracted"),
+        )
+        return token_prf(ev)
+
+    q["extraction_prf"] = extraction_prf_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -5781,6 +5893,170 @@ def oracle_sql() -> dict[str, str]:
         SELECT cl.template_fp, cl.n_pages, f.n_tags, cl.example_url
         FROM cl JOIN fp f
           ON cl.template_fp = f.template_fp AND cl.example_url = f.url
+    """
+
+    # feed_entries: block-scoped <item>/<entry> extraction mirrored in
+    # DuckDB's RE2; title tag-strip needs the explicit 'g' flag there
+    # (Spark regexp_replace is global by default).
+    o["feed_entries"] = r"""
+        WITH hosts AS (
+          SELECT DISTINCT CAST(doc_id % 20 AS INT) AS h FROM documents),
+        feeds AS (
+          SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
+                 CASE WHEN h % 2 = 0 THEN
+                   '<rss><channel><item><title>Story ' || CAST(h AS VARCHAR)
+                   || ' &amp; more</title><link> http://host'
+                   || CAST(h AS VARCHAR) || '.example/r0 </link><pubDate>Mon, '
+                   || lpad(CAST(h % 27 + 1 AS VARCHAR), 2, '0')
+                   || ' Jan 2024 00:00:00 GMT</pubDate></item>'
+                   || '<item><title><b>hot</b> take</title><link>http://host'
+                   || CAST(h AS VARCHAR) || '.example/r1</link></item>'
+                   || '<item><title>orphan</title></item></channel></rss>'
+                 ELSE
+                   '<feed><entry><title>Atom ' || CAST(h AS VARCHAR)
+                   || '</title><link rel="alternate" href="http://host'
+                   || CAST(h AS VARCHAR) || '.example/a0"/><updated>2024-05-'
+                   || lpad(CAST(h % 27 + 1 AS VARCHAR), 2, '0')
+                   || 'T00:00:00Z</updated></entry>'
+                   || '<entry><title>nolink</title></entry></feed>'
+                 END AS xml
+          FROM hosts),
+        rssb AS (
+          SELECT host, unnest(regexp_extract_all(xml,
+                   '(?s)<item>(.*?)</item>', 1)) AS blk
+          FROM feeds),
+        atomb AS (
+          SELECT host, unnest(regexp_extract_all(xml,
+                   '(?s)<entry>(.*?)</entry>', 1)) AS blk
+          FROM feeds),
+        both_kinds AS (
+          SELECT host, 'rss' AS kind,
+                 regexp_extract(blk, '(?s)<link>\s*(.*?)\s*</link>', 1)
+                   AS link,
+                 trim(regexp_replace(regexp_extract(blk,
+                   '(?s)<title>\s*(.*?)\s*</title>', 1),
+                   '<[^>]*>', '', 'g')) AS title,
+                 regexp_extract(blk,
+                   '(?s)<pubDate>\s*(.*?)\s*</pubDate>', 1) AS published
+          FROM rssb
+          UNION ALL
+          SELECT host, 'atom' AS kind,
+                 regexp_extract(blk, '(?i)<link[^>]*href="([^"]*)"', 1)
+                   AS link,
+                 trim(regexp_replace(regexp_extract(blk,
+                   '(?s)<title>\s*(.*?)\s*</title>', 1),
+                   '<[^>]*>', '', 'g')) AS title,
+                 regexp_extract(blk,
+                   '(?s)<updated>\s*(.*?)\s*</updated>', 1) AS published
+          FROM atomb)
+        SELECT host, kind, link, title, published
+        FROM both_kinds WHERE link <> ''
+    """
+
+    # structured_data: first-match-wins og extraction (the %11 DUP
+    # title must lose) + sorted distinct JSON-LD @type census.
+    _sd_html = """
+        '<html><head><meta name="viewport" content="w">'
+        || CASE WHEN doc_id % 2 = 0 THEN
+             '<meta property="og:title" content="T'
+             || CAST(doc_id AS VARCHAR) || '">' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0 THEN
+             '<meta property="og:type" content="article">'
+           WHEN doc_id % 3 = 1 THEN
+             '<meta property="og:type" content="product">'
+           ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN
+             '<meta property="og:image" content="https://img.example/'
+             || CAST(doc_id AS VARCHAR) || '.jpg">' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN
+             '<meta property="og:title" content="DUP">' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0 THEN
+             '<script type="application/ld+json">{"@type": "Article", '
+             || '"author": {"@type": "Person"}}</script>'
+           WHEN doc_id % 7 = 0 THEN
+             '<script type="application/ld+json">{"@type": "Product"}'
+             || '</script>'
+           ELSE '' END
+        || '</head><body>b</body></html>'
+    """
+    o["structured_data"] = f"""
+        WITH src AS (
+          SELECT 'https://sd.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+                 {_sd_html} AS html
+          FROM documents),
+        ex AS (
+          SELECT url,
+                 regexp_extract(html,
+                   '(?i)<meta[^>]*property="og:title"[^>]*content="([^"]*)"',
+                   1) AS og_title,
+                 regexp_extract(html,
+                   '(?i)<meta[^>]*property="og:type"[^>]*content="([^"]*)"',
+                   1) AS og_type,
+                 regexp_extract(html,
+                   '(?i)<meta[^>]*property="og:image"[^>]*content="([^"]*)"',
+                   1) AS og_image,
+                 regexp_extract(html,
+                   '(?i)<meta[^>]*property="og:url"[^>]*content="([^"]*)"',
+                   1) AS og_url,
+                 coalesce(array_to_string(list_sort(list_distinct(
+                   regexp_extract_all(html,
+                     '"@type"\\s*:\\s*"([A-Za-z]+)"', 1))), ','), '')
+                   AS jsonld_types
+          FROM src)
+        SELECT url, og_title, og_type, og_image, og_url, jsonld_types,
+               (og_title <> '' OR og_type <> '' OR og_image <> ''
+                OR og_url <> '' OR jsonld_types <> '') AS has_structured
+        FROM ex
+    """
+
+    # extraction_prf: token-multiset tp via per-token count full join;
+    # all-integer milli metrics (// is DuckDB floor division, matching
+    # Spark's `div`) so both engines agree bit-for-bit.
+    o["extraction_prf"] = r"""
+        WITH src AS (
+          SELECT doc_id, text AS truth,
+                 CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN text
+                   WHEN 1 THEN ''
+                   WHEN 2 THEN text || ' zz zz'
+                   ELSE text || ' ' || text END AS extracted
+          FROM documents),
+        tl AS (SELECT doc_id, unnest(list_filter(
+                 string_split_regex(truth, '\s+'), x -> x <> '')) AS tok
+               FROM src),
+        el AS (SELECT doc_id, unnest(list_filter(
+                 string_split_regex(extracted, '\s+'), x -> x <> '')) AS tok
+               FROM src),
+        tc AS (SELECT doc_id, tok, count(*) AS c FROM tl GROUP BY 1, 2),
+        ec AS (SELECT doc_id, tok, count(*) AS c FROM el GROUP BY 1, 2),
+        mt AS (SELECT coalesce(tc.doc_id, ec.doc_id) AS doc_id,
+                      least(coalesce(tc.c, 0), coalesce(ec.c, 0)) AS mn
+               FROM tc FULL JOIN ec
+                 ON tc.doc_id = ec.doc_id AND tc.tok = ec.tok),
+        tpj AS (SELECT doc_id, sum(mn) AS tp FROM mt GROUP BY 1),
+        base AS (
+          SELECT s.doc_id,
+                 CAST(len(list_filter(string_split_regex(s.truth, '\s+'),
+                   x -> x <> '')) AS BIGINT) AS n_truth,
+                 CAST(len(list_filter(string_split_regex(s.extracted, '\s+'),
+                   x -> x <> '')) AS BIGINT) AS n_extracted,
+                 CAST(coalesce(t.tp, 0) AS BIGINT) AS tp
+          FROM src s LEFT JOIN tpj t ON s.doc_id = t.doc_id),
+        m AS (
+          SELECT doc_id, n_truth, n_extracted, tp,
+                 n_extracted - tp AS fp, n_truth - tp AS fn
+          FROM base)
+        SELECT doc_id, n_truth, n_extracted, tp, fp, fn,
+               CAST(CASE WHEN n_extracted > 0 THEN tp * 1000 // n_extracted
+                         WHEN n_truth = 0 THEN 1000 ELSE 0 END AS BIGINT)
+                 AS precision_milli,
+               CAST(CASE WHEN n_truth > 0 THEN tp * 1000 // n_truth
+                         WHEN n_extracted = 0 THEN 1000 ELSE 0 END AS BIGINT)
+                 AS recall_milli,
+               CAST(CASE WHEN 2 * tp + fp + fn > 0
+                         THEN 2000 * tp // (2 * tp + fp + fn)
+                         ELSE 1000 END AS BIGINT) AS f1_milli
+        FROM m
     """
 
     # warc_ingest: parse fidelity — the WARC round trip must hand back

@@ -659,3 +659,131 @@ def template_clusters(
             F.col("_m.url").alias("example_url"),
         )
     )
+
+
+# ------------------------------------------------- RSS/Atom feed parse
+
+# Block-scoped like the sitemap parser: fields are extracted from each
+# <item>/<entry> capture so sporadic optional tags (pubDate, updated)
+# can never misalign across entries. All RE2-safe.
+RSS_ITEM_RE = r"(?s)<item>(.*?)</item>"
+ATOM_ENTRY_RE = r"(?s)<entry>(.*?)</entry>"
+FEED_TITLE_RE = r"(?s)<title>\s*(.*?)\s*</title>"
+RSS_LINK_RE = r"(?s)<link>\s*(.*?)\s*</link>"
+ATOM_LINK_RE = r'(?i)<link[^>]*href="([^"]*)"'
+RSS_DATE_RE = r"(?s)<pubDate>\s*(.*?)\s*</pubDate>"
+ATOM_DATE_RE = r"(?s)<updated>\s*(.*?)\s*</updated>"
+
+
+def parse_feed(
+    df: DataFrame, host_col: str = "host", xml_col: str = "feed_xml"
+) -> DataFrame:
+    """Parse RSS 2.0 / Atom feed bodies into one row per entry:
+    (host, kind, link, title, published) — ``kind`` is 'rss' for
+    <item> blocks, 'atom' for <entry> blocks (a body carrying both is
+    parsed for both, matching how a tolerant fetcher treats mislabeled
+    feeds). ``published`` is <pubDate> (RSS) / <updated> (Atom), '' when
+    absent; entries with no resolvable link are dropped (nothing to
+    fetch). Feeds are the crawl-discovery channel that surfaces NEW
+    urls hours before sitemaps regenerate — the freshness complement of
+    ``parse_sitemap`` upstream of ``crawl_schedule``.
+
+    Scale shape: two pure-codegen regexp_extract_all projections + one
+    explode each, exactly the sitemap parser's shape — no shuffle, no
+    Python, and the per-host feed body is KB-scale so the explode
+    fan-out is bounded by protocol (RSS convention caps feeds at tens
+    of entries). Reference analogue: the frame-list probe that seeds
+    the per-image OCR loop (src/processing/image_processor.py:62-80) —
+    a cheap manifest read ahead of the expensive extraction pass.
+    """
+    def entries(block_re: str, kind: str, link_re: str, date_re: str):
+        return (
+            df.select(
+                F.col(host_col).alias("host"),
+                F.explode(
+                    F.regexp_extract_all(
+                        F.col(xml_col), F.lit(block_re), 1
+                    )
+                ).alias("blk"),
+            )
+            .select(
+                "host",
+                F.lit(kind).alias("kind"),
+                F.regexp_extract(F.col("blk"), link_re, 1).alias("link"),
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_extract(F.col("blk"), FEED_TITLE_RE, 1),
+                        "<[^>]*>",
+                        "",
+                    )
+                ).alias("title"),
+                F.regexp_extract(F.col("blk"), date_re, 1).alias(
+                    "published"
+                ),
+            )
+            .where(F.col("link") != "")
+        )
+
+    return entries(RSS_ITEM_RE, "rss", RSS_LINK_RE, RSS_DATE_RE).unionByName(
+        entries(ATOM_ENTRY_RE, "atom", ATOM_LINK_RE, ATOM_DATE_RE)
+    )
+
+
+# ------------------------------------------------- structured data census
+
+OG_PROPS = ("title", "type", "image", "url")
+JSONLD_TYPE_RE = r'"@type"\s*:\s*"([A-Za-z]+)"'
+
+
+def og_jsonld(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Structured-data census: OpenGraph meta properties (og:title,
+    og:type, og:image, og:url — first match wins, like browsers and
+    link-preview fetchers) plus the sorted distinct schema.org @type
+    names found in JSON-LD script blocks, comma-joined. These are the
+    machine-readable labels a training-data pipeline uses to type pages
+    (Article vs Product vs Recipe) WITHOUT running content extraction —
+    the cheap router ahead of the expensive Arrow stage.
+
+    Returns (url, og_title, og_type, og_image, og_url, jsonld_types,
+    has_structured) — absent fields '', never NULL, so grouping is
+    total; ``has_structured`` flags pages carrying either signal.
+
+    Scale shape: five codegen regexp projections + one
+    regexp_extract_all/array_sort over the html scan — no shuffle, no
+    Python, column-pruned away when unused. Reference analogue: the
+    pre-OCR image-header probe (image_processor.py:62-80) — typed
+    metadata read before recognition.
+    """
+    h = F.col(html_col)
+
+    def og(prop: str) -> Column:
+        return F.regexp_extract(
+            h,
+            r'(?i)<meta[^>]*property="og:' + prop + r'"[^>]*content="([^"]*)"',
+            1,
+        )
+
+    types = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.regexp_extract_all(h, F.lit(JSONLD_TYPE_RE), 1)
+            )
+        ),
+        ",",
+    )
+    ogc = {p: og(p) for p in OG_PROPS}
+    return df.select(
+        F.col(url_col).alias("url"),
+        ogc["title"].alias("og_title"),
+        ogc["type"].alias("og_type"),
+        ogc["image"].alias("og_image"),
+        ogc["url"].alias("og_url"),
+        types.alias("jsonld_types"),
+        (
+            (ogc["title"] != "") | (ogc["type"] != "")
+            | (ogc["image"] != "") | (ogc["url"] != "")
+            | (types != "")
+        ).alias("has_structured"),
+    )

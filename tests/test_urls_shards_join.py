@@ -531,3 +531,81 @@ def test_template_clusters_structure_not_content(spark):
     (c,) = got
     assert c["n_pages"] == 2 and c["example_url"] == "https://a/1"
     assert c["n_tags"] == 2
+
+
+def test_parse_feed_rss_atom_fields(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import parse_feed
+
+    rss = (
+        "<rss><channel>"
+        "<item><title>One &amp; two</title><link> http://a/1 </link>"
+        "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+        "<item><title><b>rich</b> title</title><link>http://a/2</link></item>"
+        "<item><title>linkless drops</title></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed><entry><title>A1</title>'
+        '<link rel="alternate" href="http://b/x"/>'
+        "<updated>2024-05-01T00:00:00Z</updated></entry>"
+        "<entry><title>no link</title></entry></feed>"
+    )
+    df = spark.createDataFrame(
+        [Row(host="a", feed_xml=rss), Row(host="b", feed_xml=atom)]
+    )
+    got = {(r["host"], r["link"]): r for r in parse_feed(df).collect()}
+    # linkless entries dropped on both kinds
+    assert set(got) == {("a", "http://a/1"), ("a", "http://a/2"),
+                        ("b", "http://b/x")}
+    r1 = got[("a", "http://a/1")]
+    # link whitespace-trimmed, date captured, entities left as-is
+    assert r1["kind"] == "rss"
+    assert r1["title"] == "One &amp; two"
+    assert r1["published"] == "Mon, 01 Jan 2024 00:00:00 GMT"
+    # inner markup stripped from titles; missing date is '' never NULL
+    r2 = got[("a", "http://a/2")]
+    assert r2["title"] == "rich title" and r2["published"] == ""
+    r3 = got[("b", "http://b/x")]
+    assert r3["kind"] == "atom"
+    assert r3["published"] == "2024-05-01T00:00:00Z"
+
+
+def test_og_jsonld_first_wins_and_census(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import og_jsonld
+
+    html = (
+        '<html><head>'
+        '<meta property="og:title" content="First"/>'
+        '<meta property="og:title" content="Second"/>'
+        '<meta property="og:type" content="article"/>'
+        '<script type="application/ld+json">'
+        '{"@type": "Article", "author": {"@type": "Person"}, '
+        '"also": {"@type": "Article"}}</script>'
+        "</head></html>"
+    )
+    df = spark.createDataFrame(
+        [Row(url="u1", html=html), Row(url="u2", html="<html></html>")]
+    )
+    got = {r["url"]: r for r in og_jsonld(df).collect()}
+    # first match wins, like browsers/link-preview fetchers
+    assert got["u1"]["og_title"] == "First"
+    assert got["u1"]["og_type"] == "article"
+    # sorted distinct @type names; absent fields '' never NULL
+    assert got["u1"]["jsonld_types"] == "Article,Person"
+    assert got["u1"]["og_image"] == "" and got["u1"]["has_structured"]
+    assert got["u2"]["jsonld_types"] == ""
+    assert not got["u2"]["has_structured"]
+
+
+def test_og_jsonld_plan_is_shuffle_free(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import og_jsonld
+
+    df = spark.createDataFrame([Row(url="u", html="<html></html>")])
+    plan = og_jsonld(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
