@@ -787,3 +787,151 @@ def og_jsonld(
             | (types != "")
         ).alias("has_structured"),
     )
+
+
+# ------------------------------------------------- outlink extraction
+
+A_BLOCK_RE = r"(?is)(<a\s[^>]*>.*?</a>)"
+HREF_RE = r'(?is)<a\s[^>]*href\s*=\s*"([^"]*)"'
+ANCHOR_INNER_RE = r"(?is)^<a\s[^>]*>(.*)</a>$"
+NOFOLLOW_RE = r'(?is)<a\s[^>]*rel\s*=\s*"[^"]*nofollow'
+ABS_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
+
+
+def _remove_dot_segments(path: Column, depth: int = 4) -> Column:
+    """RFC 3986 §5.2.4 dot-segment removal as a bounded pass chain —
+    RE2-safe (no lookaround), so a SQL oracle can mirror it keystroke
+    for keystroke. ``depth`` bounds the '..' nesting handled (real
+    pages rarely exceed 2); each pass is a global left-to-right
+    replace, which both java.util.regex and RE2 apply identically.
+    """
+    p = path
+    for _ in range(2):  # '/./' collapses ('/././' needs two passes)
+        p = F.regexp_replace(p, r"/\./", "/")
+    p = F.regexp_replace(p, r"/\.$", "/")
+    for _ in range(depth):  # '/seg/../' pops one level per pass
+        p = F.regexp_replace(p, r"/[^/]+/\.\./", "/")
+    p = F.regexp_replace(p, r"/[^/]+/\.\.$", "/")
+    # '..' left at the root resolves to the root, per spec
+    p = F.regexp_replace(p, r"^(/\.\.)+(/|$)", "/")
+    return p
+
+
+def extract_links(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Extract <a href> outlinks and resolve them against the page URL:
+    one row per anchor, (url, href, abs_url, anchor, nofollow,
+    is_internal). This is the operator that turns a page corpus into
+    the LINK GRAPH the PageRank/HITS/anchor-text family consumes — the
+    crawl-frontier feeder and the spam/authority signal source.
+
+    Resolution (RFC 3986 subset, documented bounds):
+    - fragments are stripped; fragment-only hrefs drop (self links);
+    - absolute http(s) hrefs pass through; other schemes (javascript:,
+      mailto:, data:) drop — nothing to crawl;
+    - '//host/p' takes the base scheme; '/p' takes scheme://host;
+      relative paths resolve against the base directory with
+      dot-segment removal bounded at 4 levels of '../';
+    - ``anchor`` is the inner text, tags stripped, whitespace-trimmed;
+      ``nofollow`` reads rel="...nofollow..."; ``is_internal``
+      compares lowercased hosts.
+
+    Scale shape: one regexp_extract_all + explode over the html scan,
+    then pure codegen regex projections — no shuffle, no Python; the
+    downstream host-graph groupBy is the first exchange, keyed on the
+    (salted if hot) host. Reference analogue: the ROI-detect step that
+    turns a frame into the list of regions the recognize loop consumes
+    (src/processing/image_processor.py:82-129) — here a page into the
+    list of edges the graph ops consume.
+    """
+    a = F.col("_a")
+    base = F.col("_u")
+    blocks = df.select(
+        F.col(url_col).alias("_u"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(A_BLOCK_RE), 1)
+        ).alias("_a"),
+    )
+    href = F.regexp_extract(a, HREF_RE, 1)
+    # base parts (query/fragment-free)
+    b0 = F.regexp_replace(F.regexp_replace(base, r"#.*$", ""), r"\?.*$", "")
+    scheme = F.lower(F.regexp_extract(b0, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    bhost = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(b0, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1),
+            r":\d+$", "",
+        )
+    )
+    origin = F.regexp_extract(b0, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    bpath = F.regexp_extract(b0, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)$", 1)
+    bdir = F.regexp_replace(
+        F.when(bpath == "", F.lit("/")).otherwise(bpath), r"[^/]*$", ""
+    )
+    # href with fragment stripped
+    h0 = F.regexp_replace(href, r"#.*$", "")
+    is_abs = h0.rlike(ABS_SCHEME_RE)
+    raw_path = (
+        F.when(h0.startswith("/"), h0)
+        .otherwise(F.concat(bdir, h0))
+    )
+    abs_url = (
+        F.when(h0 == "", F.lit(None).cast("string"))
+        .when(is_abs & h0.rlike(r"(?i)^https?://"), h0)
+        .when(is_abs, F.lit(None).cast("string"))
+        .when(h0.startswith("//"), F.concat(scheme, F.lit(":"), h0))
+        .otherwise(F.concat(origin, _remove_dot_segments(raw_path)))
+    )
+    anchor = F.trim(
+        F.regexp_replace(
+            F.regexp_extract(a, ANCHOR_INNER_RE, 1), "<[^>]*>", ""
+        )
+    )
+    lhost = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(abs_url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1),
+            r":\d+$", "",
+        )
+    )
+    return (
+        blocks.select(
+            base.alias("url"),
+            href.alias("href"),
+            abs_url.alias("abs_url"),
+            anchor.alias("anchor"),
+            a.rlike(NOFOLLOW_RE).alias("nofollow"),
+            (lhost == bhost).alias("is_internal"),
+        )
+        .where(F.col("abs_url").isNotNull())
+    )
+
+
+def host_outlinks(links: DataFrame) -> DataFrame:
+    """Collapse ``extract_links`` output into weighted host-graph edges
+    (src_host, dst_host, n_links, n_follow) — external links only; the
+    aggregation is the pipeline's FIRST shuffle and its output is
+    hosts², tiny next to the page table, so everything downstream
+    (PageRank, HITS, reciprocity) runs on a broadcastable table."""
+    src = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(F.col("url"),
+                             r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1),
+            r":\d+$", "",
+        )
+    )
+    dst = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(F.col("abs_url"),
+                             r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1),
+            r":\d+$", "",
+        )
+    )
+    return (
+        links.where(~F.col("is_internal"))
+        .groupBy(src.alias("src_host"), dst.alias("dst_host"))
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.sum(F.when(~F.col("nofollow"), 1).otherwise(0))
+            .cast("long").alias("n_follow"),
+        )
+    )

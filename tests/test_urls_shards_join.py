@@ -609,3 +609,65 @@ def test_og_jsonld_plan_is_shuffle_free(spark):
     df = spark.createDataFrame([Row(url="u", html="<html></html>")])
     plan = og_jsonld(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_extract_links_resolution_branches(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import extract_links
+
+    html = (
+        '<a href="https://ext.example/page#frag">External <b>bold</b></a>'
+        '<a href="/root/x">RootRel</a>'
+        '<a href="sub/y.html">Rel</a>'
+        '<a href="../up/z">Up</a>'
+        '<a href="//cdn.example/lib.js">ProtoRel</a>'
+        '<a href="mailto:x@y.z">Mail</a>'
+        '<a href="javascript:void(0)">JS</a>'
+        '<a href="#top">FragOnly</a>'
+        '<a rel="external nofollow" href="https://spam.example/">NF</a>'
+        '<a href="a/b/../../c/./d">Tricky</a>'
+    )
+    df = spark.createDataFrame(
+        [Row(url="https://h.example/dir/sub/page.html?q=1", html=html)]
+    )
+    got = {r["href"]: r for r in extract_links(df).collect()}
+    # mailto:/javascript:/fragment-only all drop — nothing to crawl
+    assert len(got) == 7
+    res = {h: r["abs_url"] for h, r in got.items()}
+    assert res["https://ext.example/page#frag"] == "https://ext.example/page"
+    assert res["/root/x"] == "https://h.example/root/x"
+    # relative paths resolve against the base DIRECTORY, not the page
+    assert res["sub/y.html"] == "https://h.example/dir/sub/sub/y.html"
+    assert res["../up/z"] == "https://h.example/dir/up/z"
+    # protocol-relative takes the base scheme
+    assert res["//cdn.example/lib.js"] == "https://cdn.example/lib.js"
+    # mixed ./ and ../ dot segments, RFC 3986 §5.2.4
+    assert res["a/b/../../c/./d"] == "https://h.example/dir/sub/c/d"
+    ext = got["https://ext.example/page#frag"]
+    assert ext["anchor"] == "External bold" and not ext["is_internal"]
+    assert got["https://spam.example/"]["nofollow"]
+    assert got["/root/x"]["is_internal"]
+    # the extraction itself adds no shuffle
+    plan = extract_links(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_host_outlinks_external_edges_only(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import extract_links, host_outlinks
+
+    html = (
+        '<a href="/internal">i</a>'
+        '<a href="https://b.example/1">e1</a>'
+        '<a href="https://b.example/2">e2</a>'
+        '<a rel="nofollow" href="https://b.example/3">e3</a>'
+    )
+    df = spark.createDataFrame([Row(url="https://a.example/p", html=html)])
+    got = host_outlinks(extract_links(df)).collect()
+    assert len(got) == 1
+    (e,) = got
+    assert (e["src_host"], e["dst_host"]) == ("a.example", "b.example")
+    # internal link excluded; nofollow counted in n_links but not n_follow
+    assert (e["n_links"], e["n_follow"]) == (3, 2)
