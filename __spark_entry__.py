@@ -1518,6 +1518,151 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extraction_prf"] = extraction_prf_q
 
+    def _link_corpus(spark, sf_dir):
+        """One page per document at https://host{%20}.example/d{%7}/
+        p{id}.html whose anchors exercise every resolution branch:
+        an always-present absolute external link (fragment to strip,
+        markup in the anchor), root-relative on %2, '../' relative on
+        %3, a rel=nofollow external on %4, a mailto: (must drop) on
+        %5, a fragment-only self link (must drop) on %6, and a
+        protocol-relative CDN link on %7."""
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        url = F.concat(
+            F.lit("https://host"), s(did % 20), F.lit(".example/d"),
+            s(did % 7), F.lit("/p"), s(did), F.lit(".html"),
+        )
+        html = F.concat(
+            F.lit('<p>x</p><a href="https://hub'), s(did % 5),
+            F.lit('.example/t#x">hub <b>'), s(did % 5), F.lit("</b></a>"),
+            F.when(did % 2 == 0,
+                   F.lit('<a href="/a/b">root</a>')).otherwise(F.lit("")),
+            F.when(did % 3 == 0,
+                   F.lit('<a href="../x/y.html">up</a>')).otherwise(F.lit("")),
+            F.when(did % 4 == 0,
+                   F.lit('<a rel="ugc nofollow" href="https://spam.example/s">'
+                         "spam</a>")).otherwise(F.lit("")),
+            F.when(did % 5 == 0,
+                   F.lit('<a href="mailto:a@b.c">mail</a>')).otherwise(F.lit("")),
+            F.when(did % 6 == 0,
+                   F.lit('<a href="#sec">self</a>')).otherwise(F.lit("")),
+            F.when(did % 7 == 0,
+                   F.lit('<a href="//cdn.example/f.js">cdn</a>'))
+            .otherwise(F.lit("")),
+        )
+        return docs.select(url.alias("url"), html.alias("html"))
+
+    def extracted_links_q(spark, sf_dir):
+        """Outlink extraction + RFC 3986-subset resolution: fragments
+        stripped, non-crawlable schemes and self links dropped,
+        dot-segments removed, nofollow/is_internal flagged."""
+        from narowi_ocr_spark.operators.urls import extract_links
+
+        return extract_links(_link_corpus(spark, sf_dir))
+
+    q["extracted_links"] = extracted_links_q
+
+    def host_outlink_graph_q(spark, sf_dir):
+        """Pages → weighted host-graph edges: external links only,
+        grouped on (src_host, dst_host) with follow counts — the ONE
+        shuffle that turns a page table into the broadcastable graph
+        the PageRank/HITS family consumes."""
+        from narowi_ocr_spark.operators.urls import (
+            extract_links,
+            host_outlinks,
+        )
+
+        return host_outlinks(extract_links(_link_corpus(spark, sf_dir)))
+
+    q["host_outlink_graph"] = host_outlink_graph_q
+
+    def table_cells_q(spark, sf_dir):
+        """HTML table explode: per-doc table 0 has a <th> header row of
+        C=%3+2 columns over R=%4+1 data rows (cell r{r}c{c}, the first
+        bold-polluted), %5 docs carry a second header-less table —
+        sizes vary by stratum so indexes, header flags and tag
+        stripping are all load-bearing."""
+        from narowi_ocr_spark.operators.domstruct import extract_tables
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        ncols = (did % 3 + 2).cast("int")
+        nrows = (did % 4 + 1).cast("int")
+        idxs = F.sequence(F.lit(0), F.lit(3))
+        hdr = F.concat(
+            F.lit("<tr>"),
+            F.aggregate(
+                F.filter(idxs, lambda i: i < ncols),
+                F.lit(""),
+                lambda acc, i: F.concat(
+                    acc, F.lit("<th>h"), i.cast("string"), F.lit("</th>")
+                ),
+            ),
+            F.lit("</tr>"),
+        )
+        body = F.aggregate(
+            F.filter(idxs, lambda r: r < nrows),
+            F.lit(""),
+            lambda acc, r: F.concat(
+                acc,
+                F.lit("<tr>"),
+                F.aggregate(
+                    F.filter(idxs, lambda i: i < ncols),
+                    F.lit(""),
+                    lambda a2, i: F.concat(
+                        a2,
+                        F.when((r == 0) & (i == 0),
+                               F.lit("<td><b>r0c0</b></td>")).otherwise(
+                            F.concat(F.lit("<td>r"), r.cast("string"),
+                                     F.lit("c"), i.cast("string"),
+                                     F.lit("</td>"))
+                        ),
+                    ),
+                ),
+                F.lit("</tr>"),
+            ),
+        )
+        html = F.concat(
+            F.lit("<html><body><table>"), hdr, body, F.lit("</table>"),
+            F.when(did % 5 == 0,
+                   F.lit("<table><tr><td>x0</td><td>x1</td></tr></table>"))
+            .otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://tb.example/"), s(did)).alias("url"),
+            html.alias("html"),
+        )
+        return extract_tables(pages)
+
+    q["table_cells"] = table_cells_q
+
+    def heading_outline_q(spark, sf_dir):
+        """h1-h6 outline: conditional h2/h3 presence per stratum makes
+        the document-order pos ordinal non-trivial; one heading carries
+        inner markup to strip."""
+        from narowi_ocr_spark.operators.domstruct import heading_outline
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        html = F.concat(
+            F.lit("<h1>Title "), s(did), F.lit("</h1><p>x</p>"),
+            F.when(did % 2 == 0, F.lit("<h2>Sec A</h2>")).otherwise(F.lit("")),
+            F.when(did % 3 == 0, F.lit("<h2>Sec <i>B</i></h2>"))
+            .otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.lit("<h3> Deep </h3>")).otherwise(F.lit("")),
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://hd.example/"), s(did)).alias("url"),
+            html.alias("html"),
+        )
+        return heading_outline(pages)
+
+    q["heading_outline"] = heading_outline_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -6007,6 +6152,110 @@ def oracle_sql() -> dict[str, str]:
                (og_title <> '' OR og_type <> '' OR og_image <> ''
                 OR og_url <> '' OR jsonld_types <> '') AS has_structured
         FROM ex
+    """
+
+    # extracted_links / host_outlink_graph: the oracle derives each
+    # resolved link in CLOSED FORM from the corpus formula (independent
+    # ground truth, not a regex re-implementation) — '../x/y.html'
+    # against /d{k}/p{id}.html always resolves to /x/y.html, etc.
+    _links_cte = """
+        pages AS (
+          SELECT doc_id,
+                 'https://host' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.example/d' || CAST(doc_id % 7 AS VARCHAR)
+                 || '/p' || CAST(doc_id AS VARCHAR) || '.html' AS url,
+                 'host' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+                   AS bhost
+          FROM documents),
+        links AS (
+          SELECT url,
+                 'https://hub' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.example/t#x' AS href,
+                 'https://hub' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.example/t' AS abs_url,
+                 'hub ' || CAST(doc_id % 5 AS VARCHAR) AS anchor,
+                 FALSE AS nofollow, FALSE AS is_internal
+          FROM pages
+          UNION ALL
+          SELECT url, '/a/b',
+                 'https://' || bhost || '/a/b', 'root', FALSE, TRUE
+          FROM pages WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT url, '../x/y.html',
+                 'https://' || bhost || '/x/y.html', 'up', FALSE, TRUE
+          FROM pages WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT url, 'https://spam.example/s',
+                 'https://spam.example/s', 'spam', TRUE, FALSE
+          FROM pages WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT url, '//cdn.example/f.js',
+                 'https://cdn.example/f.js', 'cdn', FALSE, FALSE
+          FROM pages WHERE doc_id % 7 = 0)
+    """
+
+    o["extracted_links"] = f"""
+        WITH {_links_cte}
+        SELECT url, href, abs_url, anchor, nofollow, is_internal
+        FROM links
+    """
+
+    o["host_outlink_graph"] = f"""
+        WITH {_links_cte}
+        SELECT regexp_extract(url, '^https://([^/]*)', 1) AS src_host,
+               regexp_extract(abs_url, '^https://([^/]*)', 1) AS dst_host,
+               CAST(count(*) AS BIGINT) AS n_links,
+               CAST(sum(CASE WHEN nofollow THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_follow
+        FROM links
+        WHERE NOT is_internal
+        GROUP BY 1, 2
+    """
+
+    # table_cells / heading_outline: closed-form oracles — the expected
+    # cells/headings are derived from the corpus formula via
+    # generate_series, never by re-parsing html.
+    o["table_cells"] = """
+        WITH pages AS (
+          SELECT doc_id,
+                 'https://tb.example/' || CAST(doc_id AS VARCHAR) AS url,
+                 CAST(doc_id % 3 + 2 AS INT) AS nc,
+                 CAST(doc_id % 4 + 1 AS INT) AS nr
+          FROM documents)
+        SELECT url, 0 AS table_idx, 0 AS row_idx, CAST(i AS INT) AS col_idx,
+               TRUE AS is_header, 'h' || CAST(i AS VARCHAR) AS cell
+        FROM pages, generate_series(0, 3) t(i) WHERE i < nc
+        UNION ALL
+        SELECT url, 0, CAST(r + 1 AS INT), CAST(i AS INT), FALSE,
+               'r' || CAST(r AS VARCHAR) || 'c' || CAST(i AS VARCHAR)
+        FROM pages, generate_series(0, 3) tr(r), generate_series(0, 3) t(i)
+        WHERE r < nr AND i < nc
+        UNION ALL
+        SELECT url, 1, 0, 0, FALSE, 'x0' FROM pages WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT url, 1, 0, 1, FALSE, 'x1' FROM pages WHERE doc_id % 5 = 0
+    """
+
+    o["heading_outline"] = """
+        WITH pages AS (
+          SELECT doc_id,
+                 'https://hd.example/' || CAST(doc_id AS VARCHAR) AS url,
+                 CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+                   AS has_a,
+                 CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+                   AS has_b,
+                 CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT)
+                   AS has_d
+          FROM documents)
+        SELECT url, 0 AS pos, 1 AS level,
+               'Title ' || CAST(doc_id AS VARCHAR) AS text
+        FROM pages
+        UNION ALL
+        SELECT url, 1, 2, 'Sec A' FROM pages WHERE has_a = 1
+        UNION ALL
+        SELECT url, has_a + 1, 2, 'Sec B' FROM pages WHERE has_b = 1
+        UNION ALL
+        SELECT url, has_a + has_b + 1, 3, 'Deep' FROM pages WHERE has_d = 1
     """
 
     # extraction_prf: token-multiset tp via per-token count full join;
