@@ -1663,6 +1663,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["heading_outline"] = heading_outline_q
 
+    def redirect_chains_q(spark, sf_dir):
+        """Pointer-doubling chain resolution: u{id}→u{id-1} except at
+        %8 boundaries builds chains of length 0-7 ending at u{8k};
+        a planted 2-cycle (c0↔c1) plus an entry into it (e0) must come
+        back unresolved with hops pinned at the cap."""
+        from narowi_ocr_spark.operators.redirects import resolve_redirects
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        u = F.concat(F.lit("u"), did.cast("string"))
+        edges = docs.where(did % 8 != 0).select(
+            u.alias("src"),
+            F.concat(F.lit("u"), (did - 1).cast("string")).alias("dst"),
+        ).unionByName(spark.createDataFrame(
+            [("c0", "c1"), ("c1", "c0"), ("e0", "c0")],
+            "src string, dst string",
+        ))
+        nodes = docs.select(u.alias("src")).unionByName(
+            spark.createDataFrame([("c0",), ("c1",), ("e0",)], "src string")
+        )
+        # corpus chains are <= 7 hops; cap 8 = 3 doubling rounds
+        # (prod default 32 exercised in tests)
+        return resolve_redirects(edges, nodes=nodes, max_hops=8)
+
+    q["redirect_chains"] = redirect_chains_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -6256,6 +6282,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, has_a + 1, 2, 'Sec B' FROM pages WHERE has_b = 1
         UNION ALL
         SELECT url, has_a + has_b + 1, 3, 'Deep' FROM pages WHERE has_d = 1
+    """
+
+    # redirect_chains: closed-form oracle — every chain's terminal and
+    # exact length follow from the %8 corpus formula; the planted cycle
+    # rows are spelled out (2^3-step doubling from e0 lands on c1).
+    o["redirect_chains"] = """
+        SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+               'u' || CAST(doc_id - doc_id % 8 AS VARCHAR) AS final,
+               CAST(doc_id % 8 AS INT) AS hops,
+               TRUE AS resolved
+        FROM documents WHERE doc_id % 8 <> 0
+        UNION ALL
+        SELECT 'u' || CAST(doc_id AS VARCHAR),
+               'u' || CAST(doc_id AS VARCHAR), 0, TRUE
+        FROM documents WHERE doc_id % 8 = 0
+        UNION ALL
+        SELECT * FROM (VALUES ('c0', 'c0', 8, FALSE),
+                              ('c1', 'c1', 8, FALSE),
+                              ('e0', 'c1', 8, FALSE))
+          v(src, final, hops, resolved)
     """
 
     # extraction_prf: token-multiset tp via per-token count full join;
