@@ -1689,6 +1689,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["redirect_chains"] = redirect_chains_q
 
+    def content_types_q(spark, sf_dir):
+        """Magic-byte payload router: nine %9 strata cover the fixed
+        signatures (pdf/gzip/png/jpeg/webp-in-riff), the
+        whitespace-tolerant text sniffs (doctype html, json, xml) and
+        an unknown fallthrough."""
+        from narowi_ocr_spark.functions.sniff import sniff_type
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        m = (did % 9).cast("int")
+        payload = (
+            F.when(m == 0, F.lit(b"%PDF-1.7\nxx"))
+            .when(m == 1, F.lit(b"\x1f\x8b\x08\x00zz"))
+            .when(m == 2, F.lit(b"\x89PNG\r\n\x1a\n"))
+            .when(m == 3, F.lit(b"\xff\xd8\xff\xe0JFIF"))
+            .when(m == 4, F.encode(
+                F.concat(F.lit("  \n<!DOCTYPE HTML><html>x"),
+                         did.cast("string")), "UTF-8"))
+            .when(m == 5, F.encode(F.lit('{"k": 1}'), "UTF-8"))
+            .when(m == 6, F.encode(F.lit('<?xml version="1.0"?><a/>'),
+                                   "UTF-8"))
+            .when(m == 7, F.lit(b"RIFF\x00\x00\x00\x00WEBPVP8 "))
+            .otherwise(F.encode(
+                F.concat(F.lit("plain text "), did.cast("string")), "UTF-8"))
+        )
+        return docs.select("doc_id", sniff_type(payload).alias("ctype"))
+
+    q["content_types"] = content_types_q
+
+    def recrawl_priority_q(spark, sf_dir):
+        """Change-rate recrawl signal over a synthetic fetch history:
+        %3+2 fetches per url at %5+1-minute cadence, content version
+        bumping every second fetch (phase-shifted by %2) — exact
+        integer change_ppm and µs intervals."""
+        from narowi_ocr_spark.operators.urls import recrawl_stats
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        k = (did % 3 + 2).cast("int")
+        exploded = docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), k - 1)).alias("j"),
+        )
+        j = F.col("j").cast("long")
+        d2 = F.col("doc_id")
+        us = (
+            F.lit(1704067200000000)
+            + d2 * 1000000
+            + j * (d2 % 5 + 1) * 60000000
+        )
+        ver = F.shiftright(j + d2 % 2, 1)
+        hist = exploded.select(
+            F.concat(F.lit("u"), d2.cast("string")).alias("url"),
+            F.timestamp_micros(us).alias("fetch_ts"),
+            F.md5(F.concat(F.lit("v"), ver.cast("string"), F.lit("_"),
+                           d2.cast("string"))).alias("content_md5"),
+        )
+        return recrawl_stats(hist)
+
+    q["recrawl_priority"] = recrawl_priority_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -6302,6 +6363,46 @@ def oracle_sql() -> dict[str, str]:
                               ('c1', 'c1', 8, FALSE),
                               ('e0', 'c1', 8, FALSE))
           v(src, final, hops, resolved)
+    """
+
+    # content_types: label per stratum in closed form — the oracle
+    # never touches bytes, it IS the ground truth the sniffer must hit.
+    o["content_types"] = """
+        SELECT doc_id,
+               CASE CAST(doc_id % 9 AS INT)
+                 WHEN 0 THEN 'pdf'    WHEN 1 THEN 'gzip'
+                 WHEN 2 THEN 'png'    WHEN 3 THEN 'jpeg'
+                 WHEN 4 THEN 'html'   WHEN 5 THEN 'json'
+                 WHEN 6 THEN 'xml'    WHEN 7 THEN 'webp'
+                 ELSE 'unknown' END AS ctype
+        FROM documents
+    """
+
+    # recrawl_priority: independent lag-window re-derivation on integer
+    # µs — no timestamps materialized, digests only compared.
+    o["recrawl_priority"] = """
+        WITH hist AS (
+          SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                 1704067200000000 + doc_id * 1000000
+                   + j * (doc_id % 5 + 1) * 60000000 AS us,
+                 md5('v' || CAST((j + doc_id % 2) // 2 AS VARCHAR)
+                     || '_' || CAST(doc_id AS VARCHAR)) AS d
+          FROM documents, generate_series(0, 3) g(j)
+          WHERE j < doc_id % 3 + 2),
+        lagged AS (
+          SELECT url, us,
+                 CASE WHEN lag(d) OVER w IS NOT NULL
+                       AND d <> lag(d) OVER w THEN 1 ELSE 0 END AS chg
+          FROM hist WINDOW w AS (PARTITION BY url ORDER BY us))
+        SELECT url,
+               CAST(count(*) AS BIGINT) AS n_fetches,
+               CAST(sum(chg) AS BIGINT) AS n_changes,
+               CAST(sum(chg) * 1000000 // (count(*) - 1) AS BIGINT)
+                 AS change_ppm,
+               CAST(max(us) - min(us) AS BIGINT) AS span_us,
+               CAST((max(us) - min(us)) // (count(*) - 1) AS BIGINT)
+                 AS mean_interval_us
+        FROM lagged GROUP BY url HAVING count(*) >= 2
     """
 
     # extraction_prf: token-multiset tp via per-token count full join;

@@ -935,3 +935,68 @@ def host_outlinks(links: DataFrame) -> DataFrame:
             .cast("long").alias("n_follow"),
         )
     )
+
+
+# ------------------------------------------------- recrawl scheduling
+
+def recrawl_stats(
+    history: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    digest_col: str = "content_md5",
+) -> DataFrame:
+    """Per-url change-rate statistics over a fetch history — the signal
+    a recrawl scheduler ranks on (the Cho & Garcia-Molina freshness
+    line of work: pages that changed between past fetches get short
+    revisit intervals; static pages decay to long ones).
+
+    Input: one row per (url, fetch), ``digest_col`` a content digest.
+    Output one row per url with ≥2 fetches: (url, n_fetches,
+    n_changes, change_ppm, span_us, mean_interval_us) — a change is a
+    fetch whose digest differs from the previous fetch's;
+    ``change_ppm`` = 10⁶·n_changes/(n_fetches−1). All integer exact
+    (µs timestamps, floor division) so any SQL engine agrees
+    bit-for-bit.
+
+    Scale shape: ONE shuffle, keyed on url (the same key the fetch log
+    is naturally bucketed by): a lag window then a groupBy on the same
+    key — AQE collapses them onto one exchange. The output is
+    url-cardinality, tiny next to the history. Reference analogue: the
+    per-frame confidence history the engine's retry policy consults
+    (src/core/ocr_engine.py:88-118) — past observations driving the
+    next attempt's parameters.
+    """
+    w = Window.partitionBy(url_col).orderBy(F.col(ts_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lagged = history.select(
+        F.col(url_col).alias("url"),
+        us.alias("_us"),
+        F.col(digest_col).alias("_d"),
+    ).select(
+        "url",
+        "_us",
+        (
+            F.lag("_d").over(
+                Window.partitionBy("url").orderBy("_us")
+            ).isNotNull()
+            & (
+                F.col("_d")
+                != F.lag("_d").over(
+                    Window.partitionBy("url").orderBy("_us")
+                )
+            )
+        ).cast("int").alias("_chg"),
+    )
+    agg = lagged.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum("_chg").cast("long").alias("n_changes"),
+        (F.max("_us") - F.min("_us")).alias("span_us"),
+    )
+    return agg.where(F.col("n_fetches") >= 2).select(
+        "url",
+        "n_fetches",
+        "n_changes",
+        F.expr("n_changes * 1000000 div (n_fetches - 1)").alias("change_ppm"),
+        "span_us",
+        F.expr("span_us div (n_fetches - 1)").alias("mean_interval_us"),
+    )
