@@ -1750,6 +1750,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["recrawl_priority"] = recrawl_priority_q
 
+    def extraction_sniffed_q(spark, sf_dir):
+        """Raw-WARC path: a mixed corpus (even docs PDF byte streams,
+        odd docs wrapped HTML) with NO doc_type column runs through
+        sniff_routing=True — magic bytes pick the parser per row inside
+        one unbranched plan. Both parsers round-trip the text, so a
+        routing mistake shows up as garbage extracted_text; confidence
+        discriminates further (single-block PDF formula vs the 3-block
+        HTML mean)."""
+        import pandas as pd
+
+        from narowi_ocr_spark.operators.pdftext import build_pdf
+        from narowi_ocr_spark.plans.pipeline import extract_pages
+
+        def mk(batches):
+            ts = pd.Timestamp("2024-01-01")
+            esc = lambda s: (  # noqa: E731
+                s.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;")
+            )
+            for b in batches:
+                payloads, urls = [], []
+                for i, t in zip(b["doc_id"], b["text"]):
+                    i = int(i)
+                    if i % 2 == 0:
+                        urls.append(f"pdf://{i}")
+                        payloads.append(build_pdf(t, compress=(i % 4 == 0)))
+                    else:
+                        urls.append(f"doc://{i}")
+                        payloads.append(
+                            (NAV_HTML + esc(t) + FOOTER_HTML).encode()
+                        )
+                yield pd.DataFrame(
+                    {"url": urls, "warc_ts": ts, "html": payloads}
+                )
+
+        docs = _docs(spark, sf_dir)
+        pages = docs.select("doc_id", "text").mapInPandas(
+            mk, "url string, warc_ts timestamp, html binary"
+        )
+        out = extract_pages(pages, sniff_routing=True)
+        return out.select("url", "extracted_text", "confidence")
+
+    q["extraction_sniffed"] = extraction_sniffed_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -5615,6 +5659,26 @@ def oracle_sql() -> dict[str, str]:
         WITH {_scores_cte}
         SELECT doc_id, extracted_text, {_conf_sql} AS confidence
         FROM s
+    """
+
+    # extraction_sniffed: even docs are PDF byte streams (single-block
+    # confidence over the round-tripped text), odd docs wrapped HTML
+    # (3-block mean) — the router is proven by each row landing on its
+    # modality's text AND confidence formula.
+    _sniff_pdf_conf = _round4_sql(
+        "100.0 * least(greatest((0.7 * (1.0 - 0.0)) + "
+        "(0.3 * least(CAST(length(extracted_text) AS DOUBLE) / 200.0, "
+        "1.0)), 0.0), 1.0)"
+    )
+    o["extraction_sniffed"] = f"""
+        WITH {_scores_cte}
+        SELECT 'pdf://' || CAST(doc_id AS VARCHAR) AS url,
+               extracted_text, {_sniff_pdf_conf} AS confidence
+        FROM s WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+               extracted_text, {_conf_sql} AS confidence
+        FROM s WHERE doc_id % 2 = 1
     """
 
     # T7: config 0 = wrapped page (3 blocks), config 1 = <p>-only page

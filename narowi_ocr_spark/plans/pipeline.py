@@ -193,6 +193,19 @@ EXTRACTION_MODES: dict[str, dict] = {
 DEFAULT_DOC_TYPE = "article"
 
 
+def sniffed_doc_type(html: Column) -> Column:
+    """Route a typeless payload by magic bytes (functions/sniff): PDF
+    byte streams take the 'pdf' mode, everything else the default DOM
+    mode. This is what lets a raw WARC corpus — where Content-Type
+    headers lie and no doc_type column exists — run mixed HTML+PDF
+    through ONE unbranched extraction plan."""
+    from narowi_ocr_spark.functions.sniff import sniff_type
+
+    return F.when(sniff_type(html) == "pdf", F.lit("pdf")).otherwise(
+        F.lit(DEFAULT_DOC_TYPE)
+    )
+
+
 def mode_config(doc_type: Column) -> Column:
     """struct<max_html_bytes,min_text_len,max_link_density,parser> for
     the row's doc type; unknown/null types fall back to 'article'.
@@ -217,6 +230,7 @@ def extract_pages(
     keep_blocks: bool = False,
     max_html_bytes: int | None = MAX_HTML_BYTES,
     doc_type_col: str | None = None,
+    sniff_routing: bool = False,
 ) -> DataFrame:
     """pages → per-url result rows
     (url, warc_ts, status, readings, confidence, error_message,
@@ -231,7 +245,16 @@ def extract_pages(
     to the two-stage variant, which materializes the scored block array
     for debugging/inspection queries; that debug path tokenizes as HTML
     only (rows whose mode selects the PDF parser yield no blocks there
-    — use the default fused path for mixed-modality corpora)."""
+    — use the default fused path for mixed-modality corpora).
+
+    ``sniff_routing=True`` (only meaningful when ``doc_type_col`` is
+    None) derives the mode from the payload's magic bytes — the
+    raw-WARC path where no trustworthy type column exists."""
+    if sniff_routing and doc_type_col is None:
+        pages = pages.withColumn(
+            "_sniffed_type", sniffed_doc_type(F.col("html"))
+        )
+        doc_type_col = "_sniffed_type"
     nonempty = pages.where(
         F.col("html").isNotNull() & (F.length("html") > 0)  # P1
     )

@@ -75,3 +75,31 @@ def test_recrawl_stats_change_counting(spark):
     assert u1["mean_interval_us"] == 3600 * 10**6
     u2 = got["u2"]
     assert (u2["n_changes"], u2["change_ppm"]) == (0, 0)
+
+
+def test_extract_pages_sniff_routing_mixed_corpus(spark):
+    import datetime
+
+    from narowi_ocr_spark.operators.pdftext import build_pdf
+    from narowi_ocr_spark.plans.pipeline import extract_pages
+
+    ts = datetime.datetime(2024, 1, 1)
+    txt = "temperature 98.6 F reading"
+    rows = [
+        ("pdf://0", ts, build_pdf(txt, compress=False)),
+        ("pdf://1", ts, build_pdf(txt, compress=True)),
+        ("doc://2", ts,
+         f"<html><body><nav><a href='/'>n</a></nav><p>{txt}</p>"
+         "</body></html>".encode()),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    # no doc_type column anywhere — magic bytes pick the parser per row
+    got = {r["url"]: r for r in
+           extract_pages(pages, sniff_routing=True).collect()}
+    assert all(r["status"] == "success" for r in got.values())
+    # both modalities round-trip the text AND find the reading span
+    for u in ("pdf://0", "pdf://1", "doc://2"):
+        assert got[u]["extracted_text"] == txt
+        assert len(got[u]["readings"]) == 1
