@@ -1794,6 +1794,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extraction_sniffed"] = extraction_sniffed_q
 
+    def host_quality_q(spark, sf_dir):
+        """Host-level curation gate over a corpus with a planted mirror
+        host (every %18 doc copied verbatim → 100% dup mass, blocks),
+        a truncated-text host (mean_chars < 100, blocks) and the
+        originals (small cross-host dup share from the mirrored docs
+        → keep/review by exact ppm)."""
+        from narowi_ocr_spark.operators.corpus import host_quality
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        base = docs.select("source", "lang", "text")
+        mirrors = docs.where(did % 18 == 0).select(
+            F.lit("mirror.example").alias("source"), "lang", "text"
+        )
+        tiny = docs.where(did % 7 == 0).select(
+            F.lit("tiny.example").alias("source"),
+            "lang",
+            F.substring("text", 1, 40).alias("text"),
+        )
+        return host_quality(
+            base.unionByName(mirrors).unionByName(tiny)
+        )
+
+    q["host_quality"] = host_quality_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -6467,6 +6492,43 @@ def oracle_sql() -> dict[str, str]:
                CAST((max(us) - min(us)) // (count(*) - 1) AS BIGINT)
                  AS mean_interval_us
         FROM lagged GROUP BY url HAVING count(*) >= 2
+    """
+
+    # host_quality: independent window+group re-derivation of the host
+    # gate (dup mass over the planted mirror corpus, exact integer ppm).
+    o["host_quality"] = """
+        WITH corpus AS (
+          SELECT source AS host, lang, text FROM documents
+          UNION ALL
+          SELECT 'mirror.example', lang, text FROM documents
+          WHERE doc_id % 18 = 0
+          UNION ALL
+          SELECT 'tiny.example', lang, substr(text, 1, 40)
+          FROM documents WHERE doc_id % 7 = 0),
+        marked AS (
+          SELECT host, lang, CAST(length(text) AS BIGINT) AS chars,
+                 CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1
+                      THEN 1 ELSE 0 END AS dup
+          FROM corpus),
+        agg AS (
+          SELECT host,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+                 CAST(sum(chars) AS BIGINT) AS total_chars,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+          FROM marked GROUP BY host),
+        m AS (
+          SELECT *, CAST(n_dup_docs * 1000000 // n_docs AS BIGINT)
+                      AS dup_ppm,
+                    CAST(total_chars // n_docs AS BIGINT) AS mean_chars
+          FROM agg)
+        SELECT host, n_docs, n_dup_docs, dup_ppm, total_chars,
+               mean_chars, n_langs,
+               CASE WHEN dup_ppm >= 300000 OR mean_chars < 100
+                    THEN 'block'
+                    WHEN dup_ppm >= 100000 THEN 'review'
+                    ELSE 'keep' END AS verdict
+        FROM m
     """
 
     # extraction_prf: token-multiset tp via per-token count full join;

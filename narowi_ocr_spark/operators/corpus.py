@@ -1403,3 +1403,68 @@ def otsu_threshold(
         F.col("m.n0").alias("n_le"),
         F.col("m.n1").alias("n_gt"),
     )
+
+
+# ---------------------------------------------------------------- host gate
+
+def host_quality(
+    df: DataFrame,
+    host_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    block_dup_ppm: int = 300_000,
+    review_dup_ppm: int = 100_000,
+    min_mean_chars: int = 100,
+) -> DataFrame:
+    """Host-level curation rollup — the RefinedWeb/C4-style gate that
+    judges WHOLE HOSTS before any per-document work: mirror farms and
+    template spam show up as host-level duplicate mass long before a
+    per-doc classifier fires, and blocking a host prunes every future
+    fetch from it.
+
+    Per host: (host, n_docs, n_dup_docs, dup_ppm, total_chars,
+    mean_chars, n_langs, verdict) where a dup doc is one whose exact
+    text digest appears more than once in the CORPUS (cross-host
+    mirrors count on both sides); verdict is 'block' when
+    dup_ppm ≥ block threshold or mean_chars < floor, 'review' past the
+    review threshold, else 'keep'. All integer exact.
+
+    Scale shape: two shuffles — a digest-keyed window for corpus-wide
+    dup counts (the same key exact dedup already buckets by), then the
+    host-keyed groupBy whose output is host-cardinality, tiny. No
+    text moves after the digest projection. Reference analogue: the
+    per-batch status rollup that gates whole result batches
+    (src/models/ocr_result.py:71-104), lifted to the host grain.
+    """
+    fp = F.md5(F.col(text_col))
+    w = Window.partitionBy("_fp")
+    marked = df.select(
+        F.col(host_col).alias("host"),
+        F.col(lang_col).alias("_lang"),
+        F.length(text_col).cast("long").alias("_chars"),
+        fp.alias("_fp"),
+    ).withColumn("_dup", (F.count("*").over(w) > 1).cast("int"))
+    agg = marked.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_dup").cast("long").alias("n_dup_docs"),
+        F.sum("_chars").alias("total_chars"),
+        F.count_distinct("_lang").cast("long").alias("n_langs"),
+    )
+    dup_ppm = F.expr("n_dup_docs * 1000000 div n_docs")
+    mean_chars = F.expr("total_chars div n_docs")
+    return agg.select(
+        "host",
+        "n_docs",
+        "n_dup_docs",
+        dup_ppm.alias("dup_ppm"),
+        "total_chars",
+        mean_chars.alias("mean_chars"),
+        "n_langs",
+        F.when(
+            (dup_ppm >= block_dup_ppm) | (mean_chars < min_mean_chars),
+            F.lit("block"),
+        )
+        .when(dup_ppm >= review_dup_ppm, F.lit("review"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
