@@ -1819,6 +1819,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_quality"] = host_quality_q
 
+    def pdf_layout_q(spark, sf_dir):
+        """North-rule layout parse: each doc's first 6 words placed on
+        a two-column page via absolute Tm ops, WRITTEN COLUMN-MAJOR —
+        stream order deliberately disagrees with visual order, so the
+        reading_order rank (row-major: 2·row + col + 1) is what the
+        oracle pins. FlateDecode on %3 docs."""
+        import zlib as _z
+
+        import pandas as pd
+
+        from narowi_ocr_spark.operators.domstruct import (
+            pdf_layout,
+            reading_order,
+        )
+        from narowi_ocr_spark.operators.pdftext import _escape_pdf_text
+
+        def mk(batches):
+            for b in batches:
+                urls, payloads = [], []
+                for i, t in zip(b["doc_id"], b["text"]):
+                    i = int(i)
+                    words = t.split()[:6]
+                    ops = ["BT", "/F1 12 Tf"]
+                    for k, w in enumerate(words):
+                        x = 72 + 228 * (k // 3)
+                        y = 720 - 14 * (k % 3)
+                        ops.append(f"1 0 0 1 {x} {y} Tm")
+                        ops.append(f"({_escape_pdf_text(w)}) Tj")
+                    ops.append("ET")
+                    stream = "\n".join(ops).encode()
+                    filt = b""
+                    if i % 3 == 0:
+                        stream = _z.compress(stream, 6)
+                        filt = b" /Filter /FlateDecode"
+                    pdf = (
+                        b"%PDF-1.4\n4 0 obj << /Length "
+                        + str(len(stream)).encode() + filt
+                        + b" >>\nstream\n" + stream
+                        + b"\nendstream\nendobj\n%%EOF\n"
+                    )
+                    urls.append(f"pdf://{i}")
+                    payloads.append(pdf)
+                yield pd.DataFrame({"url": urls, "html": payloads})
+
+        docs = _docs(spark, sf_dir)
+        pages = docs.select("doc_id", "text").mapInPandas(
+            mk, "url string, html binary"
+        )
+        return reading_order(pdf_layout(pages))
+
+    q["pdf_layout"] = pdf_layout_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -6492,6 +6544,21 @@ def oracle_sql() -> dict[str, str]:
                CAST((max(us) - min(us)) // (count(*) - 1) AS BIGINT)
                  AS mean_interval_us
         FROM lagged GROUP BY url HAVING count(*) >= 2
+    """
+
+    # pdf_layout: closed-form oracle — word k sits at the column-major
+    # slot (emission order k) with position 72+228·col / 720−14·row
+    # points (milli-exact), and reading rank 2·row + col + 1.
+    o["pdf_layout"] = r"""
+        SELECT 'pdf://' || CAST(doc_id AS VARCHAR) AS url,
+               0 AS obj_idx,
+               CAST(k AS INT) AS line_idx,
+               CAST(72000 + 228000 * (k // 3) AS BIGINT) AS x_milli,
+               CAST(720000 - 14000 * (k % 3) AS BIGINT) AS y_milli,
+               list_filter(string_split_regex(text, '\s+'),
+                           w -> w <> '')[CAST(k + 1 AS INT)] AS text,
+               CAST(2 * (k % 3) + (k // 3) + 1 AS INT) AS rank
+        FROM documents, generate_series(0, 5) g(k)
     """
 
     # host_quality: independent window+group re-derivation of the host

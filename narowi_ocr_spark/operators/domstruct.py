@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 TABLE_RE = r"(?is)<table[^>]*>(.*?)</table>"
 TR_RE = r"(?is)<tr[^>]*>(.*?)</tr>"
@@ -107,3 +108,63 @@ def heading_outline(
         _clean(F.regexp_extract(F.col("_h"), HEADING_INNER_RE, 1))
         .alias("text"),
     )
+
+
+# ------------------------------------------------------------- PDF layout
+
+PDF_LAYOUT_SCHEMA = (
+    "url string, obj_idx int, line_idx int, "
+    "x_milli long, y_milli long, text string"
+)
+
+
+def pdf_layout(
+    df: DataFrame, url_col: str = "url", payload_col: str = "html"
+) -> DataFrame:
+    """Position-aware PDF line extraction (north-rule "layout parse"):
+    one row per shown line with its text-matrix start position in exact
+    milli-points, tracked through Td/TD/T*/TL/Tm
+    (operators/pdftext.pdf_layout_lines). Stream order is whatever the
+    writer emitted — compose with ``reading_order`` for visual order.
+
+    Scale shape: one Arrow-batched stage (the same boundary budget as
+    the extraction pipeline), payload consumed inside it; fan-out is
+    lines-per-page, bounded by the upstream size cap. Reference
+    analogue: the contour → (x, y, w, h) ROI list the recognize loop
+    walks (src/processing/image_processor.py:100-129) — geometry
+    attached to every recognized region.
+    """
+    from narowi_ocr_spark.operators.pdftext import pdf_layout_lines
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                for (oi, li, x, y, t) in pdf_layout_lines(payload):
+                    rows.append((url, oi, li, x, y, t))
+            import pandas as pd
+
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "obj_idx", "line_idx",
+                    "x_milli", "y_milli", "text",
+                ],
+            )
+
+    return df.select(url_col, payload_col).mapInPandas(
+        gen, PDF_LAYOUT_SCHEMA
+    )
+
+
+def reading_order(lines: DataFrame) -> DataFrame:
+    """Visual reading order over ``pdf_layout`` output: top-to-bottom
+    (y desc — PDF origin is bottom-left), left-to-right (x asc),
+    emission order as the deterministic tie-break. Adds ``rank``
+    (1-based) per url. The window partitions on url — per-page
+    cardinality, no global sort."""
+    w = Window.partitionBy("url").orderBy(
+        F.col("y_milli").desc(), F.col("x_milli").asc(),
+        F.col("obj_idx").asc(), F.col("line_idx").asc(),
+    )
+    return lines.withColumn("rank", F.row_number().over(w))

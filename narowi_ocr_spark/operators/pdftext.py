@@ -250,3 +250,111 @@ def build_pdf(text: str, compress: bool = False) -> bytes:
         + filt + b" >>\nstream\n"
     )
     return head + stream + b"\nendstream\nendobj\n%%EOF\n"
+
+
+# ------------------------------------------------------------- layout parse
+
+# PDF numeric operand (ints and reals, ISO 32000 §7.3.3)
+_NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
+_NAME_RE = re.compile(rb"/[^\s/()<>\[\]{}%]*")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _milli(tok: bytes) -> int:
+    """Exact decimal-string → milli-point integer (no float round
+    trip): '72' → 72000, '-14.5' → -14500; fractional digits beyond
+    milli precision truncate (documented resolution)."""
+    s = tok.decode("ascii")
+    neg = s.startswith("-")
+    s = s.lstrip("+-")
+    ip, _, fp = s.partition(".")
+    v = int(ip or "0") * 1000 + int((fp + "000")[:3] or "0")
+    return -v if neg else v
+
+
+def pdf_layout_lines(
+    payload: bytes | str | None,
+) -> list[tuple[int, int, int, int, str]]:
+    """Position-aware twin of ``pdf_text_objects``: one tuple per shown
+    line, (obj_idx, line_idx, x_milli, y_milli, text) — the line-start
+    position in milli-points tracked through ``Td``/``TD``/``T*``/
+    ``TL``/``Tm`` (translation components only; rotation/shear in Tm is
+    out of the text-object subset's scope, like font CMaps). This is
+    the north-rule "layout parse": downstream ``reading_order`` turns
+    stream order (writers emit column-major, footers first, whatever)
+    into visual order.
+    """
+    if payload is None:
+        return []
+    data = payload.encode("latin-1", errors="replace") if isinstance(
+        payload, str
+    ) else bytes(payload)
+    if not data.lstrip()[:5].startswith(b"%PDF"):
+        return []
+    rows: list[tuple[int, int, int, int, str]] = []
+    obj_idx = -1
+    for stream in pdf_content_streams(data):
+        for m in _BT_ET_RE.finditer(stream):
+            obj_idx += 1
+            body = m.group(1)
+            x = y = leading = 0
+            nums: list[int] = []
+            pending: list[bytes] = []
+            parts: list[bytes] = []
+            line_idx = 0
+
+            def flush() -> None:
+                nonlocal line_idx, parts
+                text = (
+                    b"".join(parts)
+                    .decode("utf-8", errors="replace")
+                    .strip(_PDF_WS)
+                )
+                if text:
+                    rows.append((obj_idx, line_idx, x, y, text))
+                    line_idx += 1
+                parts = []
+
+            i, n = 0, len(body)
+            while i < n:
+                c = body[i]
+                if c == 0x28:  # ( string literal
+                    raw, i = _scan_string(body, i)
+                    pending.append(_unescape_pdf_bytes(raw))
+                    continue
+                if c == 0x2F:  # / name token (may contain digits)
+                    i = _NAME_RE.match(body, i).end()
+                    continue
+                nm = _NUM_RE.match(body, i)
+                if nm:
+                    nums.append(_milli(nm.group(0)))
+                    i = nm.end()
+                    continue
+                om = _OP_RE.match(body, i)
+                if not om:
+                    i += 1
+                    continue
+                op = om.group(0)
+                i = om.end()
+                if op in (b"Tj", b"TJ"):
+                    parts.extend(pending)
+                elif op in (b"Td", b"TD") and len(nums) >= 2:
+                    flush()
+                    x += nums[-2]
+                    y += nums[-1]
+                    if op == b"TD":
+                        leading = -nums[-1]
+                elif op == b"Tm" and len(nums) >= 6:
+                    flush()
+                    x, y = nums[-2], nums[-1]
+                elif op == b"TL" and nums:
+                    leading = nums[-1]
+                elif op in (b"T*", b"'", b'"'):
+                    flush()
+                    y -= leading
+                    if op != b"T*":
+                        parts.extend(pending)
+                pending = []
+                nums = []
+            flush()
+    return rows

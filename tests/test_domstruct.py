@@ -65,3 +65,56 @@ def test_heading_outline_headingless_page(spark):
     from narowi_ocr_spark.operators.domstruct import heading_outline
 
     assert heading_outline(_one(spark, "<p>plain</p>")).count() == 0
+
+
+def test_pdf_layout_positions_exact(spark):
+    from narowi_ocr_spark.operators.domstruct import pdf_layout
+    from narowi_ocr_spark.operators.pdftext import build_pdf
+
+    df = spark.createDataFrame(
+        [("u", build_pdf("alpha\nbeta\ngamma"))], "url string, html binary"
+    )
+    got = pdf_layout(df).orderBy("line_idx").collect()
+    # build_pdf places line 0 at 72 720 Td then 0 -14 Td per line —
+    # exact milli-points, no float round trip
+    assert [(r["x_milli"], r["y_milli"], r["text"]) for r in got] == [
+        (72000, 720000, "alpha"),
+        (72000, 706000, "beta"),
+        (72000, 692000, "gamma"),
+    ]
+
+
+def test_pdf_layout_reading_order_two_columns(spark):
+    from narowi_ocr_spark.operators.domstruct import (
+        pdf_layout,
+        reading_order,
+    )
+
+    # column-major stream: A0 A1 then B0 B1 — visual order is row-major
+    ops = ["BT", "/F1 12 Tf"]
+    for k, w in enumerate(["A0", "A1", "B0", "B1"]):
+        x, y = 72 + 228 * (k // 2), 720 - 14 * (k % 2)
+        ops += [f"1 0 0 1 {x} {y} Tm", f"({w}) Tj"]
+    ops.append("ET")
+    stream = "\n".join(ops).encode()
+    pdf = (b"%PDF-1.4\n4 0 obj << /Length " + str(len(stream)).encode()
+           + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n%%EOF\n")
+    df = spark.createDataFrame([("u", pdf)], "url string, html binary")
+    got = reading_order(pdf_layout(df)).orderBy("rank").collect()
+    assert [r["text"] for r in got] == ["A0", "B0", "A1", "B1"]
+
+
+def test_pdf_layout_tl_tstar_and_garbage(spark):
+    from narowi_ocr_spark.operators.domstruct import pdf_layout
+
+    # TL + T* line advances; decimal operands keep milli precision
+    stream = (b"BT /F1 12 Tf 16 TL 72 700.5 Td (one) Tj T* (two) Tj ET")
+    pdf = (b"%PDF-1.4\n4 0 obj << /Length " + str(len(stream)).encode()
+           + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n%%EOF\n")
+    rows = [("u", pdf), ("bad", b"not a pdf"), ("nul", None)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = pdf_layout(df).orderBy("line_idx").collect()
+    assert [(r["url"], r["y_milli"], r["text"]) for r in got] == [
+        ("u", 700500, "one"),
+        ("u", 684500, "two"),
+    ]
