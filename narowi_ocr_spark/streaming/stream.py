@@ -178,7 +178,12 @@ def run_warc_extraction_stream(
         checkpoint_dir,
         manifest_path=manifest_path,
         timeout_s=timeout_s,
-        transform=lambda blobs: extract_pages(warc_pages(blobs)),
+        # WARC archives carry mixed content and their Content-Type
+        # headers lie — route each payload by magic bytes (HTML → DOM
+        # path, %PDF → text-object parser) inside the one Arrow stage
+        transform=lambda blobs: extract_pages(
+            warc_pages(blobs), sniff_routing=True
+        ),
         source=stream_warc_blobs,
     )
 

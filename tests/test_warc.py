@@ -128,3 +128,32 @@ def test_warc_extraction_stream_resumes(spark, tmp_path):
     b3 = run_warc_extraction_stream(spark, src, out, ckpt, timeout_s=180)
     assert len(b3) == 1
     assert spark.read.parquet(out).count() == 100
+
+
+def test_warc_mixed_modality_sniff_routing(spark):
+    """A WARC carrying both HTML and PDF responses, no type metadata:
+    sniff_routing picks the parser per record and both modalities
+    round-trip their text."""
+    import pandas as pd
+
+    from narowi_ocr_spark.operators.pdftext import build_pdf
+    from narowi_ocr_spark.plans.pipeline import extract_pages
+
+    txt = "temperature 98.6 F reading"
+    recs = [
+        ("https://h.example/page", "2024-01-01T00:00:00Z",
+         f"<html><body><nav><a href='/'>n</a></nav><p>{txt}</p>"
+         "</body></html>".encode()),
+        ("https://h.example/report.pdf", "2024-01-01T00:00:01Z",
+         build_pdf(txt, compress=True)),
+    ]
+    blobs = spark.createDataFrame(
+        pd.DataFrame({"blob": [build_warc(recs)]}), "blob binary"
+    )
+    out = extract_pages(warc_pages(blobs), sniff_routing=True)
+    got = {r["url"]: r for r in out.collect()}
+    assert len(got) == 2
+    for r in got.values():
+        assert r["status"] == "success"
+        assert r["extracted_text"] == txt
+        assert len(r["readings"]) == 1
