@@ -1871,6 +1871,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pdf_layout"] = pdf_layout_q
 
+    def sentence_spans_q(spark, sf_dir):
+        """Sentence segmentation with exact char offsets over a
+        punctuation-augmented corpus: 'A <10 chars>. B! C?' plus an
+        unterminated tail on %3 docs — fixed-width prefix makes every
+        offset closed-form."""
+        from narowi_ocr_spark.operators.retrieval import sentence_spans
+
+        docs = _docs(spark, sf_dir)
+        txt = F.concat(
+            F.lit("A "), F.substring("text", 1, 10), F.lit(". B! C?"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" tail no end"))
+            .otherwise(F.lit("")),
+        )
+        return sentence_spans(
+            docs.select("doc_id", txt.alias("text"))
+        )
+
+    q["sentence_spans"] = sentence_spans_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -6559,6 +6578,24 @@ def oracle_sql() -> dict[str, str]:
                            w -> w <> '')[CAST(k + 1 AS INT)] AS text,
                CAST(2 * (k % 3) + (k // 3) + 1 AS INT) AS rank
         FROM documents, generate_series(0, 5) g(k)
+    """
+
+    # sentence_spans: closed-form offsets — the 'A ' + 10-char prefix
+    # fixes every boundary, so starts/lengths are constants.
+    o["sentence_spans"] = """
+        WITH src AS (SELECT doc_id, substr(text, 1, 10) AS s10
+                     FROM documents)
+        SELECT doc_id, CAST(0 AS INT) AS sent_idx,
+               CAST(0 AS INT) AS start_char, CAST(13 AS INT) AS n_chars,
+               'A ' || s10 || '.' AS sentence
+        FROM src
+        UNION ALL
+        SELECT doc_id, 1, 14, 2, 'B!' FROM src
+        UNION ALL
+        SELECT doc_id, 2, 17, 2, 'C?' FROM src
+        UNION ALL
+        SELECT doc_id, 3, 20, 11, 'tail no end' FROM src
+        WHERE doc_id % 3 = 0
     """
 
     # host_quality: independent window+group re-derivation of the host

@@ -193,3 +193,60 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+# ----------------------------------------------------------- sentences
+
+# maximal terminal-punctuated runs; the final alternation keeps an
+# unterminated tail. RE2-safe (no lookaround), covers every character,
+# always consumes >= 1 char per match.
+SENTENCE_RE = r"([^.!?]*[.!?]+|[^.!?]+$)"
+
+
+def sentence_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Split text into sentences WITH exact character offsets:
+    (doc_id, sent_idx, start_char, n_chars, sentence) — ``sent_idx``
+    is the raw segment ordinal (stable under drops), ``start_char``
+    the 0-based offset of the sentence's first non-whitespace
+    character in the original text, ``sentence`` whitespace-trimmed;
+    segments that trim to '' drop. Terminal runs ('?!', '...') stay
+    attached to their sentence. Offsets make every downstream span
+    (PII hits, quality flags, citations) alignable back to the source
+    bytes — the property plain split() loses.
+
+    Scale shape: regexp_extract_all + posexplode + HOF prefix-sum over
+    the (small) per-doc segment list — no shuffle, no Python, O(s²)
+    only in segment COUNT per doc, never in characters.
+    """
+    raws = F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_RE), 1)
+    seg = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.posexplode(raws).alias("sent_idx", "_raw"),
+    )
+    # offset of this segment = total length of the segments before it
+    prior = F.aggregate(
+        F.slice(
+            F.regexp_extract_all(F.col("_t"), F.lit(SENTENCE_RE), 1),
+            F.lit(1),
+            F.col("sent_idx"),
+        ),
+        F.lit(0),
+        lambda acc, s: acc + F.length(s),
+    )
+    lead = F.length(F.col("_raw")) - F.length(
+        F.regexp_replace(F.col("_raw"), r"^\s+", "")
+    )
+    sent = F.regexp_replace(F.col("_raw"), r"^\s+|\s+$", "")
+    return (
+        seg.select(
+            "doc_id",
+            "sent_idx",
+            (prior + lead).cast("int").alias("start_char"),
+            F.length(sent).cast("int").alias("n_chars"),
+            sent.alias("sentence"),
+        )
+        .where(F.col("sentence") != "")
+    )

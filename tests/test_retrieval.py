@@ -101,3 +101,36 @@ def test_bm25_deterministic_tiebreak(spark):
     out = sorted(out, key=lambda r: r.rank)
     assert [r.doc_id for r in out] == [1, 2, 3]
     assert len({r.score_sum for r in out}) == 1
+
+
+def test_sentence_spans_offsets_and_edges(spark):
+    from narowi_ocr_spark.operators.retrieval import sentence_spans
+
+    rows = [
+        ("d1", "First one. Second bit!  Third?? tail no end"),
+        ("d2", "no terminals at all"),
+        ("d3", "!!leading. x"),
+        ("d4", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = sentence_spans(df).collect()
+    src = dict(rows)
+    # every span indexes back into its source exactly
+    for r in got:
+        s = src[r["doc_id"]]
+        assert s[r["start_char"]:r["start_char"] + r["n_chars"]] == \
+            r["sentence"]
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r["sentence"])
+    assert by_doc["d1"] == ["First one.", "Second bit!", "Third??",
+                            "tail no end"]
+    # unterminated text is one sentence; empty text emits nothing
+    assert by_doc["d2"] == ["no terminals at all"]
+    assert "d4" not in by_doc
+    # terminal runs stay attached; leading bare terminals are their own
+    # (documented) segment
+    assert by_doc["d3"] == ["!!", "leading.", "x"]
+    # no shuffle: segmentation runs in the scan stage
+    plan = sentence_spans(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
