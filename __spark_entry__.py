@@ -1890,6 +1890,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sentence_spans"] = sentence_spans_q
 
+    def robots_sitemap_urls_q(spark, sf_dir):
+        """Sitemap: directives live outside user-agent groups and are
+        case-insensitive with free leading whitespace; blank values and
+        commented lines must drop."""
+        from narowi_ocr_spark.operators.urls import robots_sitemaps
+
+        docs = _docs(spark, sf_dir)
+        hosts = docs.select(
+            (F.col("doc_id") % 20).cast("int").alias("h")
+        ).distinct()
+        s = lambda c: c.cast("string")  # noqa: E731
+        base = F.concat(F.lit("https://host"), s(F.col("h")),
+                        F.lit(".example"))
+        body = F.concat(
+            F.lit("User-agent: *\nDisallow: /x\nSitemap: "),
+            base, F.lit("/sitemap.xml\n"),
+            F.when(F.col("h") % 2 == 0, F.concat(
+                F.lit("  sitemap: "), base, F.lit("/news.xml  \n")))
+            .otherwise(F.lit("")),
+            F.lit("Sitemap:\n# Sitemap: "), base,
+            F.lit("/commented.xml\n"),
+        )
+        return robots_sitemaps(hosts.select(
+            F.concat(F.lit("host"), s(F.col("h")), F.lit(".example"))
+            .alias("host"),
+            body.alias("robots_txt"),
+        ))
+
+    q["robots_sitemap_urls"] = robots_sitemap_urls_q
+
+    def pagination_q(spark, sf_dir):
+        """rel=next/prev pagination pointers: next on %2 docs, prev on
+        %3, first match wins, ''-total fields."""
+        from narowi_ocr_spark.operators.urls import pagination_links
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        html = F.concat(
+            F.lit("<html><head>"),
+            F.when(did % 2 == 0, F.concat(
+                F.lit('<link rel="next" href="/p/'), s(did + 1),
+                F.lit('">'))).otherwise(F.lit("")),
+            F.when(did % 3 == 0, F.concat(
+                F.lit('<LINK rel="prev" href="/p/'), s(did - 1),
+                F.lit('">'))).otherwise(F.lit("")),
+            F.lit("</head><body>x</body></html>"),
+        )
+        return pagination_links(docs.select(
+            F.concat(F.lit("https://pg.example/p/"), s(did)).alias("url"),
+            html.alias("html"),
+        ))
+
+    q["pagination"] = pagination_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -6578,6 +6633,34 @@ def oracle_sql() -> dict[str, str]:
                            w -> w <> '')[CAST(k + 1 AS INT)] AS text,
                CAST(2 * (k % 3) + (k // 3) + 1 AS INT) AS rank
         FROM documents, generate_series(0, 5) g(k)
+    """
+
+    # robots_sitemap_urls / pagination: closed-form — directives and
+    # link targets follow directly from the corpus formula.
+    o["robots_sitemap_urls"] = """
+        WITH hosts AS (
+          SELECT DISTINCT CAST(doc_id % 20 AS INT) AS h FROM documents)
+        SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
+               'https://host' || CAST(h AS VARCHAR)
+               || '.example/sitemap.xml' AS sitemap_url
+        FROM hosts
+        UNION ALL
+        SELECT 'host' || CAST(h AS VARCHAR) || '.example',
+               'https://host' || CAST(h AS VARCHAR)
+               || '.example/news.xml'
+        FROM hosts WHERE h % 2 = 0
+    """
+
+    o["pagination"] = """
+        SELECT 'https://pg.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN doc_id % 2 = 0
+                    THEN '/p/' || CAST(doc_id + 1 AS VARCHAR)
+                    ELSE '' END AS next_url,
+               CASE WHEN doc_id % 3 = 0
+                    THEN '/p/' || CAST(doc_id - 1 AS VARCHAR)
+                    ELSE '' END AS prev_url,
+               (doc_id % 2 = 0 OR doc_id % 3 = 0) AS is_paginated
+        FROM documents
     """
 
     # sentence_spans: closed-form offsets — the 'A ' + 10-char prefix

@@ -1000,3 +1000,62 @@ def recrawl_stats(
         "span_us",
         F.expr("span_us div (n_fetches - 1)").alias("mean_interval_us"),
     )
+
+
+# --------------------------------------------- discovery completeness
+
+def robots_sitemaps(
+    df: DataFrame, host_col: str = "host", robots_col: str = "robots_txt"
+) -> DataFrame:
+    """Extract ``Sitemap:`` directives from robots.txt bodies —
+    (host, sitemap_url). Per the sitemaps protocol these live OUTSIDE
+    any user-agent group (unlike Allow/Disallow), apply globally, and
+    are the standard entry point of the discovery loop: robots.txt →
+    sitemap urls → parse_sitemap → crawl_schedule. Case-insensitive
+    directive, value used verbatim (it must be absolute per spec);
+    blank values drop.
+
+    Scale shape: one regexp_extract_all + explode over the (KB-scale)
+    robots body — no shuffle, no window; complements ``parse_robots``
+    without touching its group-resolution pass.
+    """
+    return (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(robots_col),
+                    F.lit(r"(?im)^[ \t]*sitemap:[ \t]*(\S+)[ \t]*$"),
+                    1,
+                )
+            ).alias("sitemap_url"),
+        )
+        .where(F.col("sitemap_url") != "")
+    )
+
+
+PAGINATION_RE = {
+    "next": r'(?is)<link[^>]*rel="next"[^>]*href="([^"]*)"',
+    "prev": r'(?is)<link[^>]*rel="prev"[^>]*href="([^"]*)"',
+}
+
+
+def pagination_links(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """rel=next/prev pagination pointers per page: (url, next_url,
+    prev_url, is_paginated) — first match wins, '' when absent. The
+    crawl scheduler uses these to walk listing sequences in order
+    instead of rediscovering them from sitemaps, and the dedup layer
+    uses ``is_paginated`` to avoid near-dup-collapsing page 2..N of a
+    series into page 1. Two codegen regexp projections, no shuffle.
+    """
+    h = F.col(html_col)
+    nxt = F.regexp_extract(h, PAGINATION_RE["next"], 1)
+    prv = F.regexp_extract(h, PAGINATION_RE["prev"], 1)
+    return df.select(
+        F.col(url_col).alias("url"),
+        nxt.alias("next_url"),
+        prv.alias("prev_url"),
+        ((nxt != "") | (prv != "")).alias("is_paginated"),
+    )

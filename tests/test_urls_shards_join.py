@@ -671,3 +671,38 @@ def test_host_outlinks_external_edges_only(spark):
     assert (e["src_host"], e["dst_host"]) == ("a.example", "b.example")
     # internal link excluded; nofollow counted in n_links but not n_follow
     assert (e["n_links"], e["n_follow"]) == (3, 2)
+
+
+def test_robots_sitemaps_directives(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import robots_sitemaps
+
+    body = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://a/s.xml\n"
+        "  sitemap: https://a/s2.xml  \n"     # indent + case + trail ws
+        "Sitemap:\n"                           # blank value drops
+        "# Sitemap: https://a/commented.xml\n"  # comment drops
+    )
+    df = spark.createDataFrame([Row(host="a", robots_txt=body),
+                                Row(host="b", robots_txt="Allow: /")])
+    got = sorted((r["host"], r["sitemap_url"])
+                 for r in robots_sitemaps(df).collect())
+    assert got == [("a", "https://a/s.xml"), ("a", "https://a/s2.xml")]
+
+
+def test_pagination_links_first_wins(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import pagination_links
+
+    html = ('<link rel="next" href="/2"><link rel="next" href="/DUP">'
+            '<LINK rel="prev" href="/0">')
+    df = spark.createDataFrame([Row(url="u1", html=html),
+                                Row(url="u2", html="<p>x</p>")])
+    got = {r["url"]: r for r in pagination_links(df).collect()}
+    assert got["u1"]["next_url"] == "/2"       # first match wins
+    assert got["u1"]["prev_url"] == "/0"       # case-insensitive tag
+    assert got["u1"]["is_paginated"]
+    assert got["u2"]["next_url"] == "" and not got["u2"]["is_paginated"]

@@ -129,7 +129,37 @@ rank_base = (spark.range(RANK_N, numPartitions=cpus)
                      .alias("v")))
 rank_order = [F.desc("v"), F.asc("id")]
 
+# Round-3 web-structure ops: link extraction + host-edge rollup over a
+# generated html column (narrow + one groupBy), 4M-row redirect-chain
+# pointer doubling (log-rounds self-joins — the iterative-shuffle
+# shape), and the host gate (digest window + host groupBy).
+from narowi_ocr_spark.operators.corpus import host_quality
+from narowi_ocr_spark.operators.redirects import resolve_redirects
+from narowi_ocr_spark.operators.urls import extract_links, host_outlinks
+
+link_pages = docs.select(
+    F.concat(F.lit("https://h"), (F.col("doc_id") % 64).cast("string"),
+             F.lit(".example/d/"),
+             F.col("doc_id").cast("string")).alias("url"),
+    F.concat(F.lit('<a href="https://x'),
+             (F.col("doc_id") % 97).cast("string"),
+             F.lit('.example/t">t</a><p>'), F.col("text"),
+             F.lit('</p><a href="/l1">a</a><a href="../u/v">b</a>'))
+    .alias("html"))
+REDIR_N = 4_000_000
+redir = (spark.range(REDIR_N, numPartitions=cpus)
+         .where(F.col("id") % 8 != 0)
+         .select(F.concat(F.lit("u"), F.col("id").cast("string"))
+                 .alias("src"),
+                 F.concat(F.lit("u"), (F.col("id") - 1).cast("string"))
+                 .alias("dst")))
+hq_docs = docs.select(F.col("source"), F.lit("en").alias("lang"), "text")
+
 ops = {{
+    "extract_links_edges": lambda: noop(
+        host_outlinks(extract_links(link_pages))),
+    "redirect_resolve_4m": lambda: noop(resolve_redirects(redir)),
+    "host_quality_gate": lambda: noop(host_quality(hq_docs)),
     "lsh_pairs": lambda: noop(lsh_candidate_pairs(corpus)),
     "simhash_pairs": lambda: noop(simhash_near_pairs(corpus)),
     "emb_ann_bucketed": lambda: noop(bucketed_topk(vecs, qv, k=10)),
