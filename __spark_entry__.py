@@ -1945,6 +1945,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagination"] = pagination_q
 
+    def crawl_frontier_q(spark, sf_dir):
+        """The discovery layer composed end to end: robots bodies →
+        rules + Sitemap discovery, sitemap+feed parses → candidates,
+        a /b→/bb redirect per host, /a carrying per-host recrawl
+        history — build_frontier resolves, robots-filters (/admin
+        drops), dedups, prioritizes (unseen urls at the exploration
+        prior outrank the known-cool /a) and caps per host."""
+        from narowi_ocr_spark.operators.urls import (
+            build_frontier,
+            parse_feed,
+            parse_robots,
+            parse_sitemap,
+        )
+
+        docs = _docs(spark, sf_dir)
+        hosts = docs.select(
+            (F.col("doc_id") % 20).cast("int").alias("h")
+        ).distinct()
+        s = lambda c: c.cast("string")  # noqa: E731
+        hn = F.concat(F.lit("host"), s(F.col("h")), F.lit(".example"))
+        base = F.concat(F.lit("https://"), hn)
+        robots = hosts.select(
+            hn.alias("host"),
+            F.concat(F.lit("User-agent: *\nDisallow: /admin\nSitemap: "),
+                     base, F.lit("/sm.xml\n")).alias("robots_txt"),
+        )
+        sitemaps = hosts.select(
+            hn.alias("host"),
+            F.concat(
+                F.lit("<urlset><url><loc>"), base,
+                F.lit("/a</loc><lastmod>2024-02-01</lastmod></url>"
+                      "<url><loc>"), base,
+                F.lit("/b</loc></url><url><loc>"), base,
+                F.lit("/admin/x</loc></url></urlset>"),
+            ).alias("sitemap_xml"),
+        )
+        feeds = hosts.select(
+            hn.alias("host"),
+            F.concat(F.lit("<rss><channel><item><title>f</title><link>"),
+                     base,
+                     F.lit("/fresh</link></item></channel></rss>"))
+            .alias("feed_xml"),
+        )
+        cands = (
+            parse_sitemap(sitemaps)
+            .where(~F.col("is_index"))
+            .select("host", F.col("loc").alias("url"))
+            .unionByName(
+                parse_feed(feeds).select("host",
+                                         F.col("link").alias("url"))
+            )
+        )
+        redirects = hosts.select(
+            F.concat(base, F.lit("/b")).alias("src"),
+            F.concat(base, F.lit("/bb")).alias("dst"),
+        )
+        recrawl = hosts.select(
+            F.concat(base, F.lit("/a")).alias("url"),
+            (F.col("h") % 5 * 100000).cast("long").alias("change_ppm"),
+        )
+        # corpus chains are single-hop; cap 2 = one doubling round
+        return build_frontier(
+            cands, parse_robots(robots), redirects=redirects,
+            recrawl=recrawl, per_host_cap=3, max_hops=2,
+        )
+
+    q["crawl_frontier"] = crawl_frontier_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -6633,6 +6701,29 @@ def oracle_sql() -> dict[str, str]:
                            w -> w <> '')[CAST(k + 1 AS INT)] AS text,
                CAST(2 * (k % 3) + (k // 3) + 1 AS INT) AS rank
         FROM documents, generate_series(0, 5) g(k)
+    """
+
+    # crawl_frontier: closed-form — per host the surviving candidates
+    # are exactly /bb (redirect target, exploration prior), /fresh
+    # (feed, prior) and /a (sitemap, known change rate h%5·100k < the
+    # prior, so it ranks last); /admin robots-drops. Rank ties at the
+    # prior break on url asc ('…/bb' < '…/fresh').
+    o["crawl_frontier"] = """
+        WITH hosts AS (
+          SELECT DISTINCT CAST(doc_id % 20 AS INT) AS h FROM documents),
+        hb AS (
+          SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
+                 'https://host' || CAST(h AS VARCHAR) || '.example' AS b,
+                 h
+          FROM hosts)
+        SELECT host, b || '/bb' AS url,
+               CAST(750000 AS BIGINT) AS priority_ppm,
+               CAST(1 AS INT) AS fetch_rank
+        FROM hb
+        UNION ALL
+        SELECT host, b || '/fresh', 750000, 2 FROM hb
+        UNION ALL
+        SELECT host, b || '/a', CAST(h % 5 * 100000 AS BIGINT), 3 FROM hb
     """
 
     # robots_sitemap_urls / pagination: closed-form — directives and

@@ -1059,3 +1059,80 @@ def pagination_links(
         prv.alias("prev_url"),
         ((nxt != "") | (prv != "")).alias("is_paginated"),
     )
+
+
+# ------------------------------------------------- frontier assembly
+
+def build_frontier(
+    candidates: DataFrame,
+    rules: DataFrame,
+    redirects: DataFrame | None = None,
+    recrawl: DataFrame | None = None,
+    per_host_cap: int = 50,
+    default_ppm: int = 750_000,
+    max_hops: int = 32,
+) -> DataFrame:
+    """Assemble the fetch frontier from discovered candidates — the
+    composition the whole crawl-discovery layer exists for:
+
+    1. resolve redirect/canonical pointers (``redirects``: (src, dst)
+       edges through :func:`..redirects.resolve_redirects`; candidates
+       landing in cycles/over-cap chains drop — nothing fetchable);
+    2. robots longest-match filter on the FINAL url;
+    3. dedup (channels overlap: a url found via sitemap AND feed is one
+       fetch);
+    4. priority = the url's recrawl ``change_ppm`` where history exists,
+       else ``default_ppm`` — the exploration prior that sends new urls
+       ahead of known-static ones but behind known-hot ones;
+    5. per-host rank by (priority desc, url asc), capped — politeness.
+
+    Input ``candidates``: (host, url). Output: (host, url, priority_ppm,
+    fetch_rank ≤ cap). Scale shape: the redirect mapping and rule table
+    are url-/host-keyed joins (rules broadcast); dedup + rank shuffle
+    once on host — the frontier is fetch-list-sized, tiny next to the
+    corpus that produced it.
+    """
+    from narowi_ocr_spark.operators.redirects import resolve_redirects
+
+    cand = candidates.select(F.col("host"), F.col("url"))
+    if redirects is not None:
+        # ONE resolve pass, computed once: pointer-less urls pass
+        # through, resolved pointers rewrite, cyclic/over-cap drop
+        mapping = resolve_redirects(redirects, max_hops=max_hops)
+        cand = (
+            cand.join(mapping, cand["url"] == mapping["src"], "left")
+            .where(F.col("src").isNull() | F.col("resolved"))
+            .select("host", F.coalesce(F.col("final"), cand["url"])
+                    .alias("url"))
+        )
+    allowed = robots_filter(cand.select("url"), rules).where(
+        "fetch_allowed"
+    )
+    # politeness keys on the FINAL url's host (a redirect may cross
+    # hosts; the fetch lands wherever the chain ends)
+    fhost = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    dedup = (
+        allowed.select(fhost.alias("host"), "url")
+        .groupBy("host", "url")
+        .agg(F.count("*").alias("_n"))
+    )
+    if recrawl is not None:
+        pr = recrawl.select(F.col("url").alias("_ru"), "change_ppm")
+        dedup = dedup.join(pr, dedup["url"] == F.col("_ru"), "left")
+    else:
+        dedup = dedup.withColumn("change_ppm", F.lit(None).cast("long"))
+    prio = F.coalesce(F.col("change_ppm"), F.lit(default_ppm))
+    return (
+        dedup.select(
+            "host", "url", prio.cast("long").alias("priority_ppm")
+        )
+        .withColumn(
+            "fetch_rank",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy(
+                    F.col("priority_ppm").desc(), F.col("url").asc()
+                )
+            ),
+        )
+        .where(F.col("fetch_rank") <= per_host_cap)
+    )

@@ -706,3 +706,57 @@ def test_pagination_links_first_wins(spark):
     assert got["u1"]["prev_url"] == "/0"       # case-insensitive tag
     assert got["u1"]["is_paginated"]
     assert got["u2"]["next_url"] == "" and not got["u2"]["is_paginated"]
+
+
+def test_build_frontier_full_composition(spark):
+    from narowi_ocr_spark.operators.urls import build_frontier, parse_robots
+
+    cands = spark.createDataFrame(
+        [
+            ("h.example", "https://h.example/a"),        # known-cool url
+            ("h.example", "https://h.example/b"),        # redirects to /bb
+            ("h.example", "https://h.example/b"),        # dup discovery
+            ("h.example", "https://h.example/admin/x"),  # robots-blocked
+            ("h.example", "https://h.example/cyc"),      # redirect cycle
+            ("h.example", "https://h.example/c"),        # unseen
+            ("h.example", "https://h.example/d"),        # cap squeeze
+        ],
+        "host string, url string",
+    )
+    rules = parse_robots(spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /admin\n")],
+        "host string, robots_txt string",
+    ))
+    redirs = spark.createDataFrame(
+        [("https://h.example/b", "https://h.example/bb"),
+         ("https://h.example/cyc", "https://h.example/cyc2"),
+         ("https://h.example/cyc2", "https://h.example/cyc")],
+        "src string, dst string",
+    )
+    recrawl = spark.createDataFrame(
+        [("https://h.example/a", 900000)], "url string, change_ppm long"
+    )
+    got = build_frontier(cands, rules, redirects=redirs, recrawl=recrawl,
+                         per_host_cap=3).orderBy("fetch_rank").collect()
+    # hot url first; redirect rewritten+deduped; cycle and robots-blocked
+    # gone; /d squeezed out by the cap (url-asc tie-break at the prior)
+    assert [(r["url"], r["priority_ppm"], r["fetch_rank"]) for r in got] == [
+        ("https://h.example/a", 900000, 1),
+        ("https://h.example/bb", 750000, 2),
+        ("https://h.example/c", 750000, 3),
+    ]
+
+
+def test_build_frontier_minimal_no_redirects_no_history(spark):
+    from narowi_ocr_spark.operators.urls import build_frontier, parse_robots
+
+    cands = spark.createDataFrame(
+        [("h.example", "https://h.example/x")], "host string, url string"
+    )
+    rules = parse_robots(spark.createDataFrame(
+        [("h.example", "User-agent: *\nAllow: /\n")],
+        "host string, robots_txt string",
+    ))
+    got = build_frontier(cands, rules).collect()
+    assert len(got) == 1
+    assert got[0]["priority_ppm"] == 750000 and got[0]["fetch_rank"] == 1
