@@ -2013,6 +2013,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_frontier"] = crawl_frontier_q
 
+    def url_templates_q(spark, sf_dir):
+        """Route-template census: numeric ids (single and double,
+        adjacent-segment safe) generalize to {n}, static paths stay
+        verbatim — the crawl-budget planner's table."""
+        from narowi_ocr_spark.operators.urls import url_templates
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        url = F.concat(
+            F.lit("https://t"), s(did % 4), F.lit(".example/"),
+            F.when(did % 3 == 0, F.concat(F.lit("item/"), s(did)))
+            .when(did % 3 == 1, F.concat(
+                F.lit("cat/"), s(did % 7), F.lit("/p/"), s(did)))
+            .otherwise(F.lit("about/team")),
+        )
+        return url_templates(docs.select(url.alias("url")))
+
+    q["url_templates"] = url_templates_q
+
+    def crawl_delays_q(spark, sf_dir):
+        """Crawl-delay politeness knob: integer and fractional values
+        to exact milliseconds; hosts without a directive absent."""
+        from narowi_ocr_spark.operators.urls import robots_crawl_delay
+
+        docs = _docs(spark, sf_dir)
+        hosts = docs.select(
+            (F.col("doc_id") % 20).cast("int").alias("h")
+        ).distinct()
+        s = lambda c: c.cast("string")  # noqa: E731
+        body = F.concat(
+            F.lit("User-agent: *\nDisallow: /x\n"),
+            F.when(F.col("h") % 3 == 0, F.concat(
+                F.lit("Crawl-delay: "), s(F.col("h") % 5 + 1),
+                F.lit("\n")))
+            .when(F.col("h") % 3 == 1, F.lit("crawl-delay: 0.25\n"))
+            .otherwise(F.lit("")),
+        )
+        return robots_crawl_delay(hosts.select(
+            F.concat(F.lit("host"), s(F.col("h")), F.lit(".example"))
+            .alias("host"),
+            body.alias("robots_txt"),
+        ))
+
+    q["crawl_delays"] = crawl_delays_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -6724,6 +6770,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, b || '/fresh', 750000, 2 FROM hb
         UNION ALL
         SELECT host, b || '/a', CAST(h % 5 * 100000 AS BIGINT), 3 FROM hb
+    """
+
+    # url_templates / crawl_delays: the oracle derives template strings
+    # and millisecond values by CASE, never by regex — independent
+    # ground truth for the generalizer.
+    o["url_templates"] = """
+        WITH u AS (
+          SELECT 'https://t' || CAST(doc_id % 4 AS VARCHAR)
+                 || '.example/'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN 'item/' || CAST(doc_id AS VARCHAR)
+                         WHEN doc_id % 3 = 1
+                         THEN 'cat/' || CAST(doc_id % 7 AS VARCHAR)
+                              || '/p/' || CAST(doc_id AS VARCHAR)
+                         ELSE 'about/team' END AS url,
+                 't' || CAST(doc_id % 4 AS VARCHAR) || '.example/'
+                 || CASE WHEN doc_id % 3 = 0 THEN 'item/{n}'
+                         WHEN doc_id % 3 = 1 THEN 'cat/{n}/p/{n}'
+                         ELSE 'about/team' END AS template
+          FROM documents)
+        SELECT template, CAST(count(*) AS BIGINT) AS n_urls,
+               min(url) AS example_url
+        FROM u GROUP BY template HAVING count(*) >= 2
+    """
+
+    o["crawl_delays"] = """
+        WITH hosts AS (
+          SELECT DISTINCT CAST(doc_id % 20 AS INT) AS h FROM documents)
+        SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
+               CAST((h % 5 + 1) * 1000 AS BIGINT) AS crawl_delay_ms
+        FROM hosts WHERE h % 3 = 0
+        UNION ALL
+        SELECT 'host' || CAST(h AS VARCHAR) || '.example',
+               CAST(250 AS BIGINT)
+        FROM hosts WHERE h % 3 = 1
     """
 
     # robots_sitemap_urls / pagination: closed-form — directives and

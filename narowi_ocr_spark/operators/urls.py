@@ -1136,3 +1136,83 @@ def build_frontier(
         )
         .where(F.col("fetch_rank") <= per_host_cap)
     )
+
+
+# --------------------------------------------- url template mining
+
+def url_template(u: Column) -> Column:
+    """Generalize a URL path into its route template: numeric segments
+    → ``{n}``, long hex segments (ids, hashes) → ``{hex}``, UUIDs →
+    ``{uuid}``. 'https://s.example/item/8841?x=1' →
+    's.example/item/{n}'. Query/fragment dropped (they rarely carry
+    route identity and explode cardinality)."""
+    hostpath = F.concat(
+        url_host(u),
+        F.when(url_path(u) == "", F.lit("/")).otherwise(url_path(u)),
+    )
+    # RE2-safe (no lookahead): segment-end is anchored by consuming the
+    # next '/' and putting it back ($1), with a separate $-anchored pass
+    uuid = (
+        r"/[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+    )
+    t = F.regexp_replace(hostpath, uuid + r"(/)", r"/{uuid}$1")
+    t = F.regexp_replace(t, uuid + r"$", "/{uuid}")
+    # two passes: the consumed '/' hides the second of two ADJACENT
+    # numeric segments ('/3/44/') from a single left-to-right sweep
+    for _ in range(2):
+        t = F.regexp_replace(t, r"/\d+(/)", r"/{n}$1")
+    t = F.regexp_replace(t, r"/\d+$", "/{n}")
+    t = F.regexp_replace(t, r"/[0-9a-f]{16,}(/)", r"/{hex}$1")
+    t = F.regexp_replace(t, r"/[0-9a-f]{16,}$", "/{hex}")
+    return t
+
+
+def url_templates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Route-template census: (template, n_urls, example_url) for
+    templates with ≥2 urls — the crawl-budget planner's table (a
+    template with 10⁸ urls behind it is a faceted-search trap; one with
+    10³ is a content section). One codegen projection + one
+    partial-aggregated groupBy on the (low-cardinality) template key.
+    """
+    fp = df.select(
+        url_template(F.col(url_col)).alias("template"),
+        F.col(url_col).alias("url"),
+    )
+    return (
+        fp.groupBy("template")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.min("url").alias("example_url"),
+        )
+        .where(F.col("n_urls") >= 2)
+    )
+
+
+def robots_crawl_delay(
+    df: DataFrame, host_col: str = "host", robots_col: str = "robots_txt"
+) -> DataFrame:
+    """Crawl-delay directives per host: (host, crawl_delay_ms) — the
+    de-facto politeness knob (not in RFC 9309 but honored by most
+    crawlers). First directive wins, fractional seconds supported,
+    exact integer milliseconds; hosts without one are absent (the
+    scheduler's default applies). One regexp projection, no shuffle."""
+    raw = F.regexp_extract(
+        F.col(robots_col),
+        r"(?im)^[ \t]*crawl-delay:[ \t]*(\d+(?:\.\d+)?)[ \t]*$",
+        1,
+    )
+    ip = F.split(raw, r"\.")
+    # F.get is null-safe for the missing fractional part ('2' → ['2'])
+    ms = (
+        F.element_at(ip, 1).cast("long") * 1000
+        + F.coalesce(
+            F.substring(F.rpad(F.get(ip, 1), 3, "0"), 1, 3).cast("long"),
+            F.lit(0),
+        )
+    )
+    return (
+        df.select(F.col(host_col).alias("host"), raw.alias("_r"), ms.alias("crawl_delay_ms"))
+        .where(F.col("_r") != "")
+        .drop("_r")
+    )

@@ -760,3 +760,44 @@ def test_build_frontier_minimal_no_redirects_no_history(spark):
     got = build_frontier(cands, rules).collect()
     assert len(got) == 1
     assert got[0]["priority_ppm"] == 750000 and got[0]["fetch_rank"] == 1
+
+
+def test_url_template_generalization(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import url_template
+
+    cases = {
+        "https://s.example/item/8841?x=1": "s.example/item/{n}",
+        # adjacent numeric segments both generalize (two-pass sweep)
+        "https://s.example/a/3/44/b": "s.example/a/{n}/{n}/b",
+        "https://s.example/u/550e8400-e29b-41d4-a716-446655440000/p":
+            "s.example/u/{uuid}/p",
+        "https://s.example/h/deadbeefdeadbeefdeadbeef":
+            "s.example/h/{hex}",
+        "https://s.example/about": "s.example/about",
+        "https://s.example": "s.example/",
+    }
+    df = spark.createDataFrame([Row(url=u) for u in cases])
+    got = dict(
+        (r["url"], r["t"])
+        for r in df.select("url",
+                           url_template(F.col("url")).alias("t")).collect()
+    )
+    assert got == cases
+
+
+def test_robots_crawl_delay_values(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import robots_crawl_delay
+
+    df = spark.createDataFrame([
+        Row(host="a", robots_txt="User-agent: *\nCrawl-delay: 2\n"),
+        Row(host="b", robots_txt="crawl-delay: 0.5\n"),
+        Row(host="c", robots_txt="Crawl-delay: 1.2345\n"),  # ms truncate
+        Row(host="d", robots_txt="User-agent: *\nDisallow: /x\n"),
+    ])
+    got = {r["host"]: r["crawl_delay_ms"]
+           for r in robots_crawl_delay(df).collect()}
+    assert got == {"a": 2000, "b": 500, "c": 1234}
