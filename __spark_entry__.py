@@ -2059,6 +2059,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_delays"] = crawl_delays_q
 
+    def host_components_q(spark, sf_dir):
+        """Graph ops on EXTRACTED edges: pages → extract_links →
+        host_outlinks → connected components. Each host links only to
+        hub{h%5}, so the graph is five disjoint stars and every
+        component label is the lexicographic minimum of its star."""
+        from narowi_ocr_spark.operators.components import (
+            connected_components,
+        )
+        from narowi_ocr_spark.operators.urls import (
+            extract_links,
+            host_outlinks,
+        )
+
+        docs = _docs(spark, sf_dir)
+        hosts = docs.select(
+            (F.col("doc_id") % 20).cast("int").alias("h")
+        ).distinct()
+        s = lambda c: c.cast("string")  # noqa: E731
+        pages = hosts.select(
+            F.concat(F.lit("https://host"), s(F.col("h")),
+                     F.lit(".example/")).alias("url"),
+            F.concat(F.lit('<a href="https://hub'), s(F.col("h") % 5),
+                     F.lit('.example/t">t</a>')).alias("html"),
+        )
+        # CC's convergence probe is numeric — map host names to stable
+        # int ids (hostH → H, hubK → 100+K), label back to strings
+        def nid(c):
+            return (
+                F.when(c.startswith("hub"),
+                       F.regexp_extract(c, r"hub(\d+)", 1).cast("long")
+                       + 100)
+                .otherwise(
+                    F.regexp_extract(c, r"host(\d+)", 1).cast("long"))
+            )
+
+        def nname(c):
+            return F.when(
+                c >= 100,
+                F.concat(F.lit("hub"), (c - 100).cast("string"),
+                         F.lit(".example")),
+            ).otherwise(
+                F.concat(F.lit("host"), c.cast("string"),
+                         F.lit(".example"))
+            )
+
+        edges = host_outlinks(extract_links(pages)).select(
+            nid(F.col("src_host")).alias("id_a"),
+            nid(F.col("dst_host")).alias("id_b"),
+        )
+        labels = connected_components(edges)
+        return labels.select(
+            nname(F.col("id")).alias("id"),
+            nname(F.col("comp")).alias("component"),
+        )
+
+    q["host_components"] = host_components_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -6770,6 +6827,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, b || '/fresh', 750000, 2 FROM hb
         UNION ALL
         SELECT host, b || '/a', CAST(h % 5 * 100000 AS BIGINT), 3 FROM hb
+    """
+
+    # host_components: five disjoint link stars over integer node ids
+    # (hostH → H, hubK → 100+K) — the min id per star is hostK itself,
+    # derived in closed form, never by walking edges.
+    o["host_components"] = """
+        WITH hosts AS (
+          SELECT DISTINCT CAST(doc_id % 20 AS INT) AS h FROM documents)
+        SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS id,
+               'host' || CAST(h % 5 AS VARCHAR) || '.example' AS component
+        FROM hosts
+        UNION ALL
+        SELECT DISTINCT 'hub' || CAST(h % 5 AS VARCHAR) || '.example',
+               'host' || CAST(h % 5 AS VARCHAR) || '.example'
+        FROM hosts
     """
 
     # url_templates / crawl_delays: the oracle derives template strings
