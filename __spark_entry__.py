@@ -2116,6 +2116,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_components"] = host_components_q
 
+    def hidden_text_q(spark, sf_dir):
+        """Hidden-text spam signal: display:none divs on %3 docs (18
+        hidden chars, markup to strip inside), visibility:hidden spans
+        on %5 — exact integer ppm shares."""
+        from narowi_ocr_spark.operators.urls import hidden_text_stats
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        html = F.concat(
+            F.lit("<html><p>"), F.col("text"), F.lit("</p>"),
+            F.when(did % 3 == 0, F.lit(
+                '<div style="display:none">spam <b>keywords</b> here'
+                "</div>")).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(
+                '<span style="visibility: hidden">ghost</span>'))
+            .otherwise(F.lit("")),
+            F.lit("</html>"),
+        )
+        return hidden_text_stats(docs.select(
+            F.concat(F.lit("https://ht.example/"), s(did)).alias("url"),
+            html.alias("html"),
+        ))
+
+    q["hidden_text"] = hidden_text_q
+
+    def hreflang_q(spark, sf_dir):
+        """hreflang alternates: always a de variant, FR (case-folds)
+        on %2, a stylesheet decoy on %3, a blank-hreflang entry (drops)
+        on %5 — the parallel-document alignment signal."""
+        from narowi_ocr_spark.operators.urls import hreflang_alternates
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        alt = lambda lg: F.concat(  # noqa: E731
+            F.lit('<link rel="alternate" hreflang="'), F.lit(lg),
+            F.lit('" href="https://hl.example/'), F.lit(lg.lower()),
+            F.lit("/"), s(did), F.lit('">'))
+        html = F.concat(
+            F.lit("<head>"),
+            alt("de"),
+            F.when(did % 2 == 0, alt("FR")).otherwise(F.lit("")),
+            F.when(did % 3 == 0,
+                   F.lit('<link rel="stylesheet" href="/x.css">'))
+            .otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(
+                '<link rel="alternate" hreflang="" href="/bad">'))
+            .otherwise(F.lit("")),
+            F.lit("</head>"),
+        )
+        return hreflang_alternates(docs.select(
+            F.concat(F.lit("https://hl.example/en/"), s(did)).alias("url"),
+            html.alias("html"),
+        ))
+
+    q["hreflang"] = hreflang_q
+
     # ---------------- K8 temperature format ----------------------------
     def temperature_format(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -6842,6 +6900,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT 'hub' || CAST(h % 5 AS VARCHAR) || '.example',
                'host' || CAST(h % 5 AS VARCHAR) || '.example'
         FROM hosts
+    """
+
+    # hidden_text / hreflang: closed-form — hidden masses and variant
+    # lists follow from the corpus strata, never from re-parsing.
+    o["hidden_text"] = """
+        SELECT 'https://ht.example/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                    + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT)
+                 AS n_hidden_blocks,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 18 ELSE 0 END
+                    + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END
+                    AS BIGINT) AS hidden_chars,
+               CAST(length(text) AS BIGINT) AS visible_chars,
+               CAST((CASE WHEN doc_id % 3 = 0 THEN 18 ELSE 0 END
+                     + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END)
+                    * 1000000
+                    // ((CASE WHEN doc_id % 3 = 0 THEN 18 ELSE 0 END
+                         + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END)
+                        + length(text)) AS BIGINT) AS hidden_ppm
+        FROM documents
+    """
+
+    o["hreflang"] = """
+        WITH src AS (
+          SELECT doc_id,
+                 'https://hl.example/en/' || CAST(doc_id AS VARCHAR)
+                   AS url
+          FROM documents)
+        SELECT url, 'de' AS lang,
+               'https://hl.example/de/' || CAST(doc_id AS VARCHAR)
+                 AS alt_url
+        FROM src
+        UNION ALL
+        SELECT url, 'fr',
+               'https://hl.example/fr/' || CAST(doc_id AS VARCHAR)
+        FROM src WHERE doc_id % 2 = 0
     """
 
     # url_templates / crawl_delays: the oracle derives template strings

@@ -1216,3 +1216,101 @@ def robots_crawl_delay(
         .where(F.col("_r") != "")
         .drop("_r")
     )
+
+
+# --------------------------------------------- spam / i18n signals
+
+HIDDEN_STYLE_RE = (
+    r'(?is)<(\w+)[^>]*style="[^"]*(?:display\s*:\s*none'
+    r"|visibility\s*:\s*hidden)[^\"]*\"[^>]*>(.*?)</\1>"
+)
+
+
+def hidden_text_stats(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Hidden-text spam signal per page: (url, n_hidden_blocks,
+    hidden_chars, visible_chars, hidden_ppm) — text inside
+    display:none / visibility:hidden inline styles is what keyword
+    stuffers show crawlers and hide from users; a high hidden share is
+    a classic SEO-spam gate (and a boilerplate signal: cookie walls
+    ship hidden too). Matching is tag-balanced per block (backreference
+    \\1 pairs the close tag) over INLINE styles — class-based hiding
+    needs the CSS, documented out of scope. hidden_ppm =
+    10⁶·hidden/(hidden+visible) in exact integers; visible chars are
+    the tag-stripped remainder after hidden blocks are removed.
+
+    One regexp projection chain at the scan — no shuffle, no Python.
+    Java regex only (backreferences are not RE2-safe), so the oracle
+    derives expectations from the corpus formula instead of a regex.
+    """
+    h = F.col(html_col)
+    hidden_texts = F.transform(
+        F.regexp_extract_all(h, F.lit(HIDDEN_STYLE_RE), 2),
+        lambda b: F.regexp_replace(b, "<[^>]*>", ""),
+    )
+    hidden_chars = F.aggregate(
+        hidden_texts, F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("long")
+    stripped_all = F.regexp_replace(
+        F.regexp_replace(h, HIDDEN_STYLE_RE, ""), "<[^>]*>", ""
+    )
+    visible = F.length(stripped_all).cast("long")
+    staged = df.select(
+        F.col(url_col).alias("url"),
+        F.size(hidden_texts).cast("int").alias("n_hidden_blocks"),
+        hidden_chars.alias("hidden_chars"),
+        visible.alias("visible_chars"),
+    )
+    return staged.select(
+        "url",
+        "n_hidden_blocks",
+        "hidden_chars",
+        "visible_chars",
+        F.when(
+            F.col("hidden_chars") + F.col("visible_chars") > 0,
+            F.expr("hidden_chars * 1000000 div "
+                   "(hidden_chars + visible_chars)"),
+        ).otherwise(F.lit(0)).cast("long").alias("hidden_ppm"),
+    )
+
+
+HREFLANG_LINK_RE = r"(?is)(<link\s[^>]*>)"
+HREFLANG_ATTR_RE = r'(?is)hreflang="([^"]*)"'
+HREF_ATTR_RE = r'(?is)href="([^"]*)"'
+
+
+def hreflang_alternates(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """hreflang alternate extraction: one row per
+    <link rel=alternate hreflang=...> — (url, lang, alt_url). A page
+    lists its own language variants, so these rows ARE the
+    parallel-document alignment a multilingual corpus builder mines
+    (the mC4/CCAligned signal) — group by the variant set or join
+    pairs within a page for translation candidates. Entries missing
+    either attribute drop.
+
+    Block-scoped like every parser here: whole <link> tags are
+    captured first, attributes extracted per block, so attribute order
+    can never misalign. RE2-safe, no shuffle.
+    """
+    blk = F.col("_l")
+    rows = df.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col),
+                                 F.lit(HREFLANG_LINK_RE), 1)
+        ).alias("_l"),
+    )
+    lang = F.regexp_extract(blk, HREFLANG_ATTR_RE, 1)
+    href = F.regexp_extract(blk, HREF_ATTR_RE, 1)
+    return (
+        rows.where(blk.rlike(r'(?is)rel="alternate"'))
+        .select(
+            "url",
+            F.lower(lang).alias("lang"),
+            href.alias("alt_url"),
+        )
+        .where((F.col("lang") != "") & (F.col("alt_url") != ""))
+    )

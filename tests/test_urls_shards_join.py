@@ -801,3 +801,43 @@ def test_robots_crawl_delay_values(spark):
     got = {r["host"]: r["crawl_delay_ms"]
            for r in robots_crawl_delay(df).collect()}
     assert got == {"a": 2000, "b": 500, "c": 1234}
+
+
+def test_hidden_text_stats_detection(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import hidden_text_stats
+
+    rows = [
+        Row(url="u1", html='<p>0123456789</p>'
+            '<div style="a;display:none">hidden <b>ten</b></div>'),
+        Row(url="u2", html='<span style="visibility: hidden">ghost</span>'),
+        Row(url="u3", html="<p>clean</p>"),
+    ]
+    got = {r["url"]: r for r in
+           hidden_text_stats(spark.createDataFrame(rows)).collect()}
+    u1 = got["u1"]
+    # inner markup stripped before counting: 'hidden ten' = 10 chars
+    assert (u1["n_hidden_blocks"], u1["hidden_chars"],
+            u1["visible_chars"]) == (1, 10, 10)
+    assert u1["hidden_ppm"] == 500000
+    assert got["u2"]["hidden_ppm"] == 1000000
+    assert got["u3"]["hidden_ppm"] == 0 and got["u3"]["n_hidden_blocks"] == 0
+
+
+def test_hreflang_alternates_block_scoped(spark):
+    from pyspark.sql import Row
+
+    from narowi_ocr_spark.operators.urls import hreflang_alternates
+
+    html = (
+        '<link rel="alternate" hreflang="de" href="https://s/de"/>'
+        '<link hreflang="FR" rel="alternate" href="https://s/fr"/>'  # order
+        '<link rel="stylesheet" href="/x.css"/>'                      # decoy
+        '<link rel="alternate" hreflang="" href="/bad"/>'             # blank
+        '<link rel="alternate" hreflang="es">'                        # no href
+    )
+    df = spark.createDataFrame([Row(url="u", html=html)])
+    got = sorted((r["lang"], r["alt_url"])
+                 for r in hreflang_alternates(df).collect())
+    assert got == [("de", "https://s/de"), ("fr", "https://s/fr")]
