@@ -1,0 +1,199 @@
+"""On-cluster classifier TRAINING — the missing half of the
+hashing-trick quality filter.
+
+``functions/textstats.linear_quality_classifier`` ships the INFERENCE
+dataflow (fastText-style bag-of-hashed-words scoring, the
+FineWeb-Edu/DCLM filter shape) but loads a stub weight vector with the
+note "a real deployment loads the trained vector instead". This module
+trains that vector on the cluster: a batch perceptron over the same
+md5-bucket features, run entirely in integer arithmetic so the learned
+weights are bit-identical across engines, partitionings, and reruns —
+the property that makes training itself oracle-gateable against DuckDB
+(no float Σ whose value depends on aggregation order, no transcendental
+sigmoid whose last ulp differs across libm builds).
+
+Reference analogue: the reference hard-codes its recognition thresholds
+(image_processor.py:30-45 config constants); this is the learned
+replacement a web-scale pipeline actually deploys, trained where the
+data lives.
+
+Scale shape (the part that must survive 100 TB):
+- Featurization is ONE explode + groupBy(doc, bucket) shuffle of
+  (doc_id, bkt, cnt) triples; the raw text is read once and never
+  shuffled. The (doc, bkt) matrix is the per-epoch working set — for
+  a 256-bucket model it is ≤256 ints per doc, orders of magnitude
+  smaller than the corpus.
+- Each epoch is two shuffles over that cached matrix: a
+  groupBy(doc_id) to score (the weight vector folds into the plan as
+  a literal array — no join against a weight table), and a
+  groupBy(bkt) whose output is ≤n_buckets rows.
+- Model state (the weight vector) is O(n_buckets) and lives on the
+  driver between epochs — the same driver-aggregation shape Spark
+  MLlib uses; the collect is bounded by the model size, never by the
+  data size.
+
+Determinism / overflow: weights, gradients, and the geometric step
+schedule are exact int64 (see ``perceptron_train`` for the bound);
+per-(doc,bkt) counts are clipped (``clip_cnt``) exactly like the
+clipped tf in BM25 — the default clip (15) matches the subword-count
+clipping used by hashed fastText implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from narowi_ocr_spark.functions.textstats import words
+
+_HEX = "0123456789abcdef"
+
+
+def md5_bucket(col: Column, n_buckets: int) -> Column:
+    """Engine-portable feature hash: first one/two hex digits of
+    md5(token) → [0, 16) or [0, 256). Identical expression to the
+    inference classifier and the shard assigner, so a vector trained
+    here drops straight into ``linear_quality_classifier``."""
+    if n_buckets not in (16, 256):
+        raise ValueError("n_buckets must be 16 or 256")
+    hex_arr = F.array(*[F.lit(c) for c in _HEX])
+    h = F.md5(col)
+    b = F.array_position(hex_arr, F.substring(h, 1, 1)) - 1
+    if n_buckets == 256:
+        b = b * 16 + F.array_position(hex_arr, F.substring(h, 2, 1)) - 1
+    return b.cast("int")
+
+
+def hashed_token_counts(
+    df: DataFrame,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    clip_cnt: int = 15,
+    bias: bool = False,
+) -> DataFrame:
+    """(doc_id, bkt, cnt) sparse feature matrix: case-folded whitespace
+    tokens hashed into ``n_buckets`` md5 buckets, counts clipped at
+    ``clip_cnt`` (overflow bound + the standard tf dampening). One
+    shuffle; zero-token docs contribute no rows (callers must treat a
+    missing doc as the zero vector).
+
+    ``bias=True`` appends a constant feature (bkt = ``n_buckets``,
+    cnt = 1) for EVERY input doc — including zero-token docs, so every
+    doc then appears in the matrix. Without it a linear model over
+    non-negative counts cannot express a count threshold (score 0 is
+    unreachable from below); weight vectors must then have
+    ``n_buckets + 1`` entries."""
+    toks = words(F.lower(F.col(text_col)))
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("_w"))
+    counts = (
+        ex.select("doc_id", md5_bucket(F.col("_w"), n_buckets).alias("bkt"))
+        .groupBy("doc_id", "bkt")
+        .agg(F.least(F.count("*"), F.lit(clip_cnt)).cast("long").alias("cnt"))
+    )
+    if not bias:
+        return counts
+    bias_rows = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(n_buckets).cast("int").alias("bkt"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    return counts.unionByName(bias_rows)
+
+
+def perceptron_train(
+    feats: DataFrame,
+    labels: DataFrame,
+    n_weights: int = 256,
+    epochs: int = 8,
+) -> list[int]:
+    """Batch perceptron over the hashed feature matrix with geometric
+    step decay. ``labels`` is (doc_id, y) with y ∈ {+1, −1};
+    ``n_weights`` is the weight-vector length (``n_buckets``, or
+    ``n_buckets + 1`` when the matrix carries a bias feature). Returns
+    the dense integer weight vector after ``epochs`` full-batch
+    updates.
+
+    Epoch e (0-indexed): score every doc under the current weights
+    (w folds into the plan as a literal array — scoring shuffles only
+    the feature matrix, never joins a weight table), mark docs with
+    y·score ≤ 0 misclassified (ties update, so epoch 1 under w=0
+    updates on every doc — that pass is skipped analytically), and add
+    2^(epochs−1−e) · Σ_misclassified y·cnt to each bucket.
+
+    The decayed step is what makes FULL-BATCH perceptron converge in
+    practice: with a constant step the aggregated gradient magnitude
+    (~corpus token count) dwarfs the separating margin and the model
+    flip-flops between all-positive and all-negative states; halving
+    the step each epoch anneals onto the boundary (and since sign
+    predictions are scale-invariant, the power-of-2 scaling costs
+    nothing). All arithmetic stays exact int64 — no float learning
+    rate — so the learned vector is bit-identical across engines and
+    partitionings; the per-epoch driver collect is ≤ n_weights rows
+    (model state, not data).
+
+    Overflow bound: |w| ≤ 2^epochs · Σ_docs Σ_bkt cnt, and scores add
+    a ×(clip·n_weights) factor — safe in int64 through ~10⁹-doc
+    training sets at the default geometry; a 10¹²-doc run trains on a
+    deterministic md5-threshold subsample (the standard practice — the
+    classifier needs ~10⁶ docs, not the corpus) rather than widening
+    the accumulators.
+    """
+    w = [0] * n_weights
+    fl = feats.join(labels, "doc_id").persist()
+    try:
+        for epoch in range(epochs):
+            step = 1 << (epochs - 1 - epoch)
+            if any(w):
+                w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+                scores = (
+                    fl.groupBy("doc_id")
+                    .agg(
+                        F.max("y").alias("y"),
+                        F.sum(
+                            F.col("cnt")
+                            * F.element_at(w_arr, F.col("bkt") + 1)
+                        ).alias("score"),
+                    )
+                )
+                mis = scores.where(
+                    F.col("y") * F.coalesce(F.col("score"), F.lit(0)) <= 0
+                ).select("doc_id")
+                grad_src = fl.join(mis, "doc_id")
+            else:
+                # all-zero weights score every doc 0 → y·0 ≤ 0 → every
+                # doc is misclassified; the scoring pass is the identity
+                grad_src = fl
+            grad = (
+                grad_src.groupBy("bkt")
+                .agg(F.sum(F.col("y") * F.col("cnt")).alias("g"))
+                .collect()
+            )
+            for row in grad:
+                w[row["bkt"]] += step * row["g"]
+    finally:
+        fl.unpersist()
+    return w
+
+
+def weights_table(spark: SparkSession, w: list[int]) -> DataFrame:
+    """Dense (bkt, weight) table for the learned vector — the artifact
+    a deployment persists and ``linear_quality_classifier`` loads."""
+    return spark.createDataFrame(
+        [(b, int(v)) for b, v in enumerate(w)], "bkt int, weight long"
+    )
+
+
+def perceptron_score(
+    feats: DataFrame,
+    w: list[int],
+) -> DataFrame:
+    """Score (doc_id → Σ cnt·w[bkt]) under a trained vector; the same
+    literal-array fold as training. Docs absent from ``feats`` (zero
+    tokens) are absent here — callers coalesce to 0."""
+    w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    return feats.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.element_at(w_arr, F.col("bkt") + 1)).alias(
+            "score"
+        )
+    )
