@@ -5991,6 +5991,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["training_order"] = training_order_q
 
+    def blocklist_gate_q(spark, sf_dir):
+        """C4-style wordlist gate (demo list drawn from the synthetic
+        vocabulary — a deployment loads the published blocklist), ppm
+        threshold 25000 so both keep branches are exercised."""
+        from narowi_ocr_spark.operators.corpus import blocklist_gate
+
+        return blocklist_gate(
+            _docs(spark, sf_dir), terms=["slow", "dup"], max_hit_ppm=25000
+        )
+
+    q["blocklist_gate"] = blocklist_gate_q
+
     # ---------------- driver-sampling order ----------------------------
     # The correctness driver samples a PREFIX of this dict when its
     # budget caps the set (it took 42 of 153 in r01, 50 of 161 in r02).
@@ -10702,6 +10714,35 @@ def oracle_sql() -> dict[str, str]:
                || 'Content-Length: ' || CAST(strlen(body) AS VARCHAR)
                || e'\\r\\n\\r\\n' || body || e'\\r\\n\\r\\n' AS wet_record
         FROM p
+    """
+
+    # blocklist_gate: token-exact list_filter twin; '' join for no hits
+    o["blocklist_gate"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN length({trimmed}) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(lower({trimmed}), '\\s+')
+                 END AS ws
+          FROM documents),
+        h AS (
+          SELECT doc_id, len(ws) AS n_tokens,
+                 list_filter(ws, x -> list_contains(['slow', 'dup'], x))
+                   AS hits
+          FROM d),
+        r AS (
+          SELECT doc_id,
+                 CAST(n_tokens AS INT) AS n_tokens,
+                 CAST(len(hits) AS INT) AS n_hits,
+                 CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(1000000 AS BIGINT) * len(hits) // n_tokens
+                 END AS hit_ppm,
+                 coalesce(array_to_string(list_sort(list_distinct(hits)),
+                                          ','), '')
+                   AS hit_terms
+          FROM h)
+        SELECT doc_id, n_tokens, n_hits, hit_ppm, hit_terms,
+               hit_ppm <= 25000 AS keep
+        FROM r
     """
 
     # training_order: the distributed rank's contract is bit-equality

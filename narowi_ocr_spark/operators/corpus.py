@@ -1511,3 +1511,60 @@ def training_order(
     return ranked.withColumn(
         "reader", ((F.col("train_pos") - 1) % n_readers).cast("int")
     ).drop("_ok")
+
+
+def blocklist_gate(
+    df: DataFrame,
+    terms: list[str],
+    max_hit_ppm: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Wordlist content gate — the C4 policy (pages containing any term
+    from a published blocklist are dropped wholesale; the "List of
+    Dirty, Naughty, Obscene..." filter every web corpus since C4 runs),
+    generalized to a ppm threshold so milder deployments can keep pages
+    below a hit-rate floor instead of zero-tolerance.
+
+    Token-exact, case-folded matching (NOT substring — 'class' must not
+    trip a 'ass' entry; the known C4 over-blocking failure), counted
+    over the same whitespace tokenizer the rest of the curation stack
+    uses. Returns (doc_id, n_tokens, n_hits, hit_ppm, hit_terms, keep):
+    integer-ppm hit rate, the distinct matched terms sorted and
+    comma-joined (the audit column a human reviews before trusting the
+    list), keep = hit_ppm <= max_hit_ppm — default 0 keeps only
+    hit-free docs.
+
+    Scale shape: the term list folds into the plan as a codegen IN set
+    inside one higher-order filter over the staged token array — zero
+    shuffles, zero joins, zero Python; right for the O(10²-10³)-entry
+    published lists. A million-entry list switches to explode +
+    broadcast semi-join with identical semantics. Zero-token docs keep
+    deterministically (0 hits in 0 tokens).
+    """
+    from narowi_ocr_spark.functions.textstats import words
+
+    toks = words(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    staged = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    hits = F.filter(F.col("_t"), lambda t: t.isin([x.lower() for x in terms]))
+    out = staged.select(
+        "doc_id",
+        F.size("_t").cast("int").alias("n_tokens"),
+        F.size(hits).cast("int").alias("n_hits"),
+        F.array_join(F.array_sort(F.array_distinct(hits)), ",").alias(
+            "hit_terms"
+        ),
+    ).withColumn(
+        "hit_ppm",
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+            F.expr("CAST(1000000 AS BIGINT) * n_hits div n_tokens")
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_hits",
+        "hit_ppm",
+        "hit_terms",
+        (F.col("hit_ppm") <= F.lit(int(max_hit_ppm))).alias("keep"),
+    )

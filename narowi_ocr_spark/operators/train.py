@@ -52,8 +52,13 @@ _HEX = "0123456789abcdef"
 def md5_bucket(col: Column, n_buckets: int) -> Column:
     """Engine-portable feature hash: first one/two hex digits of
     md5(token) → [0, 16) or [0, 256). Identical expression to the
-    inference classifier and the shard assigner, so a vector trained
-    here drops straight into ``linear_quality_classifier``."""
+    inference classifier and the shard assigner, so training and
+    inference share one feature space. (Deployment scoring of a
+    TRAINED vector goes through ``perceptron_score`` — weights here
+    are signed and carry a bias slot, whereas
+    ``linear_quality_classifier``'s literal-array fast path is
+    restricted to non-negative weights for integer-division
+    portability of its mean score.)"""
     if n_buckets not in (16, 256):
         raise ValueError("n_buckets must be 16 or 256")
     hex_arr = F.array(*[F.lit(c) for c in _HEX])

@@ -146,3 +146,43 @@ def test_c4_rules_line_and_page_gates(spark):
     assert out[4]["n_kept_lines"] == 1 and out[4]["c4_keep"] is False
     # empty page: one empty line, nothing kept
     assert out[5]["n_kept_lines"] == 0 and out[5]["c4_keep"] is False
+
+
+# ---------------------------------------------------- blocklist_gate
+
+def _bl(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_blocklist_token_exact_not_substring(spark):
+    from narowi_ocr_spark.operators.corpus import blocklist_gate
+
+    df = _bl(spark, [(1, "slows slowly unslow"), (2, "slow car")])
+    out = {r["doc_id"]: r for r in blocklist_gate(df, ["slow"]).collect()}
+    assert out[1]["n_hits"] == 0 and out[1]["keep"]  # no substring trips
+    assert out[2]["n_hits"] == 1 and not out[2]["keep"]
+
+
+def test_blocklist_ppm_threshold_and_terms(spark):
+    from narowi_ocr_spark.operators.corpus import blocklist_gate
+
+    # 2 hits in 100 tokens = 20000 ppm
+    text = "dup slow " + "ok " * 98
+    df = _bl(spark, [(1, text.strip())])
+    strict = blocklist_gate(df, ["slow", "dup"]).first()
+    assert strict["n_tokens"] == 100
+    assert strict["hit_ppm"] == 20000 and not strict["keep"]
+    assert strict["hit_terms"] == "dup,slow"  # sorted distinct audit col
+    lax = blocklist_gate(df, ["slow", "dup"], max_hit_ppm=20000).first()
+    assert lax["keep"]
+
+
+def test_blocklist_case_fold_and_empty(spark):
+    from narowi_ocr_spark.operators.corpus import blocklist_gate
+
+    df = _bl(spark, [(1, "SLOW Slow sLoW"), (2, "   "), (3, None)])
+    out = {r["doc_id"]: r for r in blocklist_gate(df, ["Slow"]).collect()}
+    assert out[1]["n_hits"] == 3
+    for d in (2, 3):  # zero-token docs keep deterministically
+        assert out[d]["n_hits"] == 0 and out[d]["hit_ppm"] == 0
+        assert out[d]["keep"] and out[d]["hit_terms"] == ""
