@@ -85,6 +85,10 @@ def dedup_stream(
     )
 
 
+def _parquet_batch_writer(batch_df: DataFrame, path: str) -> None:
+    batch_df.write.mode("overwrite").parquet(path)
+
+
 def run_extraction_stream(
     spark: SparkSession,
     src_dir: str,
@@ -94,6 +98,7 @@ def run_extraction_stream(
     timeout_s: int = 300,
     transform: Callable[[DataFrame], DataFrame] = extract_pages,
     source: Callable[[SparkSession, str], DataFrame] = stream_pages,
+    sink_writer: Callable[[DataFrame, str], None] = _parquet_batch_writer,
 ) -> list[int]:
     """Run ``transform`` (default: the extraction pipeline) over all
     currently-available input (``availableNow``), exactly-once into
@@ -122,9 +127,7 @@ def run_extraction_stream(
         if manifest_path:
             batch_df.persist()
         try:
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"batch_id={batch_id}")
-            )
+            sink_writer(batch_df, os.path.join(out_dir, f"batch_id={batch_id}"))
             if manifest_path:
                 os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
                 entry = {
@@ -185,6 +188,43 @@ def run_warc_extraction_stream(
             warc_pages(blobs), sniff_routing=True
         ),
         source=stream_warc_blobs,
+    )
+
+
+def run_wet_export_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    manifest_path: str | None = None,
+    timeout_s: int = 300,
+    compress: bool = False,
+) -> list[int]:
+    """Crawl-to-WET as ONE resumable streaming job: pages → extraction
+    pipeline → conversion-record serialization (still a single
+    shuffle-free stage per micro-batch) → WET segment files under
+    ``out_dir/batch_id=<id>/``. Same exactly-once contract as the
+    parquet sink (idempotent per-batch_id overwrite + checkpoint):
+    a re-delivered batch rewrites its own segment directory, so
+    downstream consumers of the WET listing never see duplicate
+    records — the property Common Crawl's own segment layout gives
+    re-run crawls. The manifest rows double as the segment index
+    (batch_id ↔ record count)."""
+    from narowi_ocr_spark.sources.wet import wet_export, write_wet
+
+    return run_extraction_stream(
+        spark,
+        src_dir,
+        out_dir,
+        checkpoint_dir,
+        manifest_path=manifest_path,
+        timeout_s=timeout_s,
+        transform=lambda pages: wet_export(
+            extract_pages(pages).select("url", "warc_ts", "extracted_text")
+        ),
+        sink_writer=lambda df, path: write_wet(
+            df, path, compress=compress, mode="overwrite"
+        ),
     )
 
 

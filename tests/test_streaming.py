@@ -350,3 +350,59 @@ def test_iceberg_sink_snapshot_lineage(spark, tmp_path):
     )
     assert manifest["snapshot_id"] == snaps[-1]["snapshot_id"]
     assert manifest["rows"] == spark.table("ice_test.db.results").count()
+
+
+def test_wet_export_stream_exactly_once(spark, tmp_path):
+    """Crawl→WET as one resumable job: records land in per-batch_id
+    segment dirs, counts reconcile with the source, resume writes
+    nothing new, and the extracted bodies are byte-identical to the
+    pages' text (the pipeline contract carried through serialization)."""
+    import glob
+    import json
+
+    from narowi_ocr_spark.streaming.stream import run_wet_export_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "wet")
+    ckpt = str(tmp_path / "ckpt")
+    manifest = str(tmp_path / "m" / "manifest.jsonl")
+    synth_pages(spark, 50, partitions=2).write.parquet(src)
+
+    batches = run_wet_export_stream(spark, src, out, ckpt, manifest,
+                                    timeout_s=120)
+    assert batches
+
+    def read_segments():
+        blob = b""
+        for d in sorted(glob.glob(out + "/batch_id=*")):
+            for p in sorted(glob.glob(d + "/part-*")):
+                blob += open(p, "rb").read()
+        return blob
+
+    blob = read_segments()
+    assert blob.count(b"WARC/1.0\r\n") == 50
+    # manifest rows double as the segment index
+    rows = [json.loads(ln) for ln in open(manifest)]
+    assert sum(r["rows"] for r in rows) == 50
+
+    # bodies round-trip byte-identically vs the source pages
+    bodies = []
+    pos = 0
+    while True:
+        h = blob.find(b"Content-Length: ", pos)
+        if h < 0:
+            break
+        eol = blob.index(b"\r\n", h)
+        n = int(blob[h + 16 : eol])
+        start = blob.index(b"\r\n\r\n", eol) + 4
+        bodies.append(blob[start : start + n].decode())
+        pos = start + n
+    expected = {r["text"] for r in
+                spark.read.parquet(src).select("text").collect()}
+    assert set(bodies) == expected
+
+    # resume: no re-processing, segment bytes unchanged
+    again = run_wet_export_stream(spark, src, out, ckpt, manifest,
+                                  timeout_s=120)
+    assert not again or all(b not in batches for b in again)
+    assert read_segments() == blob

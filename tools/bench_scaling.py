@@ -80,6 +80,8 @@ from narowi_ocr_spark.operators.corpus import pack_sequences, passage_dedup
 from narowi_ocr_spark.operators.dedup import (
     lsh_candidate_pairs, simhash_near_pairs)
 from narowi_ocr_spark.operators.similarity import bucketed_topk
+from narowi_ocr_spark.operators.train import (
+    hashed_token_counts, perceptron_train)
 from narowi_ocr_spark.sources.tables import load_table
 from pyspark.sql import functions as F
 import __spark_entry__ as entrymod
@@ -171,6 +173,18 @@ ops = {{
     "rank_bucketed_dist": lambda: noop(
         bucketed_rank(rank_base, loglin_bucket(F.col("v")), rank_order,
                       ascending_buckets=False, rank_name="rn")),
+    # on-cluster classifier training (operators/train.py): 2 decayed
+    # batch-perceptron epochs over the REP×-amplified corpus — the
+    # per-epoch unit is two shuffles of the cached (doc,bkt,cnt)
+    # matrix plus an O(n_buckets) driver collect; the ladder shows the
+    # epoch dataflow scales even though epochs are sequential barriers
+    "classifier_train_2ep": lambda: perceptron_train(
+        hashed_token_counts(docs, n_buckets=256, bias=True),
+        docs.select("doc_id", F.when(
+            F.size(F.filter(F.split(F.lower(F.col("text")), " "),
+                            lambda t: t == F.lit("spark"))) >= 2,
+            1).otherwise(-1).cast("long").alias("y")),
+        n_weights=257, epochs=2),
 }}
 out = {{}}
 for name, fn in ops.items():
