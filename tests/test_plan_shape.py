@@ -498,3 +498,44 @@ def test_tpch_completion_batch_plan_shapes(spark):
     assert "LeftSemi" in p21, p21
     assert "LeftAnti" in p21, p21
     assert "BroadcastNestedLoopJoin" not in p21, p21
+
+
+def test_wet_export_composes_shuffle_free(spark):
+    """extract → WET serialization is still ONE stage: no Exchange, one
+    MapInArrow, and the record concat is pure projection above it."""
+    from narowi_ocr_spark.sources.wet import wet_export
+
+    pages = synth_pages(spark, 50, partitions=2)
+    recs = wet_export(
+        extract_pages(pages).select("url", "warc_ts", "extracted_text")
+    )
+    plan = _physical_plan(recs)
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInArrow") == 1, plan
+
+
+def test_blocklist_gate_zero_exchange_zero_python(spark):
+    """The wordlist folds into codegen: no shuffle, no Python workers,
+    no join — one narrow projection over the scan."""
+    from narowi_ocr_spark.operators.corpus import blocklist_gate
+
+    df = spark.createDataFrame(
+        [(1, "a slow b"), (2, "c")], "doc_id long, text string"
+    )
+    plan = _physical_plan(blocklist_gate(df, ["slow", "dup"]))
+    for node in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
+                 "MapInArrow", "Join"):
+        assert node not in plan, f"{node} in:\n{plan}"
+
+
+def test_hashed_features_single_exchange(spark):
+    """Featurization = exactly one shuffle (the groupBy(doc,bkt)
+    partial agg); the bias union adds no exchange."""
+    from narowi_ocr_spark.operators.train import hashed_token_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    plan = _physical_plan(hashed_token_counts(df, 256, bias=True))
+    assert plan.count("Exchange") == 1, plan
+    assert "HashAggregate" in plan, plan
