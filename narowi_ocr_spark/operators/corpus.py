@@ -1500,7 +1500,12 @@ def training_order(
 
     key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
     keyed = df.withColumn("_ok", key)
-    bucket = F.conv(F.substring("_ok", 1, 2), 16, 10).cast("long")
+    # 4 hex digits → 65536 order-monotone buckets (uniform, since the
+    # key is an md5 digest): the per-bucket rank sort is the job's
+    # parallel unit, so bucket count bounds the largest single-task
+    # sort at corpus_size / 65536 — 2 digits (256 buckets) would leave
+    # multi-gigarow buckets at 10¹² docs
+    bucket = F.conv(F.substring("_ok", 1, 4), 16, 10).cast("long")
     ranked = bucketed_rank(
         keyed,
         bucket=bucket,
