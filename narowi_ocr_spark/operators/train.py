@@ -23,9 +23,10 @@ Scale shape (the part that must survive 100 TB):
   shuffled. The (doc, bkt) matrix is the per-epoch working set — for
   a 256-bucket model it is ≤256 ints per doc, orders of magnitude
   smaller than the corpus.
-- Each epoch is two shuffles over that cached matrix: a
-  groupBy(doc_id) to score (the weight vector folds into the plan as
-  a literal array — no join against a weight table), and a
+- Each epoch is two shuffles over that cached matrix: a window sum
+  partitioned by doc_id scores every doc in place (the weight vector
+  folds into the plan as a literal array — no join against a weight
+  table, and no join back to mark misclassified rows), and a
   groupBy(bkt) whose output is ≤n_buckets rows.
 - Model state (the weight vector) is O(n_buckets) and lives on the
   driver between epochs — the same driver-aggregation shape Spark
@@ -43,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from narowi_ocr_spark.functions.textstats import words
 
@@ -150,21 +152,19 @@ def perceptron_train(
         for epoch in range(epochs):
             step = 1 << (epochs - 1 - epoch)
             if any(w):
+                # per-doc score as a window sum PARTITIONED by doc_id —
+                # every feature row learns its doc's score in the same
+                # exchange, so "misclassified" is a row-local filter
+                # and the gradient needs NO join back: two exchanges
+                # per epoch (doc_id window + bkt aggregate), not three
                 w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w])
-                scores = (
-                    fl.groupBy("doc_id")
-                    .agg(
-                        F.max("y").alias("y"),
-                        F.sum(
-                            F.col("cnt")
-                            * F.element_at(w_arr, F.col("bkt") + 1)
-                        ).alias("score"),
-                    )
+                dw = Window.partitionBy("doc_id")
+                score = F.sum(
+                    F.col("cnt") * F.element_at(w_arr, F.col("bkt") + 1)
+                ).over(dw)
+                grad_src = fl.withColumn("_s", score).where(
+                    F.col("y") * F.col("_s") <= 0
                 )
-                mis = scores.where(
-                    F.col("y") * F.coalesce(F.col("score"), F.lit(0)) <= 0
-                ).select("doc_id")
-                grad_src = fl.join(mis, "doc_id")
             else:
                 # all-zero weights score every doc 0 → y·0 ≤ 0 → every
                 # doc is misclassified; the scoring pass is the identity
