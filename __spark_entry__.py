@@ -5953,6 +5953,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["classifier_train_eval"] = classifier_train_eval_q
 
+    def classifier_distill_gate_q(spark, sf_dir):
+        """The deployment step that closes the distillation loop: train
+        on the 75% split, then score the ENTIRE corpus with the learned
+        vector as a keep/drop gate (score > 0 keeps) — the corpus
+        filter a pipeline runs at scan speed once training is done."""
+        from narowi_ocr_spark.operators.train import (
+            hashed_token_counts,
+            perceptron_score,
+        )
+
+        w = _clf_train_weights(spark, sf_dir)
+        docs = _docs(spark, sf_dir)
+        feats = hashed_token_counts(docs, n_buckets=256, bias=True)
+        scored = docs.select("doc_id").join(
+            perceptron_score(feats, w), "doc_id", "left"
+        )
+        sc = F.coalesce(F.col("score"), F.lit(0).cast("long"))
+        return scored.select(
+            "doc_id", sc.alias("score"), (sc > 0).alias("keep")
+        )
+
+    q["classifier_distill_gate"] = classifier_distill_gate_q
+
     # ---------------- WET export + training-order shuffle --------------
     def wet_export_q(spark, sf_dir):
         """Common-Crawl-style WET conversion records over the documents
@@ -10688,6 +10711,20 @@ def oracle_sql() -> dict[str, str]:
                (CASE WHEN coalesce(es.sc, 0) > 0 THEN 1 ELSE -1 END) = e.y
                  AS correct
         FROM elab e LEFT JOIN es USING (doc_id)
+    """
+
+    # classifier_distill_gate: full training chain, then score EVERY
+    # doc (both splits) under wf — the deployment filter
+    o["classifier_distill_gate"] = f"""
+        WITH {_clf_train_ctes()},
+        {_clf_feat_ctes('sp', 'a')},
+        asc_ AS (SELECT f.doc_id,
+                      CAST(sum(f.cnt * coalesce(wf.w, 0)) AS BIGINT) AS sc
+               FROM afeats f LEFT JOIN wf USING (bkt) GROUP BY f.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(asc_.sc, 0) AS BIGINT) AS score,
+               coalesce(asc_.sc, 0) > 0 AS keep
+        FROM sp d LEFT JOIN asc_ USING (doc_id)
     """
 
     # wet_export: the record string is rebuilt byte-for-byte in SQL
