@@ -422,6 +422,10 @@ def main() -> None:
         "quality_classifier",
         "anchor_texts",
         "robots_filter",
+        "classifier_train",
+        "blocklist_gate",
+        "wet_export",
+        "training_order",
     ):
         bench(
             _r3,
