@@ -68,7 +68,15 @@ def connected_components(
         endpoints = endpoints.unionByName(nodes.select("id")).distinct()
     labels = endpoints.select("id", F.col("id").alias("comp"))
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    # fixpoint probe: labels only ever decrease, so an unchanged sum ⇔
+    # no label moved. Sum in decimal(38,0) — ids may be hash-sized
+    # (|id| up to 2⁶³), and an int64 sum of them overflows (ANSI mode
+    # throws) after a handful of rows; decimal(38) is exact to 10³⁸,
+    # comfortably above 10¹² nodes × 2⁶³.
+    def _label_sum(lb):
+        return lb.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
 
     for _ in range(max_iters):
         msgs = sym.join(labels, sym.dst == labels.id).select(
@@ -80,7 +88,7 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
         )
         labels = labels.localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:  # labels only decrease → fixpoint
             return labels
         prev_sum = cur_sum

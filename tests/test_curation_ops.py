@@ -184,3 +184,27 @@ def test_triangle_count_k4_plus_pendant(spark):
     )
     got = {r["id"]: r["n_triangles"] for r in triangle_count(edges).collect()}
     assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+
+def test_connected_components_hash_sized_ids(spark):
+    """Regression: the fixpoint probe sums labels — with hash-sized ids
+    (|id| near 2^63, e.g. abs(xxhash64) keys) an int64 sum overflows
+    (ANSI mode throws). The probe must stay exact at any id magnitude."""
+    from narowi_ocr_spark.operators.components import connected_components
+
+    big = 9_100_000_000_000_000_000  # ~2^63
+    edges = spark.createDataFrame(
+        [(big, big - 7), (big - 7, big - 1000), (big - 2, big - 3)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(big,), (big - 7,), (big - 1000,), (big - 2,), (big - 3,), (1,)],
+        "id long",
+    )
+    labels = {
+        r["id"]: r["comp"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert labels[big] == labels[big - 7] == labels[big - 1000] == big - 1000
+    assert labels[big - 2] == labels[big - 3] == big - 3
+    assert labels[1] == 1  # isolated node keeps its own label

@@ -1,0 +1,66 @@
+"""End-to-end smoke of the release driver (tools/run_release_job.py):
+crawl pages → extract → clean → dedup (exact + near) → split → shards →
+WET segments → manifest, all from library calls."""
+
+import glob
+import json
+import sys
+
+import pyspark.sql.functions as F
+
+from narowi_ocr_spark.sources.pages import synth_pages
+
+sys.path.insert(0, "/root/repo/tools")
+
+
+def test_release_job_end_to_end(spark, tmp_path):
+    from run_release_job import run_release
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "release")
+    base = synth_pages(spark, 300, partitions=4)
+    # plant exact duplicates: 20 extra urls re-serving the text of the
+    # first 20 pages (same html ⇒ same extracted text ⇒ exact-dup drop)
+    dup = (
+        base.limit(20)
+        .select(
+            F.concat(F.lit("https://mirror.example/"), F.col("url")).alias(
+                "url"
+            ),
+            "warc_ts",
+            "html",
+            "text",
+            "lang",
+        )
+    )
+    base.unionByName(dup).write.parquet(src)
+
+    # synth text has no sentence punctuation, so the C4 prose rules are
+    # disabled (documented on run_release); the gate chain still runs
+    # the blocklist
+    manifest = run_release(spark, src, out, apply_c4=False)
+    st = manifest["stages"]
+    assert st["pages"] == 320
+    assert 0 < st["extracted"] <= 320
+    # gates only shrink; dedup only shrinks; train ⊆ released
+    assert st["extracted"] >= st["clean"] >= st["exact_unique"]
+    assert st["exact_unique"] >= st["near_unique"] >= st["train"]
+    # exact dedup keeps exactly one doc per distinct surviving text —
+    # the planted mirrors die here whenever their original also
+    # survived the gates
+    shards = spark.read.parquet(out + "/shards")
+    assert st["exact_unique"] < st["clean"]  # at least one mirror pair
+
+    # artifacts exist and reconcile
+    assert shards.count() == st["train"]
+    sm = spark.read.parquet(out + "/shard_manifest")
+    assert sm.agg(F.sum("n_docs")).first()[0] == st["train"]
+    wet_blob = b"".join(
+        open(p, "rb").read()
+        for p in sorted(glob.glob(out + "/wet/part-*"))
+    )
+    assert wet_blob.count(b"WARC/1.0\r\n") == st["train"]
+    rel = json.loads(
+        open(glob.glob(out + "/release_manifest/part-*")[0]).read()
+    )
+    assert rel["stages"] == st
