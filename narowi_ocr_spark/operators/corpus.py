@@ -249,13 +249,11 @@ def char_bigram_lm(
     )
 
 
-# Packed first-occurrence key for passage_dedup: (doc_id << IDX_BITS) | idx.
-# 24 bits of passage index = 16M passages/doc (at 16-word passages that is
-# a 250M-word document) — far above any real web document; doc ids must
-# fit in the remaining 39 bits of the positive long range, which holds for
-# 64-bit ids derived from dense counters (crawl pipelines that use 128-bit
-# content hashes as ids should pass a dense surrogate id instead).
-PASSAGE_IDX_BITS = 24
+# First-occurrence ordering for passage_dedup / dup_span_removal is a
+# lexicographic struct-min over (doc_id, idx): exact for ANY int64 id —
+# including abs(xxhash64(url)) keys, the natural web-scale id — where the
+# earlier packed (doc_id << 24 | idx) bigint silently wrapped above 2^39
+# and could collide across documents.
 
 
 def passage_dedup(
@@ -289,7 +287,8 @@ def passage_dedup(
       * the DEDUP DECISION dataflow never moves text: only
         (id, idx, md5) triples shuffle, and first-occurrence is a
         partial-aggregated groupBy(md5) over a PACKED bigint key
-        (id << 24 | idx) — map-side combine, not a window sort;
+        (id, idx) orderable-struct min — map-side combine, not a
+        window sort, and exact for hash-sized ids;
       * reassembly co-locates the (id, array<int>) kept-index list with
         the corpus via one id-keyed join — the only stage where the
         tokenized text crosses an exchange. Bucket the corpus table by
@@ -329,15 +328,22 @@ def passage_dedup(
         # case-fold ONLY the hash input: dedup is case-insensitive, the
         # surviving text is not case-mangled
         F.md5(F.lower("passage")).alias("h"),
-        (
-            F.shiftleft(F.col("id").cast("long"), PASSAGE_IDX_BITS)
-            + F.col("idx")
-        ).alias("pk"),
     )
-    firsts = triples.groupBy("h").agg(F.min("pk").alias("first_pk"))
+    # first occurrence = lexicographic min over (id, idx) as an
+    # ORDERABLE STRUCT, still a map-side-combined partial aggregate.
+    # (An earlier packed bigint (id<<24 | idx) silently wrapped for
+    # hash-sized ids — abs(xxhash64(url)) keys, the natural web-scale
+    # id — corrupting the order and colliding across docs; struct-min
+    # is exact at any id magnitude for the same shuffle bytes class.)
+    firsts = triples.groupBy("h").agg(
+        F.min(F.struct("id", "idx")).alias("first")
+    )
     kept = (
         triples.join(firsts, "h")
-        .where(F.col("pk") == F.col("first_pk"))
+        .where(
+            (F.col("id") == F.col("first.id"))
+            & (F.col("idx") == F.col("first.idx"))
+        )
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("idx")).alias("keep_idx"))
     )
@@ -1226,8 +1232,8 @@ def dup_span_removal(
     every duplicated span but keep ONE canonical occurrence so the
     corpus still contains the content once). A k-token window is
     duplicated if its case-folded digest occurs >= 2 times corpus-wide;
-    every occurrence EXCEPT the packed-key-minimal first (same
-    (id≪24)∣pos order as passage_dedup) is removable; removable
+    every occurrence EXCEPT the (doc_id, pos)-lexicographic first (same
+    struct-min order as passage_dedup) is removable; removable
     windows merge into maximal spans (gaps-and-islands) and their
     token positions are deleted. Window-level granularity means a few
     boundary tokens beyond the true byte-level suffix-array span can
@@ -1240,8 +1246,8 @@ def dup_span_removal(
     reassembly, as in passage_dedup).
 
     Scale shape: identical to dup_span_stats — only (doc_id, pos,
-    digest, packed-key) rows shuffle, never text; first-occurrence is
-    a partial-aggregated min over the packed bigint; the islands merge
+    digest) rows shuffle, never text; first-occurrence is a
+    partial-aggregated struct-min over (doc_id, pos); the islands merge
     is one sort per doc_id partition; reassembly sends only (doc_id,
     span list) back onto the staged corpus, and the kept-position set
     is computed as an O(n+removed) ``array_except`` (hash-based), not
@@ -1262,24 +1268,25 @@ def dup_span_removal(
     ).otherwise(F.array().cast("array<string>"))
     win = staged.select(
         "doc_id", F.posexplode(grams).alias("pos", "fp")
-    ).select(
-        "doc_id",
-        "pos",
-        "fp",
-        (
-            F.shiftleft(F.col("doc_id").cast("long"), PASSAGE_IDX_BITS)
-            + F.col("pos")
-        ).alias("pk"),
     )
+    # first occurrence by lexicographic struct-min over (doc_id, pos) —
+    # exact for hash-sized ids, unlike the packed (id<<24 | pos) bigint
+    # it replaces (see passage_dedup)
     firsts = (
         win.groupBy("fp")
-        .agg(F.count("*").alias("_occ"), F.min("pk").alias("first_pk"))
+        .agg(
+            F.count("*").alias("_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
         .where(F.col("_occ") >= 2)
-        .select("fp", "first_pk")
+        .select("fp", "first")
     )
     removable = (
         win.join(firsts, "fp")
-        .where(F.col("pk") != F.col("first_pk"))
+        .where(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
         .select("doc_id", "pos")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")

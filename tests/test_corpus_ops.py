@@ -682,3 +682,36 @@ def test_otsu_threshold_bimodal_and_ties(spark):
     sym = spark.createDataFrame([Row(bin=0), Row(bin=1), Row(bin=2)])
     (t,) = otsu_threshold(sym).collect()
     assert t["threshold_bin"] == 1
+
+
+def test_passage_dedup_hash_sized_ids(spark):
+    """Regression: first-occurrence ordering must hold for hash-sized
+    ids (abs(xxhash64) keys) — the packed (id<<24|idx) bigint this
+    replaced wrapped above 2^39 and could collide across docs."""
+    from narowi_ocr_spark.operators.corpus import passage_dedup
+
+    big = 9_000_000_000_000_000_000
+    text = " ".join(f"w{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(big, text + " unique tail one"), (3, text + " other tail two")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in passage_dedup(df, passage_words=16).collect()}
+    # the shared first passage survives ONLY in the min-id doc (3)
+    assert out[3]["text_dedup"].startswith("w0 ")
+    assert not out[big]["text_dedup"].startswith("w0 ")
+
+
+def test_dup_span_removal_hash_sized_ids(spark):
+    from narowi_ocr_spark.operators.corpus import dup_span_removal
+
+    big = 9_000_000_000_000_000_000
+    span = " ".join(f"s{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(big, span + " apple pear"), (7, span + " cherry plum")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_removal(df, k=8).collect()}
+    # doc 7 is the (doc_id, pos)-lexicographic first: keeps the span
+    assert out[7]["n_removed"] == 0
+    assert out[big]["n_removed"] == 8
