@@ -48,6 +48,19 @@ def shard_assign(
     Returns the input columns plus ``shard`` (int) and ``pos`` (int,
     1-based rank inside the shard). Digest ties are impossible for
     distinct ids, but ``id_col`` breaks them deterministically anyway.
+
+    The in-shard rank is computed by the two-pass distributed scheme
+    (the same shape as ``ranking.bucketed_rank``), NOT a window
+    partitioned by shard alone: with 16-256 shards, a shard-partitioned
+    ``row_number`` funnels corpus_size/shards rows — hundreds of
+    millions at 10¹² docs — through ONE task's sort. Instead the next
+    two digest hex digits sub-bucket each shard 256 ways (order-monotone
+    within the shard, since the shard digits are constant there), the
+    per-(shard, sub-bucket) counts prefix-sum into offsets inside a
+    window over the tiny count table (≤ shards×256 rows, partitioned by
+    shard — no single-partition exchange anywhere), and the full table
+    only ever sorts within (shard, sub-bucket) cells. ``pos`` is
+    bit-identical to the naive shard-window rank.
     """
     if hex_digits not in (1, 2):
         raise ValueError("hex_digits must be 1 or 2")
@@ -57,8 +70,28 @@ def shard_assign(
     if hex_digits == 2:
         shard = shard * 16 + _hex_digit_value(F.substring("_digest", 2, 1))
     d = d.withColumn("shard", shard.cast("int"))
-    w = Window.partitionBy("shard").orderBy("_digest", id_col)
-    return d.withColumn("pos", F.row_number().over(w)).drop("_digest")
+    sub = (
+        _hex_digit_value(F.substring("_digest", hex_digits + 1, 1)) * 16
+        + _hex_digit_value(F.substring("_digest", hex_digits + 2, 1))
+    )
+    d = d.withColumn("_sub", sub.cast("int"))
+    cnts = d.groupBy("shard", "_sub").agg(F.count("*").alias("_c"))
+    wo = (
+        Window.partitionBy("shard")
+        .orderBy("_sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnts.select(
+        "shard", "_sub", F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_off")
+    )
+    j = d.join(F.broadcast(offs), ["shard", "_sub"])
+    wl = Window.partitionBy("shard", "_sub").orderBy("_digest", id_col)
+    return (
+        j.withColumn(
+            "pos", (F.col("_off") + F.row_number().over(wl)).cast("int")
+        )
+        .drop("_digest", "_sub", "_off")
+    )
 
 
 def shard_sizes(assigned: DataFrame) -> DataFrame:

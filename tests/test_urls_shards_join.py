@@ -841,3 +841,25 @@ def test_hreflang_alternates_block_scoped(spark):
     got = sorted((r["lang"], r["alt_url"])
                  for r in hreflang_alternates(df).collect())
     assert got == [("de", "https://s/de"), ("fr", "https://s/fr")]
+
+
+def test_shard_assign_no_shard_only_window(spark):
+    """Scale shape: the full-table rank window must be partitioned by
+    (shard, sub-bucket), never by shard alone (a 16-way partition would
+    funnel corpus/16 rows through single tasks at 10^12 docs)."""
+    from narowi_ocr_spark.operators.shards import shard_assign
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    plan = (
+        shard_assign(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    assert specs, plan
+    # every window over the data table carries the sub-bucket key; the
+    # offsets window runs over the tiny count table (also shard+_sub)
+    assert all("_sub" in s for s in specs), plan
