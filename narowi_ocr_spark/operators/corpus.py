@@ -484,22 +484,48 @@ def pack_sequences(
 
     Scale shape: packing needs a total order, which does not distribute
     — so the order is PER SHARD (the partition column every training
-    run already has: source, dump, language...). One window shuffle
-    keyed on the shard column; offsets are an integer running sum, so
-    the result is deterministic and engine-exact. Shards are
-    independent, so skew in shard sizes is the only hotspot — the same
-    salting used for host keys applies when one shard dominates.
+    run already has: source, dump, language...), and the per-shard
+    running token sum is computed by the two-pass distributed scheme
+    (as in ``ranking.bucketed_rank``): ids coarsen into order-monotone
+    log-linear cells, per-(shard, cell) token sums prefix-sum into
+    offsets inside a window over that TINY table (≤ shards × 4k rows,
+    partitioned by shard), and the corpus-sized running sum happens
+    within (shard, cell) — never a whole shard through one task's sort
+    (at 10¹² docs a shard-partitioned window is corpus/shards rows in
+    one task). Results are integer-exact and bit-identical to the naive
+    shard window. Requires non-negative ids (the repo-wide doc-id
+    convention; ``loglin_bucket``'s domain).
     """
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    staged = df.select(
+    from narowi_ocr_spark.operators.ranking import loglin_bucket
+
+    staged0 = df.select(
         F.col(id_col).alias("id"),
         F.col(shard_col).alias("shard"),
         token_count(text_col).cast("long").alias("n_tokens"),
-    ).withColumn("_cum", F.sum("n_tokens").over(w))
+    ).withColumn("_cell", loglin_bucket(F.col("id")))
+    cell_sums = staged0.groupBy("shard", "_cell").agg(
+        F.sum("n_tokens").alias("_ct")
+    )
+    wo = (
+        Window.partitionBy("shard")
+        .orderBy("_cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cell_sums.select(
+        "shard",
+        "_cell",
+        F.coalesce(F.sum("_ct").over(wo), F.lit(0)).alias("_coff"),
+    )
+    wl = (
+        Window.partitionBy("shard", "_cell")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged0.join(F.broadcast(offs), ["shard", "_cell"])
+        .withColumn("_cum", F.col("_coff") + F.sum("n_tokens").over(wl))
+        .drop("_cell", "_coff")
+    )
     start = (F.col("_cum") - F.col("n_tokens")).alias("start_offset")
     packed = staged.select(
         "id",
@@ -1079,20 +1105,46 @@ def adaptive_quality_gate(
     ceil(keep_frac · n) rows survive per stratum — deterministic and
     engine-independent, unlike percent_rank at duplicate scores.
 
-    One window shuffle on the stratum column; text columns pass through
-    untouched (at scale, gate on a (id, source, q) projection and
-    semi-join the survivors back so text never shuffles).
+    The per-stratum rank is two-pass distributed (the
+    ``ranking.bucketed_rank`` shape): scores coarsen into
+    order-monotone ``floor(q·4096)`` cells (IEEE multiply-by-positive
+    + floor never reorders), per-(stratum, cell) counts prefix-sum
+    into offsets over that TINY table, and the corpus only sorts
+    within (stratum, cell) — a stratum-partitioned window would pull
+    corpus/|strata| rows through ONE task at web scale. The stratum
+    total for ceil(keep_frac·n) falls out of the same count table.
+    Text columns pass through untouched (at scale, gate on a
+    (id, source, q) projection and semi-join the survivors back so
+    text never shuffles).
     """
-    w = Window.partitionBy(strata_col).orderBy(
+    cell = F.floor(F.col(q_col).cast("double") * 4096).cast("long")
+    staged = scored.withColumn("_cell", cell)
+    cnts = staged.groupBy(strata_col, "_cell").agg(
+        F.count("*").alias("_c")
+    )
+    wo = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.desc("_cell"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(strata_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = cnts.select(
+        strata_col,
+        "_cell",
+        F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_off"),
+        F.sum("_c").over(wall).alias("_n"),
+    )
+    wl = Window.partitionBy(strata_col, "_cell").orderBy(
         F.col(q_col).desc(), F.col(id_col)
     )
-    n = F.count("*").over(Window.partitionBy(strata_col))
-    keep_n = F.ceil(F.lit(keep_frac) * n.cast("double"))
+    keep_n = F.ceil(F.lit(keep_frac) * F.col("_n").cast("double"))
     return (
-        scored.withColumn("q_rank", F.row_number().over(w))
-        .withColumn("_keep_n", keep_n)
-        .where(F.col("q_rank") <= F.col("_keep_n"))
-        .drop("_keep_n")
+        staged.join(F.broadcast(offs), [strata_col, "_cell"])
+        .withColumn("q_rank", F.col("_off") + F.row_number().over(wl))
+        .where(F.col("q_rank") <= keep_n)
+        .drop("_cell", "_off", "_n")
     )
 
 
@@ -1118,8 +1170,12 @@ def token_budget_sample(
     ``domain_mix_weights``) times a global token target give the
     ``budgets`` map.
 
-    One window shuffle on the stratum column; the cumulative sum is a
-    running aggregate inside the sorted partition, no second exchange.
+    The running sum is two-pass distributed (as in ``pack_sequences``):
+    the shuffle key's first two hex digits coarsen each stratum into
+    256 order-monotone cells, per-(stratum, cell) token sums prefix-sum
+    into offsets over that TINY table, and the corpus-sized running
+    aggregate happens within (stratum, cell) — never a whole stratum
+    through one task. Bit-identical to the naive stratum window.
     """
     bmap = F.create_map(
         *[F.lit(x) for kv in budgets.items() for x in kv]
@@ -1128,20 +1184,41 @@ def token_budget_sample(
         bmap.getItem(F.col(strata_col)), F.lit(default_budget)
     ).cast("long")
     key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    w = (
+    from narowi_ocr_spark.operators.shards import _hex_digit_value
+
+    staged = docs_with_tokens.withColumn("_key", key).withColumn(
+        "_cell",
+        _hex_digit_value(F.substring("_key", 1, 1)) * 16
+        + _hex_digit_value(F.substring("_key", 2, 1)),
+    )
+    cell_sums = staged.groupBy(strata_col, "_cell").agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("_ct")
+    )
+    wo = (
         Window.partitionBy(strata_col)
-        .orderBy(key.asc(), F.col(id_col))
+        .orderBy("_cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cell_sums.select(
+        strata_col,
+        "_cell",
+        F.coalesce(F.sum("_ct").over(wo), F.lit(0)).alias("_coff"),
+    )
+    wl = (
+        Window.partitionBy(strata_col, "_cell")
+        .orderBy(F.col("_key").asc(), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    cum = F.col("_coff") + F.sum(F.col(tokens_col).cast("long")).over(wl)
     return (
-        docs_with_tokens.withColumn("cum_tokens", cum)
+        staged.join(F.broadcast(offs), [strata_col, "_cell"])
+        .withColumn("cum_tokens", cum)
         .withColumn("_budget", budget)
         .where(
             (F.col("cum_tokens") - F.col(tokens_col).cast("long"))
             < F.col("_budget")
         )
-        .drop("_budget")
+        .drop("_budget", "_key", "_cell", "_coff")
     )
 
 
