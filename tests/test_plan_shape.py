@@ -301,21 +301,33 @@ def test_url_canonicalization_is_narrow_single_parse(spark, tmp_path):
     assert plan.count(r":(\d+)$") == 1, plan
 
 
-def test_shard_assign_exactly_one_exchange_keyed_on_shard(spark):
+def test_shard_assign_no_global_sort_no_single_partition(spark):
     """Training-order sharding must never plan a global sort or a
-    single-partition window: its ONE exchange hashes on the shard
-    column, and each shard ranks independently."""
+    single-partition exchange: the data-table exchanges hash on
+    (shard, sub-bucket) — each of the shards × 256 cells ranks
+    independently — and the only other exchanges carry the tiny
+    per-cell count/offset table (hash on shard+_sub, then broadcast)."""
     from narowi_ocr_spark.operators.shards import shard_assign
 
     df = spark.range(500).select(F.col("id").alias("doc_id"))
     plan = _physical_plan(shard_assign(df, hex_digits=2))
+    lines = plan.splitlines()
     exchanges = [
-        l for l in plan.splitlines() if "Exchange" in l and "Reused" not in l
+        (i, l) for i, l in enumerate(lines)
+        if "Exchange" in l and "Reused" not in l
     ]
-    assert len(exchanges) == 1, plan
-    assert "hashpartitioning" in exchanges[0] and "shard#" in exchanges[0], (
-        exchanges[0]
-    )
+    assert exchanges, plan
+    assert any(
+        "hashpartitioning" in l and "shard#" in l and "_sub#" in l
+        for _, l in exchanges
+    ), plan  # the data-table rank exchange carries the sub-bucket
+    for i, e in exchanges:
+        assert "hashpartitioning" in e or "Broadcast" in e, e
+        if "hashpartitioning" in e and "_sub#" not in e:
+            # a shard-only exchange is allowed ONLY for the tiny
+            # per-cell count table: its subtree must aggregate first
+            below = "\n".join(lines[i:])
+            assert "HashAggregate" in below, plan
     assert "SinglePartition" not in plan, plan
     assert "rangepartitioning" not in plan, plan
 
