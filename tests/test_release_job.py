@@ -64,3 +64,37 @@ def test_release_job_end_to_end(spark, tmp_path):
         open(glob.glob(out + "/release_manifest/part-*")[0]).read()
     )
     assert rel["stages"] == st
+
+
+def test_training_job_end_to_end(spark, tmp_path):
+    """Smoke of the training driver: train on a boolean teacher column,
+    persist weights + manifest, eval beats the majority class."""
+    from run_training_job import run_training
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "model")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    topic = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda t: t == F.lit("spark"),
+        )
+    )
+    docs.withColumn("is_topic", topic >= 2).write.parquet(src)
+
+    m = run_training(spark, src, out, "is_topic", epochs=8)
+    assert m["n_weights"] == 257 and m["nonzero_weights"] > 0
+    # weights artifact is dense and loadable
+    wdf = spark.read.parquet(out + "/weights")
+    assert wdf.count() == 257
+    # learned: held-out accuracy beats predicting the majority class
+    ev = m["eval"]
+    majority = max(ev["positives"], ev["n"] - ev["positives"])
+    assert ev["correct"] > majority
+    import glob
+    import json
+
+    rel = json.loads(
+        open(glob.glob(out + "/training_manifest/part-*")[0]).read()
+    )
+    assert rel["eval"] == ev
