@@ -6028,11 +6028,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---------------- driver-sampling order ----------------------------
     # The correctness driver samples a PREFIX of this dict when its
-    # budget caps the set (it took 42 of 153 in r01, 50 of 161 in r02).
-    # Put the entries those two rounds never sampled FIRST, so every
-    # query gets a driver-green row at least once across rounds
-    # (VERDICT r2 item 3); within each group, insertion order is kept.
-    _driver_checked_r01_r02 = {
+    # budget caps the set (42 of 153 in r01, 50 of 161 in r02, 50 of 216
+    # in r03 — r03's 50 were 100% never-before-checked, confirming this
+    # reorder drives the rotation). Put the entries no round has sampled
+    # FIRST, so every query gets a driver-green row at least once across
+    # rounds (VERDICT r2 item 3, VERDICT r3 item 1); within each group,
+    # insertion order is kept.
+    _driver_checked_r01_r03 = {
         "adaptive_quality_gate", "batch_status", "batch_summary",
         "best_of_configs", "block_scores", "capped_pages",
         "char_lm_scores", "curation_pipeline", "decontamination",
@@ -6056,12 +6058,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample", "token_counts", "tokens_detailed",
         "top_orders_by_revenue", "tpch_q1", "tpch_q6", "vocab_stats",
         "weight_spans", "winnow_fps", "word_confidence_issues",
+        # -- checked in r03 (the 50 keys of CORRECTNESS_r03.json) --
+        "anchor_texts", "c4_rules", "content_types", "crawl_delays",
+        "crawl_frontier", "crawl_schedule", "curation_full",
+        "emb_ivf_multiprobe", "events_anomaly", "events_asof",
+        "events_moving_avg", "events_quantiles",
+        "events_quantiles_approx", "events_rollup",
+        "events_sessions_native", "extract_pdf_text",
+        "extracted_links", "extraction_prf", "extraction_sniffed",
+        "feed_entries", "fix_mojibake", "heading_outline",
+        "hidden_text", "host_components", "host_outlink_graph",
+        "host_quality", "hreflang", "line_boilerplate",
+        "merge_upserts", "otsu_gate", "page_meta", "pagination",
+        "passage_dedup", "pdf_layout", "recrawl_priority",
+        "redirect_chains", "robots_filter", "robots_rules",
+        "robots_sitemap_urls", "sentence_spans", "sitemap_entries",
+        "source_caps", "stream_dedup", "structured_data",
+        "table_cells", "template_clusters", "tpch_q3", "tpch_q5",
+        "url_templates", "warc_ingest",
     }
     never_checked = {
-        k: v for k, v in q.items() if k not in _driver_checked_r01_r02
+        k: v for k, v in q.items() if k not in _driver_checked_r01_r03
     }
     already_green = {
-        k: v for k, v in q.items() if k in _driver_checked_r01_r02
+        k: v for k, v in q.items() if k in _driver_checked_r01_r03
     }
     return {**never_checked, **already_green}
 
