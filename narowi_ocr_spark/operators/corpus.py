@@ -1117,7 +1117,16 @@ def adaptive_quality_gate(
     (id, source, q) projection and semi-join the survivors back so
     text never shuffles).
     """
-    cell = F.floor(F.col(q_col).cast("double") * 4096).cast("long")
+    # NULL handling (matches the single-window formulation this is a
+    # rewrite of, where desc ranked NULL scores last and kept them when
+    # keep_n reached them): NULL-q rows coarsen into a Long.MIN sentinel
+    # cell — below every real floor(q*4096) — so they rank after all
+    # scored rows instead of vanishing on the cell equi-join; a NULL
+    # stratum stays its own stratum via a null-safe join key.
+    cell = F.coalesce(
+        F.floor(F.col(q_col).cast("double") * 4096).cast("long"),
+        F.lit(-(2**63)).cast("long"),
+    )
     staged = scored.withColumn("_cell", cell)
     cnts = staged.groupBy(strata_col, "_cell").agg(
         F.count("*").alias("_c")
@@ -1131,8 +1140,8 @@ def adaptive_quality_gate(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offs = cnts.select(
-        strata_col,
-        "_cell",
+        F.col(strata_col).alias("_strat2"),
+        F.col("_cell").alias("_cell2"),
         F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_off"),
         F.sum("_c").over(wall).alias("_n"),
     )
@@ -1141,10 +1150,14 @@ def adaptive_quality_gate(
     )
     keep_n = F.ceil(F.lit(keep_frac) * F.col("_n").cast("double"))
     return (
-        staged.join(F.broadcast(offs), [strata_col, "_cell"])
+        staged.join(
+            F.broadcast(offs),
+            F.col(strata_col).eqNullSafe(F.col("_strat2"))
+            & (F.col("_cell") == F.col("_cell2")),
+        )
         .withColumn("q_rank", F.col("_off") + F.row_number().over(wl))
         .where(F.col("q_rank") <= keep_n)
-        .drop("_cell", "_off", "_n")
+        .drop("_cell", "_cell2", "_strat2", "_off", "_n")
     )
 
 

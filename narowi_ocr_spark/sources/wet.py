@@ -88,8 +88,18 @@ def wet_export(
 ) -> DataFrame:
     """Per-row conversion records: (url, n_bytes, wet_record) where
     ``n_bytes`` is the text's UTF-8 byte length (the record's
-    Content-Length). Pure narrow projection."""
-    date_iso = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    Content-Length). Pure narrow projection.
+
+    WARC-Date is rendered in REAL UTC regardless of
+    ``spark.sql.session.timeZone``: ``date_format`` renders wall-clock
+    in the session zone, so the timestamp is first shifted with
+    ``to_utc_timestamp(ts, <session tz>)`` — on a session pinned to a
+    local zone this would otherwise emit local wall-clock falsely
+    labelled ``Z``, breaking byte-reproducibility across clusters."""
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    date_iso = F.date_format(
+        F.to_utc_timestamp(F.col(ts_col), tz), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    )
     body = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         F.col(url_col).alias("url"),

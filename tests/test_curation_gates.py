@@ -43,6 +43,30 @@ def test_gate_tie_break_deterministic(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [0, 1]  # min ids win ties
 
 
+def test_gate_null_scores_rank_last_not_dropped(spark):
+    """NULL-q rows must behave like the single-window formulation: they
+    rank after every scored row (desc nulls-last) and are kept when
+    keep_n reaches them — never silently dropped by the cell join."""
+    rows = [(i, "s", 0.5 + 0.1 * i) for i in range(4)] + [
+        (10, "s", None),
+        (11, "s", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    half = adaptive_quality_gate(df, keep_frac=0.5)  # keep_n = ceil(3)
+    assert sorted(r["doc_id"] for r in half.collect()) == [1, 2, 3]
+    full = adaptive_quality_gate(df, keep_frac=1.0)  # NULLs now in range
+    got = {r["doc_id"]: r["q_rank"] for r in full.collect()}
+    assert sorted(got) == [0, 1, 2, 3, 10, 11]
+    assert {got[10], got[11]} == {5, 6}  # NULL scores rank strictly last
+
+
+def test_gate_null_stratum_is_its_own_stratum(spark):
+    rows = [(1, None, 0.9), (2, None, 0.1), (3, "s", 0.5), (4, "s", 0.4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    out = adaptive_quality_gate(df, keep_frac=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
 def _toks(spark):
     rows = [(i, "a", 100) for i in range(10)] + [(100 + i, "b", 100) for i in range(10)]
     return spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")

@@ -66,6 +66,33 @@ def test_release_job_end_to_end(spark, tmp_path):
     assert rel["stages"] == st
 
 
+def test_release_job_repeated_url_rows_collapse_not_fan_out(spark, tmp_path):
+    """Re-ingested segments repeat (url, warc_ts) verbatim. The id
+    guard must collapse them to one doc each — without it, every
+    id-keyed semi-join downstream fans rows out multiplicatively and
+    exact dedup keeps every copy (ADVICE r4)."""
+    from run_release_job import run_release
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "release")
+    base = synth_pages(spark, 100, partitions=4)
+    # each page ingested 3× (same url AND warc_ts — identical rows)
+    base.unionByName(base).unionByName(base).write.parquet(src)
+
+    manifest = run_release(spark, src, out, apply_c4=False)
+    st = manifest["stages"]
+    assert st["pages"] == 300
+    # the distinct-on-id guard collapses triplicates before the gates
+    assert st["extracted"] <= 100
+    # stage counts stay monotone (fan-out would break this)
+    assert st["extracted"] >= st["clean"] >= st["exact_unique"]
+    assert st["exact_unique"] >= st["near_unique"] >= st["train"]
+    # released shards carry no duplicate urls
+    shards = spark.read.parquet(out + "/shards")
+    assert shards.count() == shards.select("url").distinct().count()
+    assert shards.count() == st["train"]
+
+
 def test_training_job_end_to_end(spark, tmp_path):
     """Smoke of the training driver: train on a boolean teacher column,
     persist weights + manifest, eval beats the majority class."""

@@ -54,6 +54,31 @@ def test_wet_null_text_empty_body(spark):
     assert "Content-Length: 0\r\n\r\n\r\n\r\n" in r["wet_record"]
 
 
+def test_wet_date_is_utc_regardless_of_session_timezone(spark):
+    """WARC-Date must be real UTC even when the session renders
+    timestamps in a local zone (ADVICE r4: a spark-submit driver that
+    never pinned the zone would otherwise emit local wall-clock
+    falsely labelled 'Z')."""
+    row = [("https://a.example/tz", "2024-06-01 12:34:56", "body")]
+    baseline = wet_export(_pages(spark, row)).first()["wet_record"]
+    tz_key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(tz_key)
+    try:
+        # analysis is eager per DataFrame op, so the string→timestamp
+        # cast's zone is baked when the frame is BUILT: rebuild under
+        # each zone so the literal parses as local wall-clock there;
+        # the record must then carry that instant's true UTC
+        spark.conf.set(tz_key, "America/New_York")
+        shifted = wet_export(_pages(spark, row)).first()["wet_record"]
+        assert "WARC-Date: 2024-06-01T16:34:56Z" in shifted  # EDT = UTC-4
+        spark.conf.set(tz_key, "Asia/Tokyo")
+        again = wet_export(_pages(spark, row)).first()["wet_record"]
+        assert "WARC-Date: 2024-06-01T03:34:56Z" in again  # JST = UTC+9
+    finally:
+        spark.conf.set(tz_key, prev)
+    assert "WARC-Date: 2024-06-01T12:34:56Z" in baseline
+
+
 def test_write_wet_roundtrip(spark, tmp_path):
     rows = [
         (f"https://h{i}.example/p", "2024-01-01 00:00:01", f"doc {i} body\nline2")

@@ -81,18 +81,28 @@ def run_release(
 
     # 1. extraction (one Arrow stage; failures carry status != success)
     results = extract_pages(pages)
+    extracted = results.where(
+        (F.col("status") == "success")
+        & (F.length("extracted_text") > 0)
+    ).select(
+        # Full 64-bit id over (url, warc_ts) — no abs() (folding to 63
+        # bits doubles collision odds), and the timestamp disambiguates
+        # re-crawls of the same URL across segments.
+        F.xxhash64("url", "warc_ts").alias("doc_id"),
+        "url",
+        "warc_ts",
+        F.col("extracted_text").alias("text"),
+        url_host(F.col("url")).alias("source"),
+    )
+    # Distinct-on-id guard: real crawl inputs repeat (url, warc_ts)
+    # across re-ingested segments, and every downstream id-keyed
+    # semi-join (c4_keep, bl_keep, exact_keep, reps) would fan rows out
+    # multiplicatively on a duplicated id. Deterministic keep (min
+    # struct), one hash aggregate on doc_id — linear, no window.
     docs = (
-        results.where(
-            (F.col("status") == "success")
-            & (F.length("extracted_text") > 0)
-        )
-        .select(
-            F.abs(F.xxhash64("url")).alias("doc_id"),
-            "url",
-            "warc_ts",
-            F.col("extracted_text").alias("text"),
-            url_host(F.col("url")).alias("source"),
-        )
+        extracted.groupBy("doc_id")
+        .agg(F.min(F.struct("url", "warc_ts", "text", "source")).alias("_r"))
+        .select("doc_id", "_r.url", "_r.warc_ts", "_r.text", "_r.source")
         # the downstream chain re-reads the survivor set many times
         # (gates, dedup, splits); persist once here
         .persist()
@@ -176,7 +186,14 @@ def run_release(
 def main() -> None:
     pages_path, out_path = sys.argv[1], sys.argv[2]
     blocklist = sys.argv[3].split(",") if len(sys.argv) > 3 else None
-    spark = SparkSession.builder.appName("narowi-release").getOrCreate()
+    # Pin UTC: WET WARC-Date and md5-of-date record ids must not vary
+    # with the cluster's wall clock zone (library sessions get this
+    # from config.get_spark; spark-submit sessions must set it here).
+    spark = (
+        SparkSession.builder.appName("narowi-release")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
     print(json.dumps(run_release(spark, pages_path, out_path, blocklist)))
     spark.stop()
 

@@ -115,7 +115,13 @@ def main() -> None:
     docs_path, out_path, label_col = sys.argv[1], sys.argv[2], sys.argv[3]
     epochs = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     thr = sys.argv[5] if len(sys.argv) > 5 else "40000000"
-    spark = SparkSession.builder.appName("narowi-train").getOrCreate()
+    # Pin UTC so timestamp-derived features/manifests are reproducible
+    # across clusters (library sessions get this from config.get_spark).
+    spark = (
+        SparkSession.builder.appName("narowi-train")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
     print(
         json.dumps(
             run_training(spark, docs_path, out_path, label_col, epochs, thr)
