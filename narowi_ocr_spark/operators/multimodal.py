@@ -76,6 +76,19 @@ def decode_pil(payload: bytes) -> tuple[int, int, str]:
         return 0, 0, "decode_error"
 
 
+def decode_bmp(payload: bytes) -> tuple[int, int, str]:
+    """Pure-stdlib real decode for uncompressed BMP payloads
+    (functions/bmp.py — no PIL needed, so this path runs REAL pixels
+    in-sandbox); non-BMP payloads degrade to a ``decode_error`` status
+    row, never a crash."""
+    from narowi_ocr_spark.functions.bmp import decode_bmp_gray
+
+    dec = decode_bmp_gray(payload)
+    if dec is None:
+        return 0, 0, "decode_error"
+    return dec[0], dec[1], "ok"
+
+
 def resolve_decoder():
     """Select the decode function from ``NAROWI_MEDIA_CODEC`` (read on
     the EXECUTOR at kernel start, so a cluster sets it via
@@ -83,6 +96,8 @@ def resolve_decoder():
 
     - unset / ``stub`` → ``decode_stub`` (sandbox default; the
       geometry, schema and batch shape are identical to a real build);
+    - ``bmp`` → ``decode_bmp`` (pure-stdlib REAL decode for
+      uncompressed BMPs — the in-sandbox real-pixel path);
     - ``pil`` → ``decode_pil`` (true pixel decode; raises ImportError
       with a clear message if PIL is absent rather than silently
       falling back — a cluster that ASKS for real decode must get it).
@@ -92,6 +107,8 @@ def resolve_decoder():
     codec = os.environ.get("NAROWI_MEDIA_CODEC", "stub").lower()
     if codec in ("", "stub"):
         return decode_stub
+    if codec == "bmp":
+        return decode_bmp
     if codec == "pil":
         try:
             import PIL  # noqa: F401
@@ -111,13 +128,20 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def extract_media_meta(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder=None,
 ) -> DataFrame:
     """binary payload → typed metadata row, one Arrow-batched stage.
-    Output carries no payload bytes — safe to shuffle/aggregate."""
+    Output carries no payload bytes — safe to shuffle/aggregate.
+    ``decoder`` overrides the env-driven codec selection (e.g. pass
+    ``decode_bmp`` to force the stdlib real-pixel path for a fixture
+    table without touching executor env)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = resolve_decoder()  # per-worker, env-driven (stub | pil)
+        # per-worker, env-driven (stub | bmp | pil) unless overridden
+        decode = decoder if decoder is not None else resolve_decoder()
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -340,6 +364,95 @@ def media_phash(
 
     schema = PHASH_SCHEMA_NULLABLE if emit_nulls else PHASH_SCHEMA
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+BMP_FIXTURE_SIZE = 16
+
+BMP_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+PIXEL_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("b0", T.IntegerType(), False),
+        T.StructField("b1", T.IntegerType(), False),
+        T.StructField("b2", T.IntegerType(), False),
+        T.StructField("b3", T.IntegerType(), False),
+    ]
+)
+
+
+def fixture_pixel(doc_id: int, r: int, c: int) -> int:
+    """Deterministic fixture luminance — pure integer arithmetic of
+    (doc_id, row, col), so an oracle can recompute the expected pixels
+    (and therefore the expected perceptual hash) WITHOUT parsing the
+    BMP: the Spark side must round-trip encode→decode→hash to match."""
+    return ((doc_id % 251) * 3 + r * 17 + c * 29) % 256
+
+
+def synth_bmp(
+    df: DataFrame, id_col: str = "doc_id", size: int = BMP_FIXTURE_SIZE
+) -> DataFrame:
+    """(id) → (id, payload): a real 8-bit grayscale BMP per row with
+    ``fixture_pixel`` luminances, built by the stdlib encoder. One
+    Arrow stage, no shuffle — the dev stand-in for a crawl's image
+    payload column."""
+    from narowi_ocr_spark.functions.bmp import encode_bmp_gray
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                did = int(i)
+                px = bytes(
+                    fixture_pixel(did, r, c)
+                    for r in range(size)
+                    for c in range(size)
+                )
+                rows.append((did, encode_bmp_gray(size, size, px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(id_col).mapInPandas(run, BMP_PAYLOAD_SCHEMA)
+
+
+def media_phash_pixels(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual hash over REAL decoded pixels (the un-stubbed twin
+    of ``media_phash``): stdlib BMP decode → 8×8 luminance grid →
+    integer-exact aHash (functions/bmp.py: threshold ``64·v > Σv``),
+    packed into the same four 16-bit bands the banded hamming join
+    blocks on. Payload bytes never leave the Arrow stage; only
+    (id, dims, 4×int16) come out. Undecodable payloads are dropped
+    (status-row handling belongs to ``extract_media_meta``)."""
+    from narowi_ocr_spark.functions.bmp import decode_bmp_gray, phash_pixels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = decode_bmp_gray(bytes(payload))
+                if dec is None:
+                    continue
+                w, h, px = dec
+                bands = phash_pixels(px, w, h)
+                if bands is None:
+                    continue
+                rows.append((int(i), w, h, *bands))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "b0", "b1", "b2", "b3"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, PIXEL_PHASH_SCHEMA
+    )
 
 
 def media_phash_pairs(

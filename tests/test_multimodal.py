@@ -168,3 +168,124 @@ def test_decode_pil_real_codec():
     Image.new("RGB", (17, 9)).save(buf, format="PNG")
     assert decode_pil(buf.getvalue()) == (17, 9, "ok")
     assert decode_pil(b"not an image") == (0, 0, "decode_error")
+
+
+# -------------------------------------------- stdlib BMP real-pixel path
+
+def test_bmp_codec_roundtrip_and_garbage():
+    """encode_bmp_gray → decode_bmp_gray is byte-exact for arbitrary
+    sizes (incl. stride padding and bottom-up rows); garbage returns
+    None, never raises."""
+    import random
+
+    from narowi_ocr_spark.functions.bmp import decode_bmp_gray, encode_bmp_gray
+
+    rng = random.Random(7)
+    for w, h in [(16, 16), (5, 3), (1, 1), (13, 7), (64, 2)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        assert decode_bmp_gray(encode_bmp_gray(w, h, px)) == (w, h, px)
+    trunc = encode_bmp_gray(4, 4, bytes(16))[:-5]
+    for g in (b"", b"BM", b"notabmp" * 10, trunc, b"\x00" * 2000):
+        assert decode_bmp_gray(g) is None
+
+
+def test_bmp_decode_24bit_and_topdown():
+    """24-bit BI_RGB and negative-height (top-down) frames decode with
+    the documented integer-mean luminance."""
+    import struct
+
+    from narowi_ocr_spark.functions.bmp import decode_bmp_gray
+
+    # hand-build a 2x2 24-bit bottom-up BMP: rows padded to 8 bytes
+    pix = {  # (r, c) -> (B, G, R)
+        (0, 0): (10, 20, 30), (0, 1): (40, 50, 60),
+        (1, 0): (70, 80, 90), (1, 1): (100, 110, 120),
+    }
+    stride = 8
+    data = bytearray()
+    for r in (1, 0):  # bottom-up
+        row = bytearray()
+        for c in (0, 1):
+            row += bytes(pix[(r, c)])
+        row += b"\x00" * (stride - len(row))
+        data += row
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(data), 0, 0, 0, 0)
+    w, h, lum = decode_bmp_gray(bytes(hdr + info + data))
+    assert (w, h) == (2, 2)
+    assert list(lum) == [20, 50, 80, 110]  # (r+g+b)//3, top-down row-major
+    # top-down variant: same pixels, height negative, rows in natural order
+    data_td = bytearray()
+    for r in (0, 1):
+        row = bytearray()
+        for c in (0, 1):
+            row += bytes(pix[(r, c)])
+        row += b"\x00" * (stride - len(row))
+        data_td += row
+    info_td = struct.pack(
+        "<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, len(data_td), 0, 0, 0, 0
+    )
+    assert decode_bmp_gray(bytes(hdr + info_td + data_td)) == (2, 2, lum)
+
+
+def test_resolve_decoder_bmp_and_meta_override(spark, monkeypatch):
+    """NAROWI_MEDIA_CODEC=bmp routes to the stdlib decoder; the
+    decoder= override on extract_media_meta forces real dims without
+    touching env; non-BMP payloads get status rows (garbage policy)."""
+    from narowi_ocr_spark.functions.bmp import encode_bmp_gray
+    from narowi_ocr_spark.operators import multimodal as mm
+
+    monkeypatch.setenv("NAROWI_MEDIA_CODEC", "bmp")
+    assert mm.resolve_decoder() is mm.decode_bmp
+    monkeypatch.delenv("NAROWI_MEDIA_CODEC")
+
+    bmp = encode_bmp_gray(6, 4, bytes(range(24)))
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(b"not a bmp"))],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in mm.extract_media_meta(df, decoder=mm.decode_bmp).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (6, 4)
+    assert out[1]["decode_status"] == "ok"
+    assert out[2] is not None and out[2]["decode_status"] == "decode_error"
+    assert (out[2]["width"], out[2]["height"]) == (0, 0)
+
+
+def test_media_phash_pixels_matches_arithmetic(spark):
+    """The full Spark path (synth_bmp encode → stdlib decode → grid
+    sample → integer threshold) must reproduce the fixture's pure
+    arithmetic definition bit-for-bit — the same parity the DuckDB
+    oracle checks at sf0.01."""
+    from narowi_ocr_spark.operators.multimodal import (
+        fixture_pixel,
+        media_phash_pixels,
+        synth_bmp,
+    )
+
+    ids = spark.createDataFrame(
+        [(i,) for i in (0, 1, 7, 250, 251, 99999)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in media_phash_pixels(synth_bmp(ids)).collect()
+    }
+    for did in (0, 1, 7, 250, 251, 99999):
+        vals = [fixture_pixel(did, (j // 8) * 2, (j % 8) * 2) for j in range(64)]
+        tot = sum(vals)
+        bands = [0, 0, 0, 0]
+        for j, v in enumerate(vals):
+            if 64 * v > tot:
+                bands[j // 16] |= 1 << (j % 16)
+        assert got[did] == (16, 16, *bands)
+
+
+def test_media_phash_pixels_drops_undecodable(spark):
+    from narowi_ocr_spark.operators.multimodal import media_phash_pixels
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"junk"))], "doc_id long, payload binary"
+    )
+    assert media_phash_pixels(df).count() == 0
