@@ -2800,11 +2800,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def events_sessions_native(spark, sf_dir):
         """Third sessionization twin: Spark's built-in session_window
-        (gap-merged event-time windows). Semantics differ from the
-        lag/sum twin at EXACT-gap boundaries — session windows are
-        half-open, so a 1800s gap splits here (>=) where the batch twin
-        keeps (>); the oracle models the >= rule. One shuffle keyed on
-        (user_id); the window merge is the aggregation itself."""
+        (gap-merged event-time windows). Boundary rule verified by an
+        adversarial fixture (tests/test_session_boundary.py): a gap of
+        EXACTLY the window merges (split iff gap > 1800 s) — the same
+        strict-> rule as the lag/sum twin, so the twins agree at every
+        boundary; the oracle models that rule. (An earlier docstring
+        claimed half-open >= splitting — wrong, and invisible until
+        boundary data existed.) One shuffle keyed on (user_id); the
+        window merge is the aggregation itself."""
         ev = load_table(spark, sf_dir, "events")
         return (
             ev.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
@@ -5990,13 +5993,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.when(topic_cnt >= 2, 1).otherwise(-1).cast("long").alias("y"),
         )
 
-    def _clf_train_weights(spark, sf_dir):
+    # deterministic training SUBSAMPLE (independent salt): the
+    # documented 10^12-doc practice — the classifier needs ~10^6 docs,
+    # not the corpus — pinned by classifier_train_sampled below
+    _CLF_SAMPLE_SALT = "smp0"
+    _CLF_SAMPLE_T = "80000000"  # ~50% of the train split
+
+    def _clf_sample_key():
+        return F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(_CLF_SAMPLE_SALT), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            8,
+        )
+
+    def _clf_train_weights(spark, sf_dir, sampled: bool = False):
         from narowi_ocr_spark.operators.train import (
             hashed_token_counts,
             perceptron_train,
         )
 
         train = _clf_split(spark, sf_dir).where(F.col("_k") >= _CLF_EVAL_T)
+        if sampled:
+            train = train.where(_clf_sample_key() < _CLF_SAMPLE_T)
         feats = hashed_token_counts(train, n_buckets=256, bias=True)
         return perceptron_train(feats, _clf_labels(train), n_weights=257,
                                 epochs=_CLF_EPOCHS)
@@ -6060,6 +6082,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["classifier_distill_gate"] = classifier_distill_gate_q
+
+    def classifier_train_sampled_q(spark, sf_dir):
+        """Training-on-a-sample composition (VERDICT r3 item 7 — the
+        documented 10^12-doc practice, exercised instead of prose):
+        train the perceptron on a deterministic md5-threshold ~50%
+        SUBSAMPLE of the train split (independent salt, so the slice
+        is reproducible and disjoint from the eval-split keying), then
+        distill the learned gate over the FULL corpus at scan speed.
+        ``in_sample`` audits which docs the vector was fitted on."""
+        from narowi_ocr_spark.operators.train import (
+            hashed_token_counts,
+            perceptron_score,
+        )
+
+        w = _clf_train_weights(spark, sf_dir, sampled=True)
+        docs = _clf_split(spark, sf_dir)
+        feats = hashed_token_counts(docs, n_buckets=256, bias=True)
+        scored = docs.select(
+            "doc_id",
+            (
+                (F.col("_k") >= _CLF_EVAL_T)
+                & (_clf_sample_key() < _CLF_SAMPLE_T)
+            ).alias("in_sample"),
+        ).join(perceptron_score(feats, w), "doc_id", "left")
+        sc = F.coalesce(F.col("score"), F.lit(0).cast("long"))
+        return scored.select(
+            "doc_id", "in_sample", sc.alias("score"), (sc > 0).alias("keep")
+        )
+
+    q["classifier_train_sampled"] = classifier_train_sampled_q
 
     # ---------------- WET export + training-order shuffle --------------
     def wet_export_q(spark, sf_dir):
@@ -8306,14 +8358,15 @@ def oracle_sql() -> dict[str, str]:
         FROM sess GROUP BY user_id, session_idx
     """
 
-    # events_sessions_native: session_window's half-open windows split
-    # at gap >= 1800 (vs the lag/sum twin's strict >); end = last + gap.
+    # events_sessions_native: session_window merges a gap of EXACTLY
+    # the window (split iff gap > 1800 s — verified by the boundary
+    # fixture in tests/test_session_boundary.py); end = last + gap.
     o["events_sessions_native"] = """
         WITH flagged AS (
           SELECT user_id, ts,
                  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
                         (PARTITION BY user_id ORDER BY ts))
-                        >= 1800000000
+                        > 1800000000
                       THEN 1 ELSE 0 END AS new_s
           FROM events),
         sess AS (
@@ -10798,14 +10851,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, 256 AS bkt, CAST(1 AS BIGINT) AS cnt FROM {src})
         """
 
-    def _clf_train_ctes() -> str:
+    _clf_sample_sql = (
+        "substr(md5('smp0' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        " < '80000000'"
+    )
+
+    def _clf_train_ctes(sampled: bool = False) -> str:
+        cond = f" AND {_clf_sample_sql}" if sampled else ""
         parts = [
             f"""
         sp AS (
           SELECT doc_id, text,
                  substr(md5('clf0' || CAST(doc_id AS VARCHAR)), 1, 8) AS k
           FROM documents),
-        tr AS (SELECT * FROM sp WHERE k >= '40000000'),
+        tr AS (SELECT * FROM sp WHERE k >= '40000000'{cond}),
         {_clf_feat_ctes('tr', 't')},
         lab AS MATERIALIZED (
                 SELECT doc_id,
@@ -10876,6 +10935,23 @@ def oracle_sql() -> dict[str, str]:
                       CAST(sum(f.cnt * coalesce(wf.w, 0)) AS BIGINT) AS sc
                FROM afeats f LEFT JOIN wf USING (bkt) GROUP BY f.doc_id)
         SELECT d.doc_id,
+               CAST(coalesce(asc_.sc, 0) AS BIGINT) AS score,
+               coalesce(asc_.sc, 0) > 0 AS keep
+        FROM sp d LEFT JOIN asc_ USING (doc_id)
+    """
+
+    # classifier_train_sampled: identical chain trained on the
+    # md5-threshold subsample of the train split, distilled over every
+    # doc — the oracle for the documented 10^12-doc subsample practice
+    o["classifier_train_sampled"] = f"""
+        WITH {_clf_train_ctes(sampled=True)},
+        {_clf_feat_ctes('sp', 'a')},
+        asc_ AS (SELECT f.doc_id,
+                      CAST(sum(f.cnt * coalesce(wf.w, 0)) AS BIGINT) AS sc
+               FROM afeats f LEFT JOIN wf USING (bkt) GROUP BY f.doc_id)
+        SELECT d.doc_id,
+               (d.k >= '40000000' AND {_clf_sample_sql.replace(
+                   'doc_id', 'd.doc_id')}) AS in_sample,
                CAST(coalesce(asc_.sc, 0) AS BIGINT) AS score,
                coalesce(asc_.sc, 0) > 0 AS keep
         FROM sp d LEFT JOIN asc_ USING (doc_id)
