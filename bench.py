@@ -219,6 +219,7 @@ def main() -> None:
         PROD_NUM_PERM,
         PROD_ROWS_PER_BAND,
         with_minhash_bands,
+        with_minhash_bands_fast,
     )
 
     bench(
@@ -228,6 +229,13 @@ def main() -> None:
                 corpus, num_perm=PROD_NUM_PERM, rows_per_band=PROD_ROWS_PER_BAND
             )
         ),
+        extra_set=True,
+    )
+    # r4: xxhash64 production kernel — same geometry/dataflow, JVM long
+    # hashes instead of md5-hex substrings (the release driver's path)
+    bench(
+        "minhash_prod_fast",
+        lambda: materialize(with_minhash_bands_fast(corpus)),
         extra_set=True,
     )
     bench("simhash_pairs", lambda: materialize(simhash_near_pairs(corpus)))

@@ -69,14 +69,29 @@ def _h(i: int, salt: int = 0) -> int:
     return ((i + salt * 1_000_003) * _KNUTH) % (1 << 32)
 
 
-def _filler(i: int, k: int) -> str:
+def _filler(i: int, k: int, vocab_scale: int = 1) -> str:
+    """``vocab_scale=1`` (default) is the byte-locked fixture text.
+    ``vocab_scale > 1`` suffixes each word with a hash-derived index in
+    [0, vocab_scale), multiplying the effective vocabulary — random
+    pages then have realistically LOW Jaccard overlap, which the base
+    31-word vocabulary does not (its uniform ~0.7 inter-document
+    similarity makes MinHash blocking degenerate: every pair becomes
+    an LSH candidate — fine for correctness fixtures, pathological for
+    benchmarking the near-dedup composition)."""
     n_words = 20 + _h(i, 10 + k) % 60
-    return " ".join(
-        _VOCAB[_h(i, 100 + 57 * k + j) % len(_VOCAB)] for j in range(n_words)
-    )
+    words = []
+    for j in range(n_words):
+        h = _h(i, 100 + 57 * k + j)
+        w = _VOCAB[h % len(_VOCAB)]
+        if vocab_scale > 1:
+            w = f"{w}{(h >> 8) % vocab_scale}"
+        words.append(w)
+    return " ".join(words)
 
 
-def build_page(i: int) -> tuple[str, datetime, bytes, str, str]:
+def build_page(
+    i: int, vocab_scale: int = 1
+) -> tuple[str, datetime, bytes, str, str]:
     """One deterministic page: (url, warc_ts, html, oracle_text, lang)."""
     hv = _h(i)
     host = (
@@ -87,7 +102,9 @@ def build_page(i: int) -> tuple[str, datetime, bytes, str, str]:
     url = f"https://{host}/page/{i}"
     lang = ("de", "fr")[hv % 2] if hv % 100 >= 95 else "en"
 
-    content: list[str] = [_filler(i, k) for k in range(5 + _h(i, 2) % 10)]
+    content: list[str] = [
+        _filler(i, k, vocab_scale) for k in range(5 + _h(i, 2) % 10)
+    ]
     if i % 7 == 0:
         content.insert(
             1 % (len(content) + 1), GOLDEN_SNIPPETS[(i // 7) % len(GOLDEN_SNIPPETS)]
@@ -116,12 +133,21 @@ def build_page(i: int) -> tuple[str, datetime, bytes, str, str]:
     return url, _EPOCH + timedelta(seconds=i), page.encode("utf-8"), oracle, lang
 
 
-def synth_pages(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic pages table of ``n_rows`` rows."""
+def synth_pages(
+    spark: SparkSession,
+    n_rows: int,
+    partitions: int | None = None,
+    vocab_scale: int = 1,
+) -> DataFrame:
+    """Distributed deterministic pages table of ``n_rows`` rows.
+    ``vocab_scale`` (default 1 = the byte-locked fixture corpus) widens
+    the filler vocabulary for realistic inter-document diversity — see
+    ``_filler``; extraction byte-identity (text == extracted main text)
+    holds at every scale by construction."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [build_page(int(i)) for i in pdf["id"]]
+            rows = [build_page(int(i), vocab_scale) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )

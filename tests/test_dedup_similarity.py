@@ -316,3 +316,53 @@ def test_simhash_arrow_twin_fuzz(spark):
     jvm = {r["id"]: r["h"] for r in with_simhash(df).collect()}
     arrow = {r["id"]: r["h"] for r in with_simhash_arrow(df).collect()}
     assert arrow == jvm
+
+
+# ------------------------------------- xxhash64 production MinHash kernel
+
+def test_fast_minhash_kernel_recall_and_sparsity(spark):
+    """with_minhash_bands_fast (xxhash64 longs, prod 128/8 geometry)
+    must capture true near-dups and stay sparse on diverse docs —
+    statistical interchangeability with the md5 kernel, pinned
+    behaviorally since the hashes themselves differ by design."""
+    from narowi_ocr_spark.operators.dedup import (
+        PROD_NUM_PERM,
+        PROD_ROWS_PER_BAND,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+    )
+
+    # 40 diverse docs (distinct word sets) + near-dup copies of 10
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(40)
+    ]
+    rows += [
+        (100 + i, " ".join(f"w{i}x{j}" for j in range(40)) + " tail")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = lsh_candidate_pairs(
+        df,
+        num_perm=PROD_NUM_PERM,
+        rows_per_band=PROD_ROWS_PER_BAND,
+        kernel="xxhash64",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    # every planted near-dup pair is a candidate (J ~ 0.93 >> 0.71)
+    for i in range(10):
+        assert (i, 100 + i) in pairs
+    # diverse docs share no shingles: no cross-candidates at all
+    assert pairs == {(i, 100 + i) for i in range(10)}
+    # and exact-Jaccard verify keeps them
+    ver = jaccard_pairs(df, cand, threshold=0.8)
+    assert ver.count() == 10
+
+
+def test_fast_minhash_kernel_partitioning_invariant(spark):
+    from narowi_ocr_spark.operators.dedup import with_minhash_bands_fast
+
+    rows = [(i, f"alpha beta w{i} gamma delta epsilon zeta") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, with_minhash_bands_fast(df).collect()))
+    b = sorted(map(tuple, with_minhash_bands_fast(df.repartition(7)).collect()))
+    assert a == b and len(a) == 30 * 16  # 16 bands per doc at 128/8

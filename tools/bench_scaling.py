@@ -199,6 +199,126 @@ spark.stop()
 
 OPS_LADDER = (2, 8, 32)
 
+# --------------------------------------------------------------------
+# End-to-end release-job composition (VERDICT r3 item 5): the number a
+# 100-TB operator plans capacity with — pages → extract → gates →
+# exact dedup → prod-geometry LSH near-dedup → CC reps → split →
+# shards → WET, one submitted job (tools/run_release_job.py).
+RELEASE_PAGES = 40000
+
+RELEASE_GEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from narowi_ocr_spark.config import get_spark
+from narowi_ocr_spark.sources.pages import synth_pages
+from pyspark.sql import functions as F
+spark = get_spark(app_name="relgen", master="local[32]",
+                  shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+# vocab_scale=64: realistic inter-document diversity (the base 31-word
+# fixture vocabulary has uniform ~0.7 Jaccard between RANDOM pages,
+# which makes any LSH geometry degenerate — real web text does not).
+base = synth_pages(spark, {n}, partitions=64, vocab_scale=64)
+# plant dups like a real crawl: 5% exact mirrors (same html, new url)
+# + 5% near-dups (one extra paragraph -> shingle Jaccard ~0.95)
+mirror = base.where(F.xxhash64("url") % 20 == 0).select(
+    F.concat(F.lit("https://mirror.example/x/"), F.col("url")).alias("url"),
+    "warc_ts", "html", "text", "lang")
+extra = ("this mirror edition appends one full extra paragraph of "
+         "fifteen plain words to the body content")
+near = base.where(F.xxhash64("url") % 20 == 1).select(
+    F.concat(F.lit("https://near.example/x/"), F.col("url")).alias("url"),
+    "warc_ts",
+    F.encode(F.regexp_replace(F.decode("html", "utf-8"), "<footer>",
+                              "<p>" + extra + "</p><footer>"),
+             "utf-8").alias("html"),
+    F.concat(F.col("text"), F.lit("\n" + extra)).alias("text"), "lang")
+base.unionByName(mirror).unionByName(near).write.mode(
+    "overwrite").parquet({path!r})
+spark.stop()
+"""
+
+RELEASE_CHILD = r"""
+import json, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {repo!r} + "/tools")
+from narowi_ocr_spark.config import get_spark
+from run_release_job import run_release
+cpus = int(sys.argv[1]); src = sys.argv[2]
+spark = get_spark(app_name=f"release-{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=cpus,
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "8m"}})
+spark.sparkContext.setLogLevel("ERROR")
+t0 = time.time()
+m = run_release(spark, src, tempfile.mkdtemp() + "/rel", apply_c4=False)
+secs = time.time() - t0
+print(json.dumps({{"cpus": cpus, "sec": round(secs, 1),
+                   "pages_per_sec": round(m["stages"]["pages"] / secs, 1),
+                   "stages": m["stages"]}}))
+spark.stop()
+"""
+
+
+def run_release_level(cpus: int, src: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RELEASE_CHILD.format(repo=REPO),
+         str(cpus), src],
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(lines[-1])
+
+
+def release_ladder(n_pages: int = RELEASE_PAGES) -> dict:
+    """Time the full release composition at local[N] and local[4N] on
+    one materialized corpus. Single timed run per level — the job is
+    minutes-scale, so JIT/startup amortize inside it (documented),
+    and a warm-up would double an already-long measurement."""
+    path = os.path.join(tempfile.gettempdir(), f"bench_release_{n_pages}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        subprocess.run(
+            [sys.executable, "-c",
+             RELEASE_GEN.format(repo=REPO, n=n_pages, path=path)],
+            check=True, timeout=3600,
+        )
+    levels = {c: run_release_level(c, path) for c in (N, FOUR_N)}
+    eff = round(
+        levels[FOUR_N]["pages_per_sec"] / (4 * levels[N]["pages_per_sec"]), 3
+    )
+    return {"levels": levels, "efficiency": eff, "n_pages": n_pages}
+
+
+def release_md(rel: dict) -> str:
+    lv = rel["levels"]
+    rows = "\n".join(
+        f"| local[{c}] | {lv[c]['sec']} | {lv[c]['pages_per_sec']} |"
+        for c in (N, FOUR_N)
+    )
+    st = lv[FOUR_N]["stages"]
+    return f"""
+## End-to-end release-job composition (the capacity-planning number)
+
+`tools/run_release_job.py` as ONE submitted job over a
+{rel['n_pages']}-page diverse corpus (+5% exact mirrors, +5% planted
+near-dups): extract → blocklist gate → exact dedup → MinHash-LSH
+near-dedup (production 128-perm/8-row geometry, xxhash64 kernel) →
+connected components → split → shards → WET segments → manifest.
+Single timed run per level (minutes-scale job; startup amortizes
+inside it).
+
+| parallelism | wall-clock (s) | pages/sec |
+|---|---|---|
+{rows}
+
+**N→4N (local[{N}] → local[{FOUR_N}]) efficiency = {rel['efficiency']}**
+(target ≥ 0.8). Stage survivors at local[{FOUR_N}]:
+`{json.dumps(st)}` — the planted mirrors die at exact dedup and the
+planted near-dups at the LSH→Jaccard→CC stage, so every stage does
+real work.
+"""
+
 
 def run_ops_level(cpus: int, sf_dir: str) -> dict:
     out = subprocess.run(
@@ -308,6 +428,12 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--ops-only":
         ops_only()
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--release-only":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else RELEASE_PAGES
+        rel = release_ladder(n)
+        print(release_md(rel))
+        print(json.dumps({"release_ladder": rel}))
+        return
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
     t0 = time.time()
     path = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_pages}")
@@ -327,6 +453,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ops_ladder = {c: run_ops_level(c, sf_dir)["ops"] for c in OPS_LADDER}
+    rel = release_ladder()
     ops_md = f"""
 ## Dedup / ANN operator ladder (shuffle-bearing stages)
 
@@ -413,8 +540,8 @@ skew_ratio = max/mean partition rows (1.0 = perfectly even): raw host
 partitioning concentrates the hot hosts
 (ratio {skew['unsalted_by_host']['skew_ratio']}); salting flattens it to
 {skew['salted_host_key']['skew_ratio']}.
-{ops_md}
-Raw JSON: {json.dumps({'ladder': ladder, 'efficiency_2_8': eff, 'efficiency_8_32': eff_8_32, 'ops_ladder': ops_ladder})}
+{ops_md}{release_md(rel)}
+Raw JSON: {json.dumps({'ladder': ladder, 'efficiency_2_8': eff, 'efficiency_8_32': eff_8_32, 'ops_ladder': ops_ladder, 'release_ladder': rel})}
 Generated by tools/bench_scaling.py in {round(time.time() - t0, 1)} s.
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:

@@ -60,6 +60,8 @@ def run_release(
         dataset_splits,
     )
     from narowi_ocr_spark.operators.dedup import (
+        PROD_NUM_PERM,
+        PROD_ROWS_PER_BAND,
         exact_dedup,
         jaccard_pairs,
         lsh_candidate_pairs,
@@ -79,12 +81,15 @@ def run_release(
 
     counts: dict[str, int] = {"pages": pages.count()}
 
-    # 1. extraction (one Arrow stage; failures carry status != success)
+    # 1. extraction (one Arrow stage). Admission gate = non-empty
+    # extracted TEXT: `status` is the READINGS-validity verdict (the
+    # reference's per-image A1 status — typed spans found and valid),
+    # not an extraction-quality signal; extracted_text is byte-exact
+    # for partial/failed pages too, and a corpus release that kept
+    # only reading-bearing pages would silently drop ~90% of good
+    # prose (measured on the fixture corpus).
     results = extract_pages(pages)
-    extracted = results.where(
-        (F.col("status") == "success")
-        & (F.length("extracted_text") > 0)
-    ).select(
+    extracted = results.where(F.length("extracted_text") > 0).select(
         # Full 64-bit id over (url, warc_ts) — no abs() (folding to 63
         # bits doubles collision odds), and the timestamp disambiguates
         # re-crawls of the same URL across segments.
@@ -133,8 +138,24 @@ def run_release(
     uniq = clean.join(exact_keep, "doc_id").persist()
     counts["exact_unique"] = uniq.count()
 
-    # 4. near-dedup: LSH candidates → exact-Jaccard verify → CC reps
-    cand = lsh_candidate_pairs(uniq)
+    # 4. near-dedup: LSH candidates → exact-Jaccard verify → CC reps.
+    # PRODUCTION band geometry (128 perms, 16 bands x 8 rows, ~0.71
+    # capture threshold): the dev 16/2 geometry's ~0.35 threshold turns
+    # any moderately self-similar corpus into a quadratic candidate
+    # join — at release scale the steep S-curve is what keeps this
+    # stage linear in the number of TRUE near-dup pairs. The xxhash64
+    # kernel keeps the 128-perm signature pass up to ~10× cheaper than
+    # md5 on shingle-heavy corpora (the hash kernel IS the dedup cost
+    # at scale); candidates are verified by exact Jaccard either way.
+    cand = lsh_candidate_pairs(
+        uniq,
+        num_perm=PROD_NUM_PERM,
+        rows_per_band=PROD_ROWS_PER_BAND,
+        kernel="xxhash64",
+    )
+    # the verify → CC → count chain walks the candidate graph several
+    # times; materialize the (cheap, sparse) pair list once
+    cand = cand.localCheckpoint(eager=True)
     verified = jaccard_pairs(uniq, cand, threshold=0.8)
     labels = connected_components(
         verified, nodes=uniq.select(F.col("doc_id").alias("id"))
