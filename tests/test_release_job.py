@@ -93,6 +93,60 @@ def test_release_job_repeated_url_rows_collapse_not_fan_out(spark, tmp_path):
     assert shards.count() == st["train"]
 
 
+def test_release_job_resume_is_noop_and_identical(spark, tmp_path):
+    """north_rule resumability: a rerun into the same release dir loads
+    every committed stage checkpoint (recomputing nothing upstream) and
+    reproduces the manifest counts bit-for-bit."""
+    from run_release_job import run_release
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "release")
+    synth_pages(spark, 200, partitions=4).write.parquet(src)
+
+    first = run_release(spark, src, out, apply_c4=False)
+    assert first["resumed_stages"] == []
+    second = run_release(spark, src, out, apply_c4=False)
+    assert second["resumed_stages"] == [
+        "00_docs", "01_clean_ids", "02_exact_ids", "03_near_ids",
+        "shards", "wet",
+    ]
+    assert second["stages"] == first["stages"]
+    assert second["lineage"]["rows"] == first["lineage"]["rows"]
+    # and resume=False forces the full recompute to the same answer
+    third = run_release(spark, src, out, apply_c4=False, resume=False)
+    assert third["resumed_stages"] == []
+    assert third["stages"] == first["stages"]
+
+
+def test_release_job_resumes_from_first_missing_stage(spark, tmp_path):
+    """A job killed mid-near-dedup restarts AT near-dedup: earlier
+    checkpoints load, later stages recompute, outputs identical. A
+    half-written (uncommitted) checkpoint is recomputed, not trusted."""
+    import shutil
+
+    from run_release_job import run_release
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "release")
+    synth_pages(spark, 200, partitions=4).write.parquet(src)
+    first = run_release(spark, src, out, apply_c4=False)
+
+    # simulate the kill: near-dedup incomplete (no _SUCCESS), terminal
+    # artifacts never written
+    ck = tmp_path / "release" / "checkpoints"
+    (ck / "03_near_ids" / "_SUCCESS").unlink()
+    for d in ("shards", "shard_manifest", "wet"):
+        shutil.rmtree(tmp_path / "release" / d)
+
+    second = run_release(spark, src, out, apply_c4=False)
+    assert second["resumed_stages"] == [
+        "00_docs", "01_clean_ids", "02_exact_ids",
+    ]
+    assert second["stages"] == first["stages"]
+    shards = spark.read.parquet(out + "/shards")
+    assert shards.count() == first["stages"]["train"]
+
+
 def test_training_job_end_to_end(spark, tmp_path):
     """Smoke of the training driver: train on a boolean teacher column,
     persist weights + manifest, eval beats the majority class."""

@@ -11,15 +11,33 @@ Usage: spark-submit ... run_extraction_job.py <pages_path> <out_path>
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 from pyspark.sql import SparkSession
 
+# Make `python tools/run_extraction_job.py` work standalone: repo root
+# on sys.path for the driver, PYTHONPATH for local-mode Python workers
+# (clusters ship the package via --py-files instead).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        p for p in (_REPO, os.environ.get("PYTHONPATH", "")) if p
+    )
+
 
 def main() -> None:
     pages_path, out_path = sys.argv[1], sys.argv[2]
-    spark = SparkSession.builder.appName("narowi-extract").getOrCreate()
+    # Pin UTC like the other drivers: timestamps rendered anywhere
+    # downstream must not vary with the cluster's wall-clock zone.
+    spark = (
+        SparkSession.builder.appName("narowi-extract")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
 
     from narowi_ocr_spark.plans.pipeline import extract_pages
     from narowi_ocr_spark.sources.sink import (

@@ -10,12 +10,27 @@ crawl-to-training-corpus path as ONE submitted job:
           ──▶ deterministic train/valid/test split
           ──▶ md5-range shard assignment + delivery manifest
           ──▶ WET conversion-record segments for the train split
-          ──▶ release manifest (per-stage survivor counts — the audit
-              trail a data card is written from)
+          ──▶ release manifest (per-stage survivor counts + per-partition
+              lineage histogram — the audit trail a data card is written
+              from)
 
 Every stage is a library call (`narowi_ocr_spark.*`) — this script only
 composes and records; the shapes (what shuffles, what broadcasts, what
 stays in codegen) are documented on the operators themselves.
+
+RESUMABILITY (north_rule): each stage checkpoints its result under
+``<out>/checkpoints/`` — the extracted doc table once in full (it is
+also the release's extraction cache), every later stage as a doc-id
+survivor list (a few bytes per doc; at 10^12 docs the id lists are
+~8 TB total vs the corpus' ~100 TB text, and they are exactly the
+semi-join keys the stages already shuffle). A rerun with
+``resume=True`` (the default) loads every stage whose checkpoint
+committed (`_SUCCESS` present) and recomputes only from the first
+missing one — a job killed during near-dedup restarts at near-dedup
+with extraction, gates and exact dedup served from parquet. All stages
+are deterministic functions of their input (content hashes, not RNG),
+so a resumed run is bit-identical to an uninterrupted one (asserted in
+tests/test_release_job.py).
 
 Usage:
   spark-submit --py-files narowi_ocr_spark.zip \
@@ -28,14 +43,51 @@ Dev smoke (tests/test_release_job.py runs exactly this):
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# `python tools/run_release_job.py` puts tools/ (not the repo root) on
+# sys.path; on a cluster --py-files ships the package instead. Make the
+# dev invocation in the docstring actually work — driver imports via
+# sys.path, local-mode executor Python workers via PYTHONPATH (set
+# BEFORE the session starts):
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        p for p in (_REPO, os.environ.get("PYTHONPATH", "")) if p
+    )
 
 DEFAULT_BLOCKLIST = ["slow", "dup"]  # demo terms; deployments load the
 # published list (see corpus.blocklist_gate)
+
+
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for ``path`` — works for file://, hdfs://, s3a://
+    alike, unlike os.path (the driver must run unchanged on a cluster)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jpath
+
+
+def _committed(spark: SparkSession, path: str) -> bool:
+    """True iff a Spark write to ``path`` COMMITTED (its `_SUCCESS`
+    marker exists) — a half-written dir from a killed job is recomputed,
+    never trusted."""
+    fs, _ = _fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS"))
+
+
+def _rmdir(spark: SparkSession, path: str) -> None:
+    fs, jpath = _fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
 
 
 def run_release(
@@ -44,12 +96,20 @@ def run_release(
     out_path: str,
     blocklist: list[str] | None = None,
     apply_c4: bool = True,
+    resume: bool = True,
 ) -> dict:
     """``apply_c4`` gates on the C4 line/page prose rules — the right
     default for organic web text, but a corpus without sentence
     punctuation (chat logs, code, the synthetic dev tables) fails the
     terminal-punctuation line rule wholesale; such runs disable it and
-    rely on the blocklist + dedup stages."""
+    rely on the blocklist + dedup stages.
+
+    ``resume=True`` reuses any committed stage checkpoints under
+    ``out_path/checkpoints`` (see module docstring); ``resume=False``
+    forces a from-scratch run (checkpoints are still written, so the
+    NEXT run can resume). Checkpoints are keyed by ``out_path`` alone —
+    a release over a DIFFERENT pages table must use a fresh out dir
+    (reusing one would resume from the other corpus' stages)."""
     from narowi_ocr_spark.functions.textstats import with_c4_rules
     from narowi_ocr_spark.operators.components import (
         component_representatives,
@@ -69,6 +129,7 @@ def run_release(
     from narowi_ocr_spark.operators.shards import shard_assign, shard_manifest
     from narowi_ocr_spark.operators.urls import url_host
     from narowi_ocr_spark.plans.pipeline import extract_pages
+    from narowi_ocr_spark.sources.sink import partition_histogram
     from narowi_ocr_spark.sources.wet import wet_export, write_wet
 
     t0 = time.time()
@@ -79,6 +140,21 @@ def run_release(
         else reader.parquet(pages_path)
     )
 
+    resumed: list[str] = []
+
+    def stage(name: str, compute: "callable") -> DataFrame:
+        """Load the stage from its committed checkpoint (resume) or
+        compute it, write the checkpoint, and read it back — downstream
+        stages always consume the durable parquet, so lineage never
+        chains through a lost executor's cache and a restarted driver
+        sees identical bytes."""
+        path = f"{out_path}/checkpoints/{name}"
+        if resume and _committed(spark, path):
+            resumed.append(name)
+        else:
+            compute().write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     counts: dict[str, int] = {"pages": pages.count()}
 
     # 1. extraction (one Arrow stage). Admission gate = non-empty
@@ -88,55 +164,69 @@ def run_release(
     # for partial/failed pages too, and a corpus release that kept
     # only reading-bearing pages would silently drop ~90% of good
     # prose (measured on the fixture corpus).
-    results = extract_pages(pages)
-    extracted = results.where(F.length("extracted_text") > 0).select(
-        # Full 64-bit id over (url, warc_ts) — no abs() (folding to 63
-        # bits doubles collision odds), and the timestamp disambiguates
-        # re-crawls of the same URL across segments.
-        F.xxhash64("url", "warc_ts").alias("doc_id"),
-        "url",
-        "warc_ts",
-        F.col("extracted_text").alias("text"),
-        url_host(F.col("url")).alias("source"),
-    )
-    # Distinct-on-id guard: real crawl inputs repeat (url, warc_ts)
-    # across re-ingested segments, and every downstream id-keyed
-    # semi-join (c4_keep, bl_keep, exact_keep, reps) would fan rows out
-    # multiplicatively on a duplicated id. Deterministic keep (min
-    # struct), one hash aggregate on doc_id — linear, no window.
-    docs = (
-        extracted.groupBy("doc_id")
-        .agg(F.min(F.struct("url", "warc_ts", "text", "source")).alias("_r"))
-        .select("doc_id", "_r.url", "_r.warc_ts", "_r.text", "_r.source")
-        # the downstream chain re-reads the survivor set many times
-        # (gates, dedup, splits); persist once here
-        .persist()
-    )
+    def _compute_docs() -> DataFrame:
+        extracted = extract_pages(pages).where(
+            F.length("extracted_text") > 0
+        ).select(
+            # Full 64-bit id over (url, warc_ts) — no abs() (folding to
+            # 63 bits doubles collision odds), and the timestamp
+            # disambiguates re-crawls of the same URL across segments.
+            F.xxhash64("url", "warc_ts").alias("doc_id"),
+            "url",
+            "warc_ts",
+            F.col("extracted_text").alias("text"),
+            url_host(F.col("url")).alias("source"),
+        )
+        # Distinct-on-id guard: real crawl inputs repeat (url, warc_ts)
+        # across re-ingested segments, and every downstream id-keyed
+        # semi-join (c4_keep, bl_keep, exact_keep, reps) would fan rows
+        # out multiplicatively on a duplicated id. Deterministic keep
+        # (min struct), one hash aggregate on doc_id — linear, no window.
+        return (
+            extracted.groupBy("doc_id")
+            .agg(
+                F.min(F.struct("url", "warc_ts", "text", "source")).alias("_r")
+            )
+            .select("doc_id", "_r.url", "_r.warc_ts", "_r.text", "_r.source")
+        )
+
+    # the downstream chain re-reads the survivor set many times (gates,
+    # dedup, splits); it is served from the checkpoint parquet — the
+    # disk-backed equivalent of the old .persist(), and it survives a
+    # driver restart.
+    docs = stage("00_docs", _compute_docs)
     counts["extracted"] = docs.count()
 
-    # 2. cleaning gates — both are zero-shuffle codegen filters
-    clean = docs
-    if apply_c4:
-        c4_keep = (
-            with_c4_rules(docs)
-            .where(F.col("c4_keep"))
-            .select(F.col("id").alias("doc_id"))
+    # 2. cleaning gates — both are zero-shuffle codegen filters; the
+    # checkpoint is the surviving id list (ids-only: the text column
+    # never rewrites after 00_docs)
+    def _compute_clean_ids() -> DataFrame:
+        keep = docs.select("doc_id")
+        if apply_c4:
+            c4_keep = (
+                with_c4_rules(docs)
+                .where(F.col("c4_keep"))
+                .select(F.col("id").alias("doc_id"))
+            )
+            keep = keep.join(c4_keep, "doc_id")
+        bl_keep = (
+            blocklist_gate(docs, blocklist or DEFAULT_BLOCKLIST)
+            .where(F.col("keep"))
+            .select("doc_id")
         )
-        clean = clean.join(c4_keep, "doc_id")
-    bl_keep = (
-        blocklist_gate(docs, blocklist or DEFAULT_BLOCKLIST)
-        .where(F.col("keep"))
-        .select("doc_id")
-    )
-    clean = clean.join(bl_keep, "doc_id").persist()
-    counts["clean"] = clean.count()
+        return keep.join(bl_keep, "doc_id")
+
+    clean_ids = stage("01_clean_ids", _compute_clean_ids)
+    clean = docs.join(clean_ids, "doc_id")
+    counts["clean"] = clean_ids.count()
 
     # 3. exact dedup (keep-min over content md5)
-    exact_keep = exact_dedup(clean).select(
-        F.col("keep_id").alias("doc_id")
+    exact_ids = stage(
+        "02_exact_ids",
+        lambda: exact_dedup(clean).select(F.col("keep_id").alias("doc_id")),
     )
-    uniq = clean.join(exact_keep, "doc_id").persist()
-    counts["exact_unique"] = uniq.count()
+    uniq = clean.join(exact_ids, "doc_id")
+    counts["exact_unique"] = exact_ids.count()
 
     # 4. near-dedup: LSH candidates → exact-Jaccard verify → CC reps.
     # PRODUCTION band geometry (128 perms, 16 bands x 8 rows, ~0.71
@@ -147,66 +237,112 @@ def run_release(
     # kernel keeps the 128-perm signature pass up to ~10× cheaper than
     # md5 on shingle-heavy corpora (the hash kernel IS the dedup cost
     # at scale); candidates are verified by exact Jaccard either way.
-    cand = lsh_candidate_pairs(
-        uniq,
-        num_perm=PROD_NUM_PERM,
-        rows_per_band=PROD_ROWS_PER_BAND,
-        kernel="xxhash64",
-    )
-    # the verify → CC → count chain walks the candidate graph several
-    # times; materialize the (cheap, sparse) pair list once
-    cand = cand.localCheckpoint(eager=True)
-    verified = jaccard_pairs(uniq, cand, threshold=0.8)
-    labels = connected_components(
-        verified, nodes=uniq.select(F.col("doc_id").alias("id"))
-    )
-    reps = component_representatives(labels).select(
-        F.col("keep_id").alias("doc_id")
-    )
-    released = uniq.join(reps, "doc_id").persist()
-    counts["near_unique"] = released.count()
+    def _compute_near_ids() -> DataFrame:
+        cand = lsh_candidate_pairs(
+            uniq,
+            num_perm=PROD_NUM_PERM,
+            rows_per_band=PROD_ROWS_PER_BAND,
+            kernel="xxhash64",
+        )
+        # the verify → CC → count chain walks the candidate graph
+        # several times; materialize the (cheap, sparse) pair list once
+        cand = cand.localCheckpoint(eager=True)
+        verified = jaccard_pairs(uniq, cand, threshold=0.8)
+        labels = connected_components(
+            verified, nodes=uniq.select(F.col("doc_id").alias("id"))
+        )
+        return component_representatives(labels).select(
+            F.col("keep_id").alias("doc_id")
+        )
 
-    # 5. splits + shards + manifests
-    split = dataset_splits(released)
-    train = split.where(F.col("split") == "train").drop(
-        "split", "split_key"
-    )
-    counts["train"] = train.count()
-    assigned = shard_assign(train)
-    assigned.write.mode("overwrite").partitionBy("shard").parquet(
-        f"{out_path}/shards"
-    )
-    shard_manifest(assigned, train).write.mode("overwrite").parquet(
-        f"{out_path}/shard_manifest"
-    )
+    near_ids = stage("03_near_ids", _compute_near_ids)
+    released = docs.join(near_ids, "doc_id").persist()
+    counts["near_unique"] = near_ids.count()
+
+    # 5. splits + shards + manifests — terminal writes are their own
+    # checkpoints: a committed shards dir is loaded, not rewritten
+    shards_done = resume and _committed(spark, f"{out_path}/shards")
+    if shards_done:
+        resumed.append("shards")
+        assigned = spark.read.parquet(f"{out_path}/shards")
+        counts["train"] = assigned.count()
+    else:
+        split = dataset_splits(released)
+        train = split.where(F.col("split") == "train").drop(
+            "split", "split_key"
+        )
+        counts["train"] = train.count()
+        assigned = shard_assign(train)
+        assigned.write.mode("overwrite").partitionBy("shard").parquet(
+            f"{out_path}/shards"
+        )
+        shard_manifest(assigned, train).write.mode("overwrite").parquet(
+            f"{out_path}/shard_manifest"
+        )
 
     # 6. WET segments for the released train split
-    write_wet(
-        wet_export(train, url_col="url", ts_col="warc_ts", text_col="text"),
-        f"{out_path}/wet",
-        mode="overwrite",
-    )
+    if resume and _committed(spark, f"{out_path}/wet"):
+        resumed.append("wet")
+    else:
+        write_wet(
+            wet_export(
+                assigned.select("doc_id", "url", "warc_ts", "text"),
+                url_col="url",
+                ts_col="warc_ts",
+                text_col="text",
+            ),
+            f"{out_path}/wet",
+            mode="overwrite",
+        )
 
+    # 7. per-partition lineage over the delivered shards: rows per
+    # physical partition + skew ratio (O(partitions) collect — the
+    # audit row a 1000-executor run is debugged from). A fully-gated
+    # release (train == 0) leaves a schema-less empty dir; record an
+    # empty histogram rather than failing the manifest write.
+    try:
+        hist = [
+            r.asDict()
+            for r in partition_histogram(
+                spark.read.parquet(f"{out_path}/shards")
+            ).collect()
+        ]
+    except Exception:
+        hist = []
+    sizes = [h["rows"] for h in hist]
     manifest = {
         "ts": time.time(),
         "wall_s": round(time.time() - t0, 2),
         "stages": counts,
+        "resumed_stages": resumed,
         "survival_ppm": {
             k: int(v * 1_000_000 / counts["pages"]) if counts["pages"] else 0
             for k, v in counts.items()
         },
+        "lineage": {
+            "partitions": len(sizes),
+            "rows": sum(sizes),
+            "max_partition_rows": max(sizes) if sizes else 0,
+            "skew_ratio": round(max(sizes) / (sum(sizes) / len(sizes)), 4)
+            if sizes
+            else None,
+            "partition_histogram": hist,
+        },
     }
+    _rmdir(spark, f"{out_path}/release_manifest")  # saveAsTextFile cannot
+    # overwrite; reruns into the same release dir must not fail here
     spark.sparkContext.parallelize([json.dumps(manifest)], 1).saveAsTextFile(
         f"{out_path}/release_manifest"
     )
-    for d in (docs, clean, uniq, released):
-        d.unpersist()
+    released.unpersist()
     return manifest
 
 
 def main() -> None:
-    pages_path, out_path = sys.argv[1], sys.argv[2]
-    blocklist = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    pages_path, out_path = argv[0], argv[1]
+    blocklist = argv[2].split(",") if len(argv) > 2 else None
     # Pin UTC: WET WARC-Date and md5-of-date record ids must not vary
     # with the cluster's wall clock zone (library sessions get this
     # from config.get_spark; spark-submit sessions must set it here).
@@ -215,7 +351,20 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
-    print(json.dumps(run_release(spark, pages_path, out_path, blocklist)))
+    print(
+        json.dumps(
+            run_release(
+                spark,
+                pages_path,
+                out_path,
+                blocklist,
+                # --no-c4: corpora without sentence punctuation (see
+                # run_release docstring) skip the C4 prose rules
+                apply_c4="--no-c4" not in flags,
+                resume="--no-resume" not in flags,
+            )
+        )
+    )
     spark.stop()
 
 

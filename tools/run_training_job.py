@@ -28,11 +28,23 @@ Dev smoke (tests/test_release_job.py::test_training_job):
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+# Make `python tools/run_training_job.py` work standalone: repo root on
+# sys.path for the driver, PYTHONPATH for local-mode Python workers
+# (clusters ship the package via --py-files instead).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        p for p in (_REPO, os.environ.get("PYTHONPATH", "")) if p
+    )
 
 
 def run_training(
