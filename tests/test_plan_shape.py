@@ -551,3 +551,23 @@ def test_hashed_features_single_exchange(spark):
     plan = _physical_plan(hashed_token_counts(df, 256, bias=True))
     assert plan.count("Exchange") == 1, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_fast_minhash_signature_pass_is_pure_jvm(spark):
+    """The xxhash64 production MinHash kernel must stay entirely inside
+    whole-stage codegen: no Python boundary anywhere, and exactly one
+    Exchange (the per-doc signature min-agg) feeding the band explode —
+    at 100 TB the signature pass dominates near-dedup, so a stray
+    Python node or second shuffle here is a capacity bug."""
+    from narowi_ocr_spark.operators.dedup import with_minhash_bands_fast
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    plan = _physical_plan(with_minhash_bands_fast(df))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
+                   "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"{marker} in:\n{plan}"
+    assert plan.count("Exchange") == 1, plan
+    assert "xxhash64" in plan.lower(), plan
