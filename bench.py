@@ -135,8 +135,13 @@ def main() -> None:
     )
     from narowi_ocr_spark.functions.fastpath import extract_readings_fast
 
+    # "jvm" = the Python-free pure-Catalyst variant (operational choice:
+    # no Arrow workers to provision). It is NOT the fast one on this box
+    # (~4.8x slower than the Arrow kernel above); benched for the
+    # plan-robustness story, renamed from "readings_kernel_fast" in r4 so
+    # the row doesn't read as a perf claim (VERDICT r3 nit 3).
     bench(
-        "readings_kernel_fast",
+        "readings_kernel_jvm",
         lambda: materialize(
             aug.select("doc_id", F.explode(extract_readings_fast("aug")).alias("r"))
         ),

@@ -254,7 +254,8 @@ m = run_release(spark, src, tempfile.mkdtemp() + "/rel", apply_c4=False)
 secs = time.time() - t0
 print(json.dumps({{"cpus": cpus, "sec": round(secs, 1),
                    "pages_per_sec": round(m["stages"]["pages"] / secs, 1),
-                   "stages": m["stages"]}}))
+                   "stages": m["stages"],
+                   "stage_seconds": m.get("stage_seconds", {{}})}}))
 spark.stop()
 """
 
@@ -316,7 +317,9 @@ inside it).
 (target ≥ 0.8). Stage survivors at local[{FOUR_N}]:
 `{json.dumps(st)}` — the planted mirrors die at exact dedup and the
 planted near-dups at the LSH→Jaccard→CC stage, so every stage does
-real work.
+real work. Per-stage wall-clock (s), local[{N}] vs local[{FOUR_N}]:
+`{json.dumps(lv[N].get('stage_seconds', {}))}` vs
+`{json.dumps(lv[FOUR_N].get('stage_seconds', {}))}`.
 """
 
 

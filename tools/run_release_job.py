@@ -141,18 +141,22 @@ def run_release(
     )
 
     resumed: list[str] = []
+    stage_s: dict[str, float] = {}
 
     def stage(name: str, compute: "callable") -> DataFrame:
         """Load the stage from its committed checkpoint (resume) or
         compute it, write the checkpoint, and read it back — downstream
         stages always consume the durable parquet, so lineage never
         chains through a lost executor's cache and a restarted driver
-        sees identical bytes."""
+        sees identical bytes. Per-stage wall-clock lands in the manifest
+        (`stage_seconds`) — the number capacity planning reads first."""
         path = f"{out_path}/checkpoints/{name}"
         if resume and _committed(spark, path):
             resumed.append(name)
         else:
+            ts = time.time()
             compute().write.mode("overwrite").parquet(path)
+            stage_s[name] = round(time.time() - ts, 2)
         return spark.read.parquet(path)
 
     counts: dict[str, int] = {"pages": pages.count()}
@@ -267,6 +271,7 @@ def run_release(
         assigned = spark.read.parquet(f"{out_path}/shards")
         counts["train"] = assigned.count()
     else:
+        ts = time.time()
         split = dataset_splits(released)
         train = split.where(F.col("split") == "train").drop(
             "split", "split_key"
@@ -279,11 +284,13 @@ def run_release(
         shard_manifest(assigned, train).write.mode("overwrite").parquet(
             f"{out_path}/shard_manifest"
         )
+        stage_s["shards"] = round(time.time() - ts, 2)
 
     # 6. WET segments for the released train split
     if resume and _committed(spark, f"{out_path}/wet"):
         resumed.append("wet")
     else:
+        ts = time.time()
         write_wet(
             wet_export(
                 assigned.select("doc_id", "url", "warc_ts", "text"),
@@ -294,6 +301,7 @@ def run_release(
             f"{out_path}/wet",
             mode="overwrite",
         )
+        stage_s["wet"] = round(time.time() - ts, 2)
 
     # 7. per-partition lineage over the delivered shards: rows per
     # physical partition + skew ratio (O(partitions) collect — the
@@ -314,6 +322,7 @@ def run_release(
         "ts": time.time(),
         "wall_s": round(time.time() - t0, 2),
         "stages": counts,
+        "stage_seconds": stage_s,
         "resumed_stages": resumed,
         "survival_ppm": {
             k: int(v * 1_000_000 / counts["pages"]) if counts["pages"] else 0
