@@ -64,8 +64,25 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     endpoints = sym.select(F.col("src").alias("id")).distinct()
-    if nodes is not None:
-        endpoints = endpoints.unionByName(nodes.select("id")).distinct()
+    # Isolated vertices (in ``nodes`` but on no edge) can never receive
+    # a message, so they must not ride through every fixpoint round's
+    # union+groupBy — on a near-dup graph they are the vast majority
+    # (most documents have no near-duplicate). Split them out here and
+    # self-label them at return; bit-identical output, and each round
+    # shuffles only the edge-connected minority.
+    isolated = (
+        nodes.select("id").distinct().join(endpoints, "id", "left_anti")
+        if nodes is not None
+        else None
+    )
+
+    def _with_isolated(lb: DataFrame) -> DataFrame:
+        if isolated is None:
+            return lb
+        return lb.unionByName(
+            isolated.select("id", F.col("id").alias("comp"))
+        )
+
     labels = endpoints.select("id", F.col("id").alias("comp"))
     labels = labels.localCheckpoint(eager=True)
     # fixpoint probe: labels only ever decrease, so an unchanged sum ⇔
@@ -90,7 +107,7 @@ def connected_components(
         labels = labels.localCheckpoint(eager=True)
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:  # labels only decrease → fixpoint
-            return labels
+            return _with_isolated(labels)
         prev_sum = cur_sum
     if fallback_star:
         return connected_components_star(
