@@ -28,6 +28,15 @@ def test_connected_components_basic(spark):
     assert reps == {1: (1, 3), 7: (7, 2), 9: (9, 1)}
 
 
+def test_connected_components_all_isolated(spark):
+    # no edges at all: every node self-labels via the isolated split
+    # (which keeps pointer-less vertices out of the fixpoint loop)
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in (3, 5, 9)], "id long")
+    out = {r["id"]: r["comp"] for r in connected_components(edges, nodes).collect()}
+    assert out == {3: 3, 5: 5, 9: 9}
+
+
 def test_connected_components_long_chain_converges(spark):
     # a 12-node path has diameter 11 — still converges, labels all min
     edges = spark.createDataFrame(
