@@ -6,13 +6,18 @@
 # measurement; the sandbox proxy (local[N] vs local[4N], no cluster here)
 # is tools/bench_scaling.py — see BENCH.md / BASELINE.md.
 #
-# Usage: tools/submit_cluster.sh <master> <num_executors> <pages_path> <out_path>
+# Usage: tools/submit_cluster.sh <master> <num_executors> <pages_path> <out_path> [job]
+#   job: extraction (default) | release | training — selects
+#        tools/run_<job>_job.py; extra args after [job] pass through
+#        to the driver (e.g. the release job's blocklist / --no-c4).
 set -euo pipefail
 
 MASTER=${1:?master url}
 EXECUTORS=${2:?num executors}
 PAGES=${3:?pages table path}
 OUT=${4:?output path}
+JOB=${5:-extraction}
+shift $(( $# > 4 ? 5 : 4 ))
 
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 ZIP="$(mktemp -d)/narowi_ocr_spark.zip"
@@ -29,4 +34,4 @@ spark-submit \
   --conf spark.sql.session.timeZone=UTC \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   --conf spark.sql.shuffle.partitions=$((EXECUTORS * 8)) \
-  "$REPO/tools/run_extraction_job.py" "$PAGES" "$OUT"
+  "$REPO/tools/run_${JOB}_job.py" "$PAGES" "$OUT" "$@"
