@@ -427,9 +427,95 @@ def ops_only() -> None:
     print(json.dumps({"ops_ladder": ops_ladder}))
 
 
+CC_CHILD = r"""
+import sys, time, json
+sys.path.insert(0, {repo!r})
+from narowi_ocr_spark.config import get_spark
+from pyspark.sql import functions as F
+from narowi_ocr_spark.operators.components import connected_components
+
+spark = get_spark(app_name="cc-exp", master="local[8]", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+# 32M nodes; 25k chains of length 8 among the first 200k ids (99.4%
+# isolated) — the shape of run_release's nodes=all-documents CC, where
+# near-dup participants are a small minority of the corpus. Node count
+# matters: at 4M both variants are fixed-cost-bound on this box
+# (parity, ~0.9-1.0x); at 32M the all-nodes loop's per-round state
+# dominates and the split measures ~10x. The gap GROWS with corpus
+# size — at 10^12 docs the old shape shuffles and checkpoints 10^12
+# labels x rounds, the split ~the near-dup minority only.
+nodes = spark.range({n_nodes}).select(F.col("id"))
+edges = (spark.range(200_000).where(F.col("id") % 8 != 7)
+         .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")))
+
+
+def allnodes_cc(edges, nodes):
+    # the PRE-FIX shape, kept inline for the controlled comparison
+    # (like rank_global_window): isolated vertices ride every fixpoint
+    # round's union+groupBy and the label-sum probe.
+    sym = (edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+           .unionByName(edges.select(F.col("id_b").alias("src"),
+                                     F.col("id_a").alias("dst")))
+           .distinct().localCheckpoint(eager=True))
+    endpoints = sym.select(F.col("src").alias("id")).distinct()
+    endpoints = endpoints.unionByName(nodes.select("id")).distinct()
+    labels = endpoints.select("id", F.col("id").alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+
+    def s(lb):
+        return lb.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+
+    prev = s(labels)
+    for _ in range(25):
+        msgs = sym.join(labels, sym.dst == labels.id).select(
+            F.col("src").alias("id"), "comp")
+        labels = (labels.unionByName(msgs).groupBy("id")
+                  .agg(F.min("comp").alias("comp"))
+                  .localCheckpoint(eager=True))
+        cur = s(labels)
+        if cur == prev:
+            return labels
+        prev = cur
+    raise RuntimeError("no fixpoint")
+
+
+t0 = time.time(); split = connected_components(edges, nodes=nodes)
+n_split = split.count(); t_split = time.time() - t0
+t0 = time.time(); allv = allnodes_cc(edges, nodes)
+n_all = allv.count(); t_all = time.time() - t0
+diff = split.exceptAll(allv).count() + allv.exceptAll(split).count()
+print(json.dumps({{"cc_isolated_split_s": round(t_split, 1),
+                   "cc_all_nodes_s": round(t_all, 1),
+                   "speedup": round(t_all / t_split, 2),
+                   "rows": n_split, "rows_match": n_split == n_all,
+                   "label_diff": diff}}))
+spark.stop()
+"""
+
+
+def cc_only(n_nodes: int = 32_000_000) -> None:
+    """Controlled CC-fixpoint experiment (BENCH.md §release): isolated
+    vertices out of the loop vs the pre-fix all-nodes shape, on a
+    mostly-isolated chain graph. Bit-identical labels asserted.
+    ``--cc-only [n_nodes]``: 32M default shows the at-scale regime;
+    4M shows the fixed-cost-bound parity regime."""
+    out = subprocess.run(
+        [sys.executable, "-c",
+         CC_CHILD.format(repo=REPO, n_nodes=n_nodes)],
+        capture_output=True, text=True, timeout=1800, cwd=REPO,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stderr[-2000:])
+    print(lines[-1])
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--ops-only":
         ops_only()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--cc-only":
+        cc_only(int(sys.argv[2]) if len(sys.argv) > 2 else 32_000_000)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--release-only":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else RELEASE_PAGES
