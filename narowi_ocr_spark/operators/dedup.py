@@ -373,19 +373,20 @@ def jaccard_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs; keeps pairs ≥ threshold.
-    Shingle arrays are joined only to the candidate pairs (broadcast-sized
-    in practice), never all-pairs."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(text_col).alias("sh")
+    Joined only to the candidate pairs, never all-pairs — and the
+    shingle arrays are projected AFTER each join, so only docs that
+    appear in a candidate pair ever pay the shingle computation (on a
+    release corpus the non-candidate majority is nearly everything),
+    and what moves through the join is the raw text, several times
+    smaller than its n-gram array."""
+    txt = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
     )
     j = (
-        pairs.join(sh.withColumnRenamed("sh", "sh_a"), pairs.id_a == sh.id)
-        .drop("id")
-        .join(
-            sh.select(F.col("id"), F.col("sh").alias("sh_b")),
-            F.col("id_b") == F.col("id"),
-        )
-        .drop("id")
+        pairs.join(txt, pairs.id_a == txt.id)
+        .select("id_a", "id_b", shingles("_t").alias("sh_a"))
+        .join(txt, F.col("id_b") == txt.id)
+        .select("id_a", "id_b", "sh_a", shingles("_t").alias("sh_b"))
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
