@@ -4974,8 +4974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         candidate pairs — catches a short document wholly CONTAINED in
         a longer one, which symmetric Jaccard under-scores (Broder's
         containment, the news-wire-inclusion case). Candidates from
-        the same band join as lsh_pairs; shingle sets join only to the
-        candidate pair list."""
+        the same band join as lsh_pairs; shingles are projected AFTER
+        each candidate join (as in dedup.jaccard_pairs), so only docs
+        appearing in a candidate pair pay the n-gram computation."""
         from narowi_ocr_spark.operators.dedup import (
             lsh_candidate_pairs,
             shingles,
@@ -4983,20 +4984,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         corpus = _dup_corpus(_docs(spark, sf_dir).select("doc_id", "text"))
         pairs = lsh_candidate_pairs(corpus)
-        sh = corpus.select(
-            F.col("doc_id").alias("id"), shingles("text").alias("sh")
-        )
+        txt = corpus.select(F.col("doc_id").alias("id"), "text")
         j = (
-            pairs.join(
-                sh.select(F.col("id"), F.col("sh").alias("sh_a")),
-                pairs.id_a == F.col("id"),
-            )
-            .drop("id")
-            .join(
-                sh.select(F.col("id"), F.col("sh").alias("sh_b")),
-                F.col("id_b") == F.col("id"),
-            )
-            .drop("id")
+            pairs.join(txt, pairs.id_a == txt.id)
+            .select("id_a", "id_b", shingles("text").alias("sh_a"))
+            .join(txt, F.col("id_b") == txt.id)
+            .select("id_a", "id_b", "sh_a", shingles("text").alias("sh_b"))
         )
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
         return j.select(

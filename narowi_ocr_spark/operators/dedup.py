@@ -784,8 +784,10 @@ def incremental_near_dup(
     only ~48-byte rows shuffle); candidates come from the band
     equi-join NEW × INDEX (never new×new or index×index — re-crawls
     only need novelty vs the corpus, which is what keeps this linear in
-    the batch, not the corpus); verification joins shingle arrays to
-    candidates only.
+    the batch, not the corpus); verification projects shingle arrays
+    AFTER the candidate joins, so only docs that band-collided ever pay
+    the n-gram computation — in particular the INDEX side (the whole
+    corpus) is never shingled wholesale on a refresh.
 
     Production shape: the index side's band triples and shingle-digest
     arrays are PERSISTED tables (written bucketed by (band_idx,
@@ -811,17 +813,19 @@ def incremental_near_dup(
         )
         .distinct()
     )
-    shn = new_docs.select(
-        F.col(id_col).alias("new_id"), shingles(text_col).alias("sh_a")
+    txt_n = new_docs.select(
+        F.col(id_col).alias("new_id"), F.col(text_col).alias("_t")
     )
-    shi = index_docs.select(
-        F.col(id_col).alias("index_id"), shingles(text_col).alias("sh_b")
+    txt_i = index_docs.select(
+        F.col(id_col).alias("index_id"), F.col(text_col).alias("_t")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.join(shn, "new_id")
-        .join(shi, "index_id")
+        cand.join(txt_n, "new_id")
+        .select("new_id", "index_id", shingles("_t").alias("sh_a"))
+        .join(txt_i, "index_id")
+        .select("new_id", "index_id", "sh_a", shingles("_t").alias("sh_b"))
         .select(
             "new_id",
             "index_id",
