@@ -1015,12 +1015,15 @@ def dup_span_stats(
     (doc_id, pos, 32-hex) triples ever shuffle, never window text. The
     occurrence count is one partial-agg shuffle on the digest; the
     dup-window join keys on the digest (AQE skew-split absorbs hot
-    boilerplate grams); the islands merge is ONE sort per doc_id
-    partition, and both following groupBys ride the same hash
-    partitioning. The O(positions) blowup is bounded: each token
-    contributes exactly one window start, so the exploded table is
-    ~n_tokens rows — the same cardinality every shingle/minhash stage
-    in this repo already handles.
+    boilerplate grams); the islands merge is ROW-LOCAL arithmetic over
+    the doc's sorted duplicated-position array (equal-length k-windows
+    have monotone ends, so a new span starts exactly when the position
+    gap exceeds k and the union mass is k + Σ min(gap, k)) — one
+    groupBy(doc_id) collect replaces the former window-sort +
+    two-groupBy chain, taking the post-join exchange count from three
+    to one. The per-doc array is bounded by the doc's own
+    duplicated-window count, the same O(doc tokens) bound every
+    shingle stage here already materializes per row.
     """
     # Stage the word array ONCE behind a projection boundary (the
     # with_text_stats trick): n_tokens and the k-gram windows both
@@ -1050,25 +1053,36 @@ def dup_span_stats(
         .select("fp")
     )
     dup = win.join(dup_fp, "fp")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
+    # islands merge, row-local: positions sorted ascending, windows all
+    # length k ⇒ interval ends are monotone, so consecutive-gap
+    # arithmetic IS the merge — a gap > k opens a new span, and the
+    # union mass is k for the first window plus min(gap, k) per
+    # successor (full k on a gap, the uncovered suffix on an overlap)
+    ps_doc = dup.groupBy("doc_id", "n_tokens").agg(
+        F.sort_array(F.collect_list("pos")).alias("_ps")
     )
-    isl = dup.withColumn(
-        "new_span",
-        F.when(
-            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
-        ).otherwise(0),
-    ).withColumn("span_id", F.sum("new_span").over(w))
-    spans = isl.groupBy("doc_id", "n_tokens", "span_id").agg(
-        F.min("pos").alias("s"),
-        (F.max("pos") + F.lit(k - 1)).alias("e"),
-        F.count("*").cast("long").alias("nw"),
+    n_ps = F.size("_ps")
+    diffs = F.zip_with(
+        F.slice(F.col("_ps"), 2, n_ps - 1),
+        F.slice(F.col("_ps"), 1, n_ps - 1),
+        lambda a, b: a - b,
     )
-    agg = spans.groupBy("doc_id", "n_tokens").agg(
-        F.count("*").cast("int").alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
-        F.sum("nw").cast("long").alias("n_dup_windows"),
+    agg = ps_doc.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.lit(1)
+            + F.size(F.filter(diffs, lambda d: d > F.lit(k)))
+        ).cast("int").alias("n_spans"),
+        (
+            F.lit(k).cast("long")
+            + F.aggregate(
+                diffs,
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + F.least(d, F.lit(k)).cast("long"),
+            )
+        ).alias("dup_tokens"),
+        n_ps.cast("long").alias("n_dup_windows"),
     )
     return agg.select(
         "doc_id",
@@ -1337,11 +1351,13 @@ def dup_span_removal(
 
     Scale shape: identical to dup_span_stats — only (doc_id, pos,
     digest) rows shuffle, never text; first-occurrence is a
-    partial-aggregated struct-min over (doc_id, pos); the islands merge
-    is one sort per doc_id partition; reassembly sends only (doc_id,
-    span list) back onto the staged corpus, and the kept-position set
-    is computed as an O(n+removed) ``array_except`` (hash-based), not
-    a per-token span scan.
+    partial-aggregated struct-min over (doc_id, pos); the removed
+    position set is built row-locally from the doc's sorted removable
+    starts (one groupBy(doc_id) — no window sort, no span-id
+    re-shuffle); reassembly sends only (doc_id, position list) back
+    onto the staged corpus, and the kept-position set is computed as
+    an O(n+removed) ``array_except`` (hash-based), not a per-token
+    span scan.
     """
     staged = df.select(
         F.col(id_col).alias("doc_id"),
@@ -1379,31 +1395,21 @@ def dup_span_removal(
         )
         .select("doc_id", "pos")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    spans = (
-        removable.withColumn(
-            "new_span",
-            F.when(
-                prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
-            ).otherwise(0),
-        )
-        .withColumn("span_id", F.sum("new_span").over(w))
-        .groupBy("doc_id", "span_id")
-        .agg(
-            F.min("pos").alias("s"),
-            (F.max("pos") + F.lit(k - 1)).alias("e"),
-        )
-    )
-    span_lists = spans.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_spans")
+    # the merged spans were only ever consumed as their covered
+    # POSITION SET — build it directly from the sorted removable
+    # window starts (array_distinct collapses the overlap between
+    # adjacent k-windows), replacing the former window-sort +
+    # two-groupBy islands chain with ONE groupBy(doc_id)
+    span_lists = removable.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("_ps")
     )
     removed = F.coalesce(
-        F.flatten(
-            F.transform(
-                F.col("_spans"), lambda sp: F.sequence(sp["s"], sp["e"])
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.col("_ps"),
+                    lambda p: F.sequence(p, p + F.lit(k - 1)),
+                )
             )
         ),
         F.array().cast("array<int>"),

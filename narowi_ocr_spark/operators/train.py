@@ -23,11 +23,13 @@ Scale shape (the part that must survive 100 TB):
   shuffled. The (doc, bkt) matrix is the per-epoch working set — for
   a 256-bucket model it is ≤256 ints per doc, orders of magnitude
   smaller than the corpus.
-- Each epoch is two shuffles over that cached matrix: a window sum
-  partitioned by doc_id scores every doc in place (the weight vector
-  folds into the plan as a literal array — no join against a weight
-  table, and no join back to mark misclassified rows), and a
-  groupBy(bkt) whose output is ≤n_buckets rows.
+- The per-epoch working set is the matrix grouped ONCE into one row
+  per doc (doc_id, y, fv: array<(bkt, cnt)>) and cached in that shape,
+  so each epoch is a single scan: the doc's score is a row-local
+  ``F.aggregate`` over fv with the weight vector folded into the plan
+  as a literal array (no window, no join, no shuffle to score), and
+  the only exchange per epoch is the gradient groupBy(bkt) whose
+  map-side-combined output is ≤n_buckets rows per partition.
 - Model state (the weight vector) is O(n_buckets) and lives on the
   driver between epochs — the same driver-aggregation shape Spark
   MLlib uses; the collect is bounded by the model size, never by the
@@ -44,7 +46,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from narowi_ocr_spark.functions.textstats import words
 
@@ -122,8 +123,9 @@ def perceptron_train(
     updates.
 
     Epoch e (0-indexed): score every doc under the current weights
-    (w folds into the plan as a literal array — scoring shuffles only
-    the feature matrix, never joins a weight table), mark docs with
+    (w folds into the plan as a literal array and the score is a
+    row-local ``F.aggregate`` over the doc's cached feature array —
+    no weight-table join, no window, no shuffle), mark docs with
     y·score ≤ 0 misclassified (ties update, so epoch 1 under w=0
     updates on every doc — that pass is skipped analytically), and add
     2^(epochs−1−e) · Σ_misclassified y·cnt to each bucket.
@@ -147,37 +149,48 @@ def perceptron_train(
     the accumulators.
     """
     w = [0] * n_weights
-    fl = feats.join(labels, "doc_id").persist()
+    # group the matrix ONCE into one cached row per doc — the per-epoch
+    # loop then never shuffles the matrix again (the join+groupBy here
+    # is paid once for all epochs; the cached shape is the same payload
+    # as the triples, just pre-co-located by doc)
+    docs = (
+        feats.join(labels, "doc_id")
+        .groupBy("doc_id", "y")
+        .agg(F.collect_list(F.struct("bkt", "cnt")).alias("fv"))
+        .persist()
+    )
     try:
         for epoch in range(epochs):
             step = 1 << (epochs - 1 - epoch)
             if any(w):
-                # per-doc score as a window sum PARTITIONED by doc_id —
-                # every feature row learns its doc's score in the same
-                # exchange, so "misclassified" is a row-local filter
-                # and the gradient needs NO join back: two exchanges
-                # per epoch (doc_id window + bkt aggregate), not three
+                # row-local score: Σ cnt·w[bkt] over the doc's feature
+                # array (collect_list order is nondeterministic, but an
+                # integer sum is order-independent) — "misclassified"
+                # is a per-row filter with ZERO exchanges
                 w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w])
-                dw = Window.partitionBy("doc_id")
-                score = F.sum(
-                    F.col("cnt") * F.element_at(w_arr, F.col("bkt") + 1)
-                ).over(dw)
-                grad_src = fl.withColumn("_s", score).where(
-                    F.col("y") * F.col("_s") <= 0
+                score = F.aggregate(
+                    F.col("fv"),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc
+                    + x["cnt"] * F.element_at(w_arr, x["bkt"] + 1),
                 )
+                grad_src = docs.where(F.col("y") * score <= 0)
             else:
                 # all-zero weights score every doc 0 → y·0 ≤ 0 → every
                 # doc is misclassified; the scoring pass is the identity
-                grad_src = fl
+                grad_src = docs
+            # the ONLY exchange per epoch: gradient groupBy(bkt),
+            # map-side combined to ≤n_weights rows per partition
             grad = (
-                grad_src.groupBy("bkt")
-                .agg(F.sum(F.col("y") * F.col("cnt")).alias("g"))
+                grad_src.select("y", F.explode("fv").alias("_f"))
+                .groupBy(F.col("_f.bkt").alias("bkt"))
+                .agg(F.sum(F.col("y") * F.col("_f.cnt")).alias("g"))
                 .collect()
             )
             for row in grad:
                 w[row["bkt"]] += step * row["g"]
     finally:
-        fl.unpersist()
+        docs.unpersist()
     return w
 
 
