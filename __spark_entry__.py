@@ -5990,16 +5990,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def _clf_train_weights(spark, sf_dir, sampled: bool = False):
+        from narowi_ocr_spark.functions.textstats import words
         from narowi_ocr_spark.operators.train import (
-            hashed_token_counts,
+            hashed_doc_matrix,
             perceptron_train,
         )
 
         train = _clf_split(spark, sf_dir).where(F.col("_k") >= _CLF_EVAL_T)
         if sampled:
             train = train.where(_clf_sample_key() < _CLF_SAMPLE_T)
-        feats = hashed_token_counts(train, n_buckets=256, bias=True)
-        return perceptron_train(feats, _clf_labels(train), n_weights=257,
+        # fused single-pass matrix (label computed in the same corpus
+        # scan as the features) — no feats⋈labels shuffle join; weights
+        # are bit-identical to the two-input path (tests/test_train.py)
+        topic_cnt = F.size(
+            F.filter(
+                words(F.lower(F.col("text"))), lambda x: x == F.lit("spark")
+            )
+        )
+        label = F.when(topic_cnt >= 2, 1).otherwise(-1)
+        matrix = hashed_doc_matrix(train, label, n_buckets=256, bias=True)
+        return perceptron_train(matrix=matrix, n_weights=257,
                                 epochs=_CLF_EPOCHS)
 
     def classifier_train_q(spark, sf_dir):

