@@ -51,7 +51,11 @@ _ESCAPES = {
 
 def _unescape_pdf_bytes(raw: bytes) -> bytes:
     """PDF string-literal unescape (ISO 32000 §7.3.4.2): named escapes,
-    1-3 digit octal codes, and line-continuation backslash."""
+    1-3 digit octal codes, and line-continuation backslash. Escape-free
+    literals (the overwhelming majority of crawl-PDF strings) return in
+    one C-level containment check."""
+    if b"\\" not in raw:
+        return raw
     out = bytearray()
     i, n = 0, len(raw)
     while i < n:
@@ -82,7 +86,17 @@ def _unescape_pdf_bytes(raw: bytes) -> bytes:
 def _scan_string(data: bytes, start: int) -> tuple[bytes, int]:
     """Scan a ``(``-opened literal from ``start`` (index of the paren);
     returns (raw bytes inside, index past the closing paren). Tracks
-    nesting and escapes."""
+    nesting and escapes. Fast path: when the span up to the next ``)``
+    holds no backslash and no nested ``(`` — the common case — the
+    literal is a single C-level find + slice; the byte loop only runs
+    for escaped or nested strings."""
+    end = data.find(b")", start + 1)
+    if end != -1:
+        seg = data[start + 1 : end]
+        if b"\\" not in seg and b"(" not in seg:
+            return seg, end + 1
+    elif b"\\" not in data[start + 1 :] and b"(" not in data[start + 1 :]:
+        return data[start + 1 :], len(data)  # unterminated tail
     depth = 0
     i, n = start, len(data)
     begin = start + 1
@@ -135,36 +149,41 @@ def pdf_content_streams(payload: bytes) -> list[bytes]:
     return out
 
 
+# scanner for the tokens _text_object_lines dispatches on; everything
+# between tokens is operands/whitespace and is skipped at C speed. The
+# alternatives can never match at the same offset, so order is inert.
+_TEXT_TOK_RE = re.compile(rb"\(|TJ|Tj|T\*|TD|Td|'|\"")
+
+
 def _text_object_lines(body: bytes) -> list[str]:
     """One BT…ET body → display lines: ``Td/TD/T*/'/"`` advance the
-    line, ``Tj/TJ/'/"`` append shown strings to the current line."""
+    line, ``Tj/TJ/'/"`` append shown strings to the current line.
+    Token-driven (one regex search per token) rather than per-byte —
+    semantics identical to the byte-walk the differential fuzz test
+    pins (tests/test_pdftext.py)."""
     lines: list[list[bytes]] = [[]]
     pending: list[bytes] = []  # string literals seen since the last op
-    i, n = 0, len(body)
-    while i < n:
-        c = body[i]
-        if c == 0x28:  # ( — string literal
-            raw, i = _scan_string(body, i)
+    pos = 0
+    search = _TEXT_TOK_RE.search
+    while True:
+        m = search(body, pos)
+        if m is None:
+            break
+        tok = m.group()
+        if tok == b"(":  # string literal
+            raw, pos = _scan_string(body, m.start())
             pending.append(_unescape_pdf_bytes(raw))
             continue
-        if body.startswith(b"TJ", i) or body.startswith(b"Tj", i):
+        if tok in (b"TJ", b"Tj"):
             lines[-1].extend(pending)
             pending = []
-            i += 2
-            continue
-        if body.startswith(b"T*", i) or body.startswith(b"TD", i) or (
-            body.startswith(b"Td", i)
-        ):
+        elif tok in (b"T*", b"TD", b"Td"):
             lines.append([])
             pending = []
-            i += 2
-            continue
-        if c in (0x27, 0x22):  # ' or " : next-line-and-show
+        else:  # ' or " : next-line-and-show
             lines.append(pending)
             pending = []
-            i += 1
-            continue
-        i += 1
+        pos = m.end()
     text_lines = [b"".join(parts) for parts in lines]
     return [ln.decode("utf-8", errors="replace") for ln in text_lines]
 

@@ -69,6 +69,109 @@ def test_pdf_escapes_and_octal():
     assert pdf_text_objects(raw) == ["a(b)c \\ AB \n"]
 
 
+def _text_object_lines_bytewalk(body: bytes) -> list[str]:
+    """Reference copy of the original per-byte BT…ET scanner — the
+    token-regex rewrite in operators/pdftext.py must match it on every
+    input (differential fuzz below)."""
+    from narowi_ocr_spark.operators.pdftext import (
+        _scan_string,
+        _unescape_pdf_bytes,
+    )
+
+    lines: list[list[bytes]] = [[]]
+    pending: list[bytes] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == 0x28:
+            raw, i = _scan_string(body, i)
+            pending.append(_unescape_pdf_bytes(raw))
+            continue
+        if body.startswith(b"TJ", i) or body.startswith(b"Tj", i):
+            lines[-1].extend(pending)
+            pending = []
+            i += 2
+            continue
+        if body.startswith(b"T*", i) or body.startswith(b"TD", i) or (
+            body.startswith(b"Td", i)
+        ):
+            lines.append([])
+            pending = []
+            i += 2
+            continue
+        if c in (0x27, 0x22):
+            lines.append(pending)
+            pending = []
+            i += 1
+            continue
+        i += 1
+    return [b"".join(p).decode("utf-8", errors="replace") for p in lines]
+
+
+def _scan_string_slow(data: bytes, start: int):
+    """Reference copy of the original nesting/escape byte loop behind
+    _scan_string's fast path."""
+    depth = 0
+    i, n = start, len(data)
+    begin = start + 1
+    while i < n:
+        c = data[i]
+        if c == 0x5C:
+            i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return data[begin:i], i + 1
+        i += 1
+    return data[begin:], n
+
+
+def test_scan_string_fast_path_differential():
+    import random
+
+    from narowi_ocr_spark.operators.pdftext import _scan_string
+
+    rng = random.Random(0xFACE)
+    alphabet = b"ab\\()\n )x("
+    for case in range(5000):
+        body = b"(" + bytes(
+            alphabet[rng.randrange(len(alphabet))]
+            for _ in range(rng.randrange(0, 24))
+        )
+        assert _scan_string(body, 0) == _scan_string_slow(body, 0), (case, body)
+
+
+def test_text_object_lines_differential_fuzz():
+    """5k random operator/literal soups (escapes, octal, nesting,
+    unterminated strings, line continuations, stray backslashes): the
+    token-regex scanner and the per-byte reference walk must agree
+    byte-for-byte."""
+    import random
+
+    from narowi_ocr_spark.operators.pdftext import _text_object_lines
+
+    rng = random.Random(0xBEEF)
+    atoms = [
+        b"(hello)", b"(a\\(b\\)c)", b"(oct \\101\\12\\3)", b"(nest (in(ner)) out)",
+        b"(dangling", b"(bs \\\\ end)", b"(cont\\\nline)", b"(cont\\\r\nline)",
+        b"(lone \\q drop)", b"Tj", b"TJ", b"Td", b"TD", b"T*", b"'", b"\"",
+        b" 12 -3.5 ", b"/F1 ", b"\n", b"[", b"]", b"(\xff\xfe raw bytes)",
+        b"()", b"(())", b"T", b"J", b"j{", b"Tx",
+    ]
+    for case in range(5000):
+        body = b"".join(
+            atoms[rng.randrange(len(atoms))]
+            for _ in range(rng.randrange(1, 14))
+        )
+        assert _text_object_lines(body) == _text_object_lines_bytewalk(body), (
+            case,
+            body,
+        )
+
+
 def test_pdf_garbage_tolerant():
     assert tokenize_pdf_py(None) == []
     assert tokenize_pdf_py(b"") == []
