@@ -86,19 +86,41 @@ def cosine_fp(a: Column, b: Column) -> Column:
 
 
 def _assign(fx: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k-row centroid dim,
-    rank by (cos desc, cell asc). Returns (id, fv, cell, cos_sim)."""
-    scored = fx.crossJoin(F.broadcast(cents)).select(
-        "id",
-        "fv",
-        "cell",
-        cosine_fp(F.col("fv"), F.col("cv")).alias("cos_sim"),
+    """Nearest-centroid assignment as a PURE PROJECTION: the k centroids
+    are folded into one array row, broadcast, and each vector picks its
+    argmax by an in-row fold — the corpus is never expanded k× and never
+    shuffles (the previous formulation ranked the k-way cross join with
+    a per-id window, i.e. a full corpus×k exchange per Lloyd round).
+    Tie-break matches the old (cos desc, cell asc) rank: the fold array
+    is sorted by cell and replacement is strictly-greater, and
+    ``cosine_fp`` is total (degenerate vectors score -1.0, above the
+    -2.0 fold seed), so the first maximal — lowest — cell wins.
+    Returns (id, fv, cell, cos_sim)."""
+    cell_t = cents.schema["cell"].dataType
+    carr = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell"), F.col("cv")))
+        ).alias("_cents")
     )
-    w = Window.partitionBy("id").orderBy(F.desc("cos_sim"), F.asc("cell"))
+    seed = F.struct(
+        F.lit(-2.0).alias("cos_sim"), F.lit(None).cast(cell_t).alias("cell")
+    )
+    best = F.aggregate(
+        F.transform(
+            "_cents",
+            lambda c: F.struct(
+                cosine_fp(F.col("fv"), c["cv"]).alias("cos_sim"),
+                c["cell"].alias("cell"),
+            ),
+        ),
+        seed,
+        lambda acc, c: F.when(c["cos_sim"] > acc["cos_sim"], c).otherwise(acc),
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        fx.crossJoin(F.broadcast(carr))
+        .select("id", "fv", best.alias("_best"))
+        .select("id", "fv", F.col("_best.cell").alias("cell"),
+                F.col("_best.cos_sim").alias("cos_sim"))
     )
 
 

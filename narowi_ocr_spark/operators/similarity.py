@@ -131,24 +131,53 @@ def _nearest_cells(
     """Shared centroid assignment (the single source of truth for the
     tie-break and rounding — corpus cells and query probes MUST agree on
     it or the cells-partition-the-corpus invariant breaks): each vector
-    with its ``n`` max-cosine centroids (ties → lower cell id), via a
-    broadcast cross join + one window. Narrow on the vectors side."""
-    from pyspark.sql.window import Window
+    with its ``n`` max-cosine centroids (ties → lower cell id), computed
+    entirely IN-ROW — the K centroids fold into one broadcast array row
+    and each vector sorts its K scores with a comparator that replays
+    the old window order (csim desc nulls-last, cell asc) and slices the
+    top ``n``. The corpus side is a pure projection: no k-way row
+    expansion, no per-id window exchange (the previous formulation
+    shuffled corpus×K rows per call)."""
+    carr = centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+            )
+        ).alias("_cents")
+    )
 
-    c = centroids.select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+    def by_window_order(l, r):  # csim desc nulls-last, cell asc
+        return (
+            F.when(
+                l["csim"].isNull() & r["csim"].isNull(),
+                F.when(l["cell"] < r["cell"], F.lit(-1)).otherwise(F.lit(1)),
+            )
+            .when(l["csim"].isNull(), F.lit(1))
+            .when(r["csim"].isNull(), F.lit(-1))
+            .when(l["csim"] > r["csim"], F.lit(-1))
+            .when(l["csim"] < r["csim"], F.lit(1))
+            .when(l["cell"] < r["cell"], F.lit(-1))
+            .otherwise(F.lit(1))
+        )
+
+    top = F.slice(
+        F.array_sort(
+            F.transform(
+                "_cents",
+                lambda c: F.struct(
+                    round4(cosine(F.col(vec_col), c["cvec"])).alias("csim"),
+                    c["cell"].alias("cell"),
+                ),
+            ),
+            by_window_order,
+        ),
+        1,
+        n,
     )
-    scored = vectors.crossJoin(F.broadcast(c)).select(
-        id_col,
-        vec_col,
-        "cell",
-        round4(cosine(F.col(vec_col), F.col("cvec"))).alias("csim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n)
-        .select(id_col, vec_col, "cell")
+        vectors.crossJoin(F.broadcast(carr))
+        .select(id_col, vec_col, F.explode(top).alias("_t"))
+        .select(id_col, vec_col, F.col("_t.cell").alias("cell"))
     )
 
 

@@ -205,10 +205,32 @@ def test_kmeans_assignment_is_broadcast(spark):
     )
     plan = _physical_plan(kmeans_lloyd(vecs, k=2, iters=1))
     assert "BroadcastExchange" in plan, plan
-    # the only hash exchanges are the (cell, dim) update rollup and the
-    # per-id assignment window — never an exchange keyed on the corpus id
-    # before a join
+    # the only hash exchanges are the (cell, dim) update rollup — never
+    # an exchange keyed on the corpus id before a join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # assignment is an in-row argmax fold: no per-id window anywhere
+    assert "Window" not in plan, plan
+    assert "hashpartitioning(id" not in plan, plan
+
+
+def test_ivf_cells_assignment_is_projection(spark):
+    """IVF coarse quantization must not expand the corpus K-ways through
+    a per-id window: the centroid set folds into one broadcast array row
+    and each vector picks its cells in-row."""
+    from narowi_ocr_spark.operators.similarity import ivf_cells
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _physical_plan(ivf_cells(vecs, cents))
+    assert "Window" not in plan, plan
+    assert "hashpartitioning(vec_id" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
 
 
 def test_gopher_rules_single_projection(spark):
