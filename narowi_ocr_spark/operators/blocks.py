@@ -53,7 +53,11 @@ _TAG_RE = re.compile(r"<[^>]*>")
 
 
 def _block_text(fragment: str) -> str:
-    return _html.unescape(_TAG_RE.sub("", fragment)).strip()
+    # tag-strip only when a tag can exist (anchor inner texts usually
+    # can't) — html.unescape already fast-paths the no-"&" case
+    if "<" in fragment:
+        fragment = _TAG_RE.sub("", fragment)
+    return _html.unescape(fragment).strip()
 
 
 def tokenize_html_py(payload: bytes | str | None) -> list[dict]:
