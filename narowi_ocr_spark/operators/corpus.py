@@ -285,10 +285,13 @@ def passage_dedup(
       * the word array is staged ONCE per doc in a projection, and
         passages are O(w) slices of it (no O(len²) re-splits);
       * the DEDUP DECISION dataflow never moves text: only
-        (id, idx, md5) triples shuffle, and first-occurrence is a
-        partial-aggregated groupBy(md5) over a PACKED bigint key
-        (id, idx) orderable-struct min — map-side combine, not a
-        window sort, and exact for hash-sized ids;
+        (id, idx, 16-byte md5) triples shuffle — hash-repartitioned by
+        digest ONCE, with that single exchange feeding both the
+        first-occurrence groupBy(md5) (an orderable (id, idx)
+        struct-min, not a window sort, exact for hash-sized ids) and
+        the join probe via AQE exchange reuse, so the passage-slice +
+        md5 map cost runs once and shuffle bytes halve (complete-mode
+        agg trade documented at dup_span_stats);
       * reassembly co-locates the (id, array<int>) kept-index list with
         the corpus via one id-keyed join — the only stage where the
         tokenized text crosses an exchange. Bucket the corpus table by
@@ -327,8 +330,8 @@ def passage_dedup(
         "idx",
         # case-fold ONLY the hash input: dedup is case-insensitive, the
         # surviving text is not case-mangled
-        F.md5(F.lower("passage")).alias("h"),
-    )
+        F.unhex(F.md5(F.lower("passage"))).alias("h"),
+    ).repartition("h")
     # first occurrence = lexicographic min over (id, idx) as an
     # ORDERABLE STRUCT, still a map-side-combined partial aggregate.
     # (An earlier packed bigint (id<<24 | idx) silently wrapped for
@@ -1012,10 +1015,18 @@ def dup_span_stats(
     (SCALE·dup_tokens div n_tokens) so both engines agree bit-exactly.
 
     Scale shape: windows are md5-digested at the scan — only
-    (doc_id, pos, 32-hex) triples ever shuffle, never window text. The
-    occurrence count is one partial-agg shuffle on the digest; the
-    dup-window join keys on the digest (AQE skew-split absorbs hot
-    boilerplate grams); the islands merge is ROW-LOCAL arithmetic over
+    (doc_id, pos, 16-byte digest) triples ever shuffle, never window
+    text. The exploded window stream is hash-repartitioned by digest
+    ONCE and that single exchange feeds BOTH the occurrence count and
+    the dup-window join probe (AQE exchange reuse): the tokenize +
+    k-gram + md5 map work — the dominant CPU at corpus scale — runs
+    once instead of once per consumer, and total shuffle bytes halve.
+    The trade, documented: the count above a pre-partitioned input
+    runs as a complete (not partial+final) aggregate, so a pathological
+    boilerplate gram is counted by one task scanning its partition
+    serially — bounded CPU on a hash-agg row, no memory blowup — while
+    the join side keeps AQE skew-split. The islands merge stays
+    ROW-LOCAL arithmetic over
     the doc's sorted duplicated-position array (equal-length k-windows
     have monotone ends, so a new span starts exactly when the position
     gap exceeds k and the union mass is k + Σ min(gap, k)) — one
@@ -1038,14 +1049,16 @@ def dup_span_stats(
         nw >= k,
         F.transform(
             F.sequence(F.lit(1), nw - F.lit(k - 1)),
-            lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, k), " ")),
+            lambda i: F.unhex(
+                F.md5(F.array_join(F.slice(F.col("_w"), i, k), " "))
+            ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<binary>"))
     win = staged.select(
         "doc_id",
         nw.alias("n_tokens"),
         F.posexplode(grams).alias("pos", "fp"),
-    )
+    ).repartition("fp")
     dup_fp = (
         win.groupBy("fp")
         .agg(F.count("*").cast("long").alias("occ"))
@@ -1350,8 +1363,12 @@ def dup_span_removal(
     reassembly, as in passage_dedup).
 
     Scale shape: identical to dup_span_stats — only (doc_id, pos,
-    digest) rows shuffle, never text; first-occurrence is a
-    partial-aggregated struct-min over (doc_id, pos); the removed
+    digest) rows shuffle, never text, and the exploded window stream is
+    hash-repartitioned by digest ONCE with that single exchange feeding
+    both the first-occurrence aggregate and the join probe (AQE
+    exchange reuse: the k-gram+md5 map cost runs once, shuffle bytes
+    halve; the count/min runs complete-mode on one task per partition —
+    see dup_span_stats for the documented hot-gram trade); the removed
     position set is built row-locally from the doc's sorted removable
     starts (one groupBy(doc_id) — no window sort, no span-id
     re-shuffle); reassembly sends only (doc_id, position list) back
@@ -1369,12 +1386,12 @@ def dup_span_removal(
         nw >= k,
         F.transform(
             F.sequence(F.lit(1), nw - F.lit(k - 1)),
-            lambda i: F.md5(F.array_join(F.slice(lw, i, k), " ")),
+            lambda i: F.unhex(F.md5(F.array_join(F.slice(lw, i, k), " "))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<binary>"))
     win = staged.select(
         "doc_id", F.posexplode(grams).alias("pos", "fp")
-    )
+    ).repartition("fp")
     # first occurrence by lexicographic struct-min over (doc_id, pos) —
     # exact for hash-sized ids, unlike the packed (id<<24 | pos) bigint
     # it replaces (see passage_dedup)
