@@ -954,21 +954,27 @@ def corpus_dup_fraction(
     absent from the output.
 
     Scale shape: n-grams are md5-digested at the scan, so only
-    (doc_id, 32-hex) pairs ever shuffle — never gram text. Three
-    partial-agg shuffles: (doc, fp) occurrence counts, fp doc
-    frequency (derived from the first — each (doc, fp) row counts one
-    distinct doc, no extra distinct pass), and the final per-doc
-    rollup; the df join keys on the digest and AQE handles hot
-    boilerplate grams. All counts are order-free integer sums —
-    partition-independent, bit-identical across engines.
+    (doc_id, 16-byte digest) pairs ever shuffle — never gram text. The
+    (doc, fp) occurrence counts are partial-aggregated once, then
+    hash-repartitioned by fp so ONE exchange feeds both the
+    doc-frequency aggregate (each (doc, fp) row counts one distinct
+    doc, no extra distinct pass; complete-mode count with O(1) state
+    per gram — the hot-gram trade documented at dup_span_stats) and
+    the df join probe via AQE exchange reuse — the gram explode + md5
+    + occurrence agg runs once instead of once per consumer. The final
+    per-doc rollup is the only other shuffle. All counts are
+    order-free integer sums — partition-independent, bit-identical
+    across engines.
     """
     occ = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.transform(ngrams(text_col, n), F.md5)).alias("fp"),
+        F.explode(
+            F.transform(ngrams(text_col, n), lambda g: F.unhex(F.md5(g)))
+        ).alias("fp"),
     )
     per_doc = occ.groupBy("doc_id", "fp").agg(
         F.count("*").cast("long").alias("occ_cnt")
-    )
+    ).repartition("fp")
     df_cnt = per_doc.groupBy("fp").agg(
         F.count("*").cast("long").alias("df_docs")
     )
