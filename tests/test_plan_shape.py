@@ -593,3 +593,36 @@ def test_fast_minhash_signature_pass_is_pure_jvm(spark):
         assert marker not in plan, f"{marker} in:\n{plan}"
     assert plan.count("Exchange") == 1, plan
     assert "xxhash64" in plan.lower(), plan
+
+
+def test_span_dedup_gram_stream_shuffles_once(spark):
+    """dup_span_stats / dup_span_removal / corpus_dup_fraction /
+    passage_dedup hash-repartition the exploded digest stream by the
+    digest so BOTH consumers (the occurrence/first-occurrence aggregate
+    and the join probe) hang off canonically identical
+    REPARTITION_BY_COL exchanges — AQE materializes the shuffle once
+    and reuses it, so the gram/passage md5 map work runs once (measured
+    ~2x on dup_span_removal at sf0.1). This pins the load-bearing
+    repartition: if it is dropped, each branch re-plans its own
+    partial-agg/join exchange and the gram hashing doubles."""
+    from narowi_ocr_spark.operators.corpus import (
+        corpus_dup_fraction,
+        dup_span_removal,
+        dup_span_stats,
+        passage_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    for op in (dup_span_stats, dup_span_removal):
+        plan = _physical_plan(op(df))
+        # one per consumer branch pre-AQE; identical subtrees reuse at runtime
+        assert plan.count("REPARTITION_BY_COL") == 2, plan
+        # digests cross the exchange as 16-byte binary, not 32-hex strings
+        assert "unhex(md5(" in plan, plan
+    plan = _physical_plan(corpus_dup_fraction(df, n=3))
+    assert plan.count("REPARTITION_BY_COL") == 2, plan
+    plan = _physical_plan(passage_dedup(df, passage_words=4))
+    assert plan.count("REPARTITION_BY_COL") == 2, plan
