@@ -126,15 +126,21 @@ def bm25_topk(
     = round4(score_sum / BM25_SCALE), rank by (score_sum desc, doc_id) —
     a pure int64 ordering, deterministic in every engine.
 
-    Dataflow (the part that holds at 100 TB): postings and per-doc
-    lengths are partial-aggregated before their shuffles; the query
-    term table (|queries|·|terms| rows) and the global scalars (N, L)
-    are broadcast, so scoring is a map-side join over the postings of
-    the queried terms only; the final groupBy shuffles one integer per
-    (query, candidate-doc) pair.
+    Dataflow (the part that holds at 100 TB): the queried-term literal
+    filter is applied to the postings FRAME, where Catalyst pushes it
+    through the (term, doc) groupBy down to the token explode — so the
+    tf aggregate, the df(term) doc-frequency aggregate, and every
+    downstream join only ever see postings of the queried terms, never
+    the full vocabulary (df restricted-then-aggregated equals
+    aggregated-then-restricted for the queried terms, so scores are
+    unchanged). Per-doc lengths stay a narrow tokenize scan; the query
+    term table (|queries|·|terms| rows), the restricted df table, and
+    the global scalars (N, L) are broadcast; the final groupBy shuffles
+    one integer per (query, candidate-doc) pair.
     """
     spark = df.sparkSession
-    post = postings(df, id_col, text_col)
+    q_terms = sorted({term for _, terms in queries for term in terms})
+    post = postings(df, id_col, text_col).where(F.col("term").isin(q_terms))
     dl = (
         df.select(
             F.col(id_col).alias("doc_id"), F.size(words(F.col(text_col))).alias("dl")
@@ -150,14 +156,16 @@ def bm25_topk(
     ]
     qdf = spark.createDataFrame(qrows, "query_id string, term string")
 
-    # df(term) over the full corpus, then restrict to queried terms.
+    # df(term) over the queried-term postings only — identical values
+    # to a full-vocabulary aggregate restricted afterwards. (term, doc)
+    # rows are already distinct post-tf-agg, so count(*) == distinct.
     term_df = post.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
+        F.count("*").cast("long").alias("df")
     )
 
     scored = (
         post.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(term_df.join(qdf.select("term").distinct(), "term")), "term")
+        .join(F.broadcast(term_df), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
