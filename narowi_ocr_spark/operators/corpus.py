@@ -171,11 +171,18 @@ def char_bigram_lm(
     average-probability score compresses differently than perplexity,
     which is acceptable for a keep/drop gate.
 
-    Scale shape: the learn side explodes (bigram) tokens but partial-
-    aggregates them map-side, so at most |V|² rows per partition reach
-    the shuffle; the model table is |V|²-bounded (tiny — ASCII text is
-    ≤16k rows) and broadcast to the apply join; the apply side shuffles
-    only (id, bigram, count) partial aggregates, never text.
+    Scale shape: the apply side shuffles only (id, bigram, count)
+    partial aggregates, never text. In the self-score case the learn
+    counts derive from those same per-doc multiplicities
+    (sum(mult) == the raw bigram count), so the two branches hang off
+    canonically identical (id, bg) exchanges that the planner's
+    ReuseExchange collapses — the corpus-wide char split + bigram
+    explode runs ONCE, and the learn rollup is a map-side-combined
+    aggregate over compact (id, bg, count) rows, ≤ |V|² per partition
+    at the shuffle. The model table is |V|²-bounded (tiny — ASCII text
+    is ≤16k rows) and broadcast to the apply join. With a separate
+    ``apply_to``, the learn side explodes the corpus independently,
+    partial-aggregated map-side as before.
     """
     target = corpus if apply_to is None else apply_to
 
@@ -200,13 +207,29 @@ def char_bigram_lm(
         # lambda would re-split (and re-lower) the doc per bigram
         return bind_once(chars0, _bg)
 
+    # APPLY-side per-doc bigram multiplicities — also the LEARN input
+    # in the self-score case (see scale-shape note above).
+    doc_bg = (
+        target.select(
+            F.col(id_col).alias("id"),
+            F.explode(bigram_col(F.col(text_col))).alias("bg"),
+        )
+        .groupBy("id", "bg")
+        .agg(F.count("*").alias("mult"))
+    )
+
     # LEARN: bigram counts and context (first-char) totals. p_scaled is
     # pure 64-bit integer division (`div`), bit-exact in every engine —
     # no float-floor boundary cases to reason about.
-    grams = corpus.select(
-        F.explode(bigram_col(F.col(text_col))).alias("bg")
-    )
-    bg_cnt = grams.groupBy("bg").agg(F.count("*").alias("cnt"))
+    if apply_to is None:
+        bg_cnt = doc_bg.groupBy("bg").agg(
+            F.sum("mult").cast("long").alias("cnt")
+        )
+    else:
+        grams = corpus.select(
+            F.explode(bigram_col(F.col(text_col))).alias("bg")
+        )
+        bg_cnt = grams.groupBy("bg").agg(F.count("*").alias("cnt"))
     model = bg_cnt.withColumn(
         "ctx_total", F.sum("cnt").over(Window.partitionBy(F.substring("bg", 1, 1)))
     ).select(
@@ -217,10 +240,6 @@ def char_bigram_lm(
     )
 
     # APPLY: per-doc bigram multiplicities x model, integer-exact
-    doc_bg = target.select(
-        F.col(id_col).alias("id"),
-        F.explode(bigram_col(F.col(text_col))).alias("bg"),
-    ).groupBy("id", "bg").agg(F.count("*").alias("mult"))
     scored = (
         doc_bg.join(F.broadcast(model), "bg", "left")
         .groupBy("id")
