@@ -76,7 +76,8 @@ OPS_CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from narowi_ocr_spark.config import get_spark
-from narowi_ocr_spark.operators.corpus import pack_sequences, passage_dedup
+from narowi_ocr_spark.operators.corpus import (
+    dup_span_removal, pack_sequences, passage_dedup)
 from narowi_ocr_spark.operators.dedup import (
     lsh_candidate_pairs, simhash_near_pairs)
 from narowi_ocr_spark.operators.similarity import bucketed_topk
@@ -166,6 +167,10 @@ ops = {{
     "simhash_pairs": lambda: noop(simhash_near_pairs(corpus)),
     "emb_ann_bucketed": lambda: noop(bucketed_topk(vecs, qv, k=10)),
     "passage_dedup": lambda: noop(passage_dedup(corpus, passage_words=16)),
+    # r4: overlapping-8-gram span removal over the REP× dup-clique
+    # corpus — the single-exchange digest stream (AQE exchange reuse)
+    # plus two doc-keyed rollups; heaviest honest shuffle job here
+    "dup_span_removal": lambda: noop(dup_span_removal(corpus)),
     "pack_sequences": lambda: noop(pack_sequences(docs, capacity=256)),
     "rank_global_window": lambda: noop(
         rank_base.select("id", F.row_number().over(
