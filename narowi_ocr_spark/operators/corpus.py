@@ -15,12 +15,40 @@ aggregation, and every small side is broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from narowi_ocr_spark.functions.native import round4
 from narowi_ocr_spark.functions.textstats import ngrams, token_count, words
+
+# order-preserving (id, pos) packing for first-occurrence aggregates:
+# bias maps the full signed int64 id range onto unsigned order, the
+# multiplier leaves 2^40 positions per doc (a trillion tokens — no
+# realistic document approaches it)
+_PK_BIAS = "CAST('9223372036854775808' AS DECIMAL(38,0))"  # 2^63
+_PK_MULT = "CAST('1099511627776' AS DECIMAL(38,0))"  # 2^40
+
+
+def _packed_first_key(id_col: str, pos_col: str) -> Column:
+    """(id, pos) → DECIMAL(38,0) ``(id + 2^63)·2^40 + pos`` whose
+    numeric order IS the (id, pos) lexicographic order.
+
+    Exact for EVERY int64 id — the bias maps signed order onto
+    [0, 2^64), where the ``id<<24 | pos`` bigint this lineage started
+    from silently wrapped for hash-sized ids (abs(xxhash64(url)), the
+    natural web-scale key) — and for pos < 2^40. Max encoded value is
+    ~2·10^31, well inside DECIMAL(38,0), so the arithmetic never
+    overflows or rounds. Unlike the interim ``min(struct(id, pos))``
+    (also exact, but its struct buffer is not UnsafeRow-mutable, so
+    Spark plans a SortAggregate behind a full per-partition Sort of the
+    digest stream), a DECIMAL(38,0) min stays in HashAggregate: the
+    first-occurrence reduction over the exploded window/passage stream
+    is a hash probe per row, no O(W log W) sort at any scale.
+    """
+    return (
+        F.col(id_col).cast("decimal(38,0)") + F.expr(_PK_BIAS)
+    ) * F.expr(_PK_MULT) + F.col(pos_col).cast("decimal(38,0)")
 
 
 def contamination(
@@ -306,9 +334,10 @@ def passage_dedup(
       * the DEDUP DECISION dataflow never moves text: only
         (id, idx, 16-byte md5) triples shuffle — hash-repartitioned by
         digest ONCE, with that single exchange feeding both the
-        first-occurrence groupBy(md5) (an orderable (id, idx)
-        struct-min, not a window sort, exact for hash-sized ids) and
-        the join probe via AQE exchange reuse, so the passage-slice +
+        first-occurrence groupBy(md5) (a hash-aggregated min over the
+        order-preserving (id, idx) decimal packing — exact for
+        hash-sized ids, no per-partition sort; see _packed_first_key)
+        and the join probe via AQE exchange reuse, so the passage-slice +
         md5 map cost runs once and shuffle bytes halve (complete-mode
         agg trade documented at dup_span_stats);
       * reassembly co-locates the (id, array<int>) kept-index list with
@@ -351,21 +380,16 @@ def passage_dedup(
         # surviving text is not case-mangled
         F.unhex(F.md5(F.lower("passage"))).alias("h"),
     ).repartition("h")
-    # first occurrence = lexicographic min over (id, idx) as an
-    # ORDERABLE STRUCT, still a map-side-combined partial aggregate.
-    # (An earlier packed bigint (id<<24 | idx) silently wrapped for
-    # hash-sized ids — abs(xxhash64(url)) keys, the natural web-scale
-    # id — corrupting the order and colliding across docs; struct-min
-    # is exact at any id magnitude for the same shuffle bytes class.)
-    firsts = triples.groupBy("h").agg(
-        F.min(F.struct("id", "idx")).alias("first")
-    )
+    # first occurrence = min over the order-preserving DECIMAL(38,0)
+    # packing of (id, idx) — exact for hash-sized ids like the
+    # struct-min it replaces, but hash-aggregable: see
+    # ``_packed_first_key`` for the packed-bigint → struct-min →
+    # decimal-min lineage and why each step was taken.
+    _pk = _packed_first_key("id", "idx")
+    firsts = triples.groupBy("h").agg(F.min(_pk).alias("_first"))
     kept = (
         triples.join(firsts, "h")
-        .where(
-            (F.col("id") == F.col("first.id"))
-            & (F.col("idx") == F.col("first.idx"))
-        )
+        .where(_pk == F.col("_first"))
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("idx")).alias("keep_idx"))
     )
@@ -1375,7 +1399,7 @@ def dup_span_removal(
     corpus still contains the content once). A k-token window is
     duplicated if its case-folded digest occurs >= 2 times corpus-wide;
     every occurrence EXCEPT the (doc_id, pos)-lexicographic first (same
-    struct-min order as passage_dedup) is removable; removable
+    packed-decimal min order as passage_dedup) is removable; removable
     windows merge into maximal spans (gaps-and-islands) and their
     token positions are deleted. Window-level granularity means a few
     boundary tokens beyond the true byte-level suffix-array span can
@@ -1417,24 +1441,23 @@ def dup_span_removal(
     win = staged.select(
         "doc_id", F.posexplode(grams).alias("pos", "fp")
     ).repartition("fp")
-    # first occurrence by lexicographic struct-min over (doc_id, pos) —
-    # exact for hash-sized ids, unlike the packed (id<<24 | pos) bigint
-    # it replaces (see passage_dedup)
+    # first occurrence by min over the order-preserving DECIMAL(38,0)
+    # packing of (doc_id, pos) — exact for hash-sized ids AND
+    # hash-aggregable (no per-partition sort of the window stream);
+    # see _packed_first_key for the lineage
+    _pk = _packed_first_key("doc_id", "pos")
     firsts = (
         win.groupBy("fp")
         .agg(
             F.count("*").alias("_occ"),
-            F.min(F.struct("doc_id", "pos")).alias("first"),
+            F.min(_pk).alias("_first"),
         )
         .where(F.col("_occ") >= 2)
-        .select("fp", "first")
+        .select("fp", "_first")
     )
     removable = (
         win.join(firsts, "fp")
-        .where(
-            (F.col("doc_id") != F.col("first.doc_id"))
-            | (F.col("pos") != F.col("first.pos"))
-        )
+        .where(_pk != F.col("_first"))
         .select("doc_id", "pos")
     )
     # the merged spans were only ever consumed as their covered

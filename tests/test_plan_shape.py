@@ -622,7 +622,12 @@ def test_span_dedup_gram_stream_shuffles_once(spark):
         assert plan.count("REPARTITION_BY_COL") == 2, plan
         # digests cross the exchange as 16-byte binary, not 32-hex strings
         assert "unhex(md5(" in plan, plan
+        # first-occurrence min runs over the order-preserving decimal
+        # packing, NOT min(struct): a struct buffer forces SortAggregate
+        # behind a full per-partition Sort of the window stream
+        assert "SortAggregate" not in plan, plan
     plan = _physical_plan(corpus_dup_fraction(df, n=3))
     assert plan.count("REPARTITION_BY_COL") == 2, plan
     plan = _physical_plan(passage_dedup(df, passage_words=4))
     assert plan.count("REPARTITION_BY_COL") == 2, plan
+    assert "SortAggregate" not in plan, plan
