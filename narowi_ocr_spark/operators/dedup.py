@@ -200,19 +200,40 @@ def with_minhash_bands(
             for g in range(n_digests)
         ],
     )
+    # per-permutation value = 8 hex chars of the digest, parsed to a
+    # LONG for the min: lexicographic order of fixed-width lowercase
+    # hex IS the numeric order, and a long min buffer is UnsafeRow-
+    # mutable, so the signature aggregate runs as a HashAggregate —
+    # min(string) would force SortAggregate (a per-partition sort of
+    # the whole shingle stream on BOTH the map and reduce side). The
+    # hex form is reconstructed zero-padded after the aggregate, so
+    # band digests (and the DuckDB oracle bytes) are unchanged.
     hashed = digests.select(
         "id",
         *[
-            F.substring(
-                F.col(f"m{p // PERMS_PER_DIGEST}"),
-                (p % PERMS_PER_DIGEST) * 8 + 1,
-                8,
-            ).alias(f"h{p}")
+            F.conv(
+                F.substring(
+                    F.col(f"m{p // PERMS_PER_DIGEST}"),
+                    (p % PERMS_PER_DIGEST) * 8 + 1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias(f"h{p}")
             for p in range(num_perm)
         ],
     )
-    sig = hashed.groupBy("id").agg(
+    sig_long = hashed.groupBy("id").agg(
         *[F.min(f"h{p}").alias(f"h{p}") for p in range(num_perm)]
+    )
+    sig = sig_long.select(
+        "id",
+        *[
+            F.lower(F.lpad(F.hex(F.col(f"h{p}")), 8, "0")).alias(f"h{p}")
+            for p in range(num_perm)
+        ],
     )
     num_bands = num_perm // rows_per_band
     bands = sig.select(
