@@ -595,6 +595,24 @@ def test_fast_minhash_signature_pass_is_pure_jvm(spark):
     assert "xxhash64" in plan.lower(), plan
 
 
+def test_md5_minhash_signature_agg_is_hash_based(spark):
+    """The md5 (oracle-parity) MinHash variant parses each permutation's
+    8-hex slice to a long before the signature min, so the per-doc
+    aggregate over the exploded shingle stream is a HashAggregate —
+    min(string) would plan a SortAggregate that sorts the whole stream
+    on both the map and reduce side (measured 40% of minhash_prod at
+    sf0.1, growing with shingle volume)."""
+    from narowi_ocr_spark.operators.dedup import with_minhash_bands
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    plan = _physical_plan(with_minhash_bands(df))
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
 def test_span_dedup_gram_stream_shuffles_once(spark):
     """dup_span_stats / dup_span_removal / corpus_dup_fraction /
     passage_dedup hash-repartition the exploded digest stream by the
