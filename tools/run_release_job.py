@@ -185,7 +185,14 @@ def run_release(
         # across re-ingested segments, and every downstream id-keyed
         # semi-join (c4_keep, bl_keep, exact_keep, reps) would fan rows
         # out multiplicatively on a duplicated id. Deterministic keep
-        # (min struct), one hash aggregate on doc_id — linear, no window.
+        # (min struct), ONE aggregate on doc_id — linear, no window.
+        # The struct-min buffer makes it sort-based (per-partition sort
+        # by the 8-byte doc_id, map-side combined to <=1 row per group
+        # per partition before the shuffle); kept deliberately — the
+        # lexicographic pick must compare text, so no fixed-width
+        # packing applies, and a hash-then-join-back alternative
+        # re-emits byte-identical duplicates (the common case) and
+        # would need a second text shuffle to drop them.
         return (
             extracted.groupBy("doc_id")
             .agg(
