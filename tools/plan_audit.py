@@ -1,0 +1,123 @@
+"""Plan-shape audit over every ``queries()`` entry.
+
+Sweeps the physical plan of all registered queries at a small sf and
+flags the scale smells that matter at 100 TB:
+
+  * SortAggregate      — a per-partition sort of the aggregate's input
+                         stream on both the map and reduce side; only
+                         acceptable when string ordering IS the
+                         semantics and the input is already reduced
+  * CartesianProduct   — all-pairs; never acceptable outside
+                         sample-confined evaluation
+  * BroadcastNestedLoopJoin — acceptable only for broadcast-small
+                         sides (ANN query vectors, scalar totals)
+  * SinglePartition    — a 1-task exchange; acceptable only for scalar
+                         totals and the tiny prefix-sum offset tables
+                         of bucketed_rank
+
+Each allowlisted entry documents WHY the flag is justified. A query
+that gains a NON-allowlisted flag fails the audit (exit 1) — run this
+after touching any operator dataflow:
+
+    python tools/plan_audit.py [sf_dir]
+
+The allowlist pins the flag SET per query, so a justified query that
+grows a new smell (e.g. anchor_texts acquiring a Cartesian) still
+fails.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# flag-set allowlist: query -> (flags, one-line justification)
+ALLOWED = {
+    # -- scalar-total broadcasts: a 1-row aggregate cross-joined back --
+    "domain_mix_weights": ("BNLJ,SinglePart", "broadcast scalar total"),
+    "semantic_contamination": ("BNLJ,SinglePart", "broadcast scalar total"),
+    "bm25_topk": ("BNLJ,SinglePart", "broadcast corpus-size scalar (N for idf)"),
+    "dsir_weights": ("BNLJ,SinglePart", "broadcast per-side gram totals"),
+    "cooc_pmi": ("BNLJ,SinglePart", "broadcast total-window scalar"),
+    "weighted_sample": ("BNLJ,SinglePart", "broadcast weight-sum scalar"),
+    "doc_keywords": ("BNLJ,SinglePart", "broadcast corpus doc-count scalar"),
+    "vocab_stats": ("BNLJ,SinglePart", "broadcast vocab totals (3 scalars)"),
+    "incremental_dedup_bloom": ("BNLJ,SinglePart", "broadcast aggregated Bloom bitmap"),
+    "kmeans_cells": ("BNLJ,SinglePart", "broadcast k centroids"),
+    "host_reciprocity": ("BNLJ,SinglePart", "broadcast edge-count scalar"),
+    "dedup_eval": ("BNLJ,SinglePart", "sample-confined truth pairs (documented O(sample^2))"),
+    "otsu_gate": ("SortAgg,BNLJ,SinglePart", "256-bin histogram: argmax struct over 256 rows + threshold broadcast"),
+    # -- ANN: query vectors are broadcast-small by contract --
+    "ann_recall": ("BNLJ", "broadcast query vectors"),
+    "emb_topk_exact": ("BNLJ", "broadcast query vectors"),
+    "emb_ivf_topk": ("BNLJ,SinglePart", "broadcast query vectors + centroids"),
+    "emb_ivf_multiprobe": ("BNLJ,SinglePart", "broadcast query vectors + centroids"),
+    # -- scalar final aggregates (one output row / tiny offset tables) --
+    "tpch_q6": ("SinglePart", "single-row answer"),
+    "tpch_q14": ("SinglePart", "single-row answer"),
+    "tpch_q19": ("SinglePart", "single-row answer"),
+    "tpch_q15": ("SinglePart", "broadcast max-revenue scalar"),
+    "tpch_q17": ("SinglePart", "single-row answer"),
+    "tpch_q22": ("BNLJ,SinglePart", "broadcast avg-balance scalar"),
+    "tpch_q11": ("BNLJ,SinglePart", "broadcast value-sum scalar"),
+    "events_new_users": ("SinglePart", "tiny per-day firsts rollup to one row stream"),
+    "events_power_users": ("SinglePart", "bucketed_rank prefix-sum offset table (bucket-count rows)"),
+    "events_rfm": ("BNLJ,SinglePart", "3x bucketed_rank offset tables + quintile boundary broadcast"),
+    "quality_deciles": ("SinglePart", "bucketed_rank prefix-sum offset table"),
+    "training_order": ("SinglePart", "epoch-boundary offset table"),
+    "session_stats": ("SinglePart", "single-row summary"),
+    "batch_summary": ("SinglePart", "single-row batch totals"),
+    # -- string ordering IS the semantics, input already reduced --
+    "anchor_texts": ("SortAgg", "lexicographic top-anchor tie-break over the (target,anchor) tie-set"),
+    "template_clusters": ("SortAgg", "lexicographic representative (url,n_tags) per template"),
+    "url_templates": ("SortAgg", "lexicographic example_url per template"),
+    "merge_upserts": ("SortAgg", "CDC latest-record max_by(struct) — value struct is the payload"),
+}
+
+FLAG_MARKERS = [
+    ("SortAgg", "SortAggregate"),
+    ("Cartesian", "CartesianProduct"),
+    ("BNLJ", "BroadcastNestedLoopJoin"),
+    ("SinglePart", "SinglePartition"),
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from narowi_ocr_spark.config import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="plan-audit", master="local[8]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = []
+    flagged = 0
+    for name, fn in entry.queries().items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001 — audit must report, not die
+            failures.append(f"{name}: PLAN-ERROR {type(ex).__name__}: {str(ex)[:100]}")
+            continue
+        flags = ",".join(k for k, marker in FLAG_MARKERS if marker in plan)
+        if not flags:
+            continue
+        flagged += 1
+        allowed, why = ALLOWED.get(name, ("", ""))
+        if flags == allowed:
+            print(f"  ok   {name}: {flags}  ({why})")
+        else:
+            failures.append(
+                f"{name}: flags [{flags}] != allowlisted [{allowed or 'none'}]"
+            )
+    print(f"\n{flagged} flagged / {len(entry.queries())} queries; "
+          f"{len(failures)} NOT allowlisted")
+    for f in failures:
+        print(f"  FAIL {f}")
+    print("AUDIT:", "clean" if not failures else "FAILURES")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
