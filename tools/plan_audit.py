@@ -14,6 +14,10 @@ flags the scale smells that matter at 100 TB:
   * SinglePartition    — a 1-task exchange; acceptable only for scalar
                          totals and the tiny prefix-sum offset tables
                          of bucketed_rank
+  * BatchEvalPython    — a row-at-a-time Python UDF; NEVER acceptable
+                         (north_rule input_hint: vectorized
+                         pandas/Arrow UDFs only — kernels go through
+                         mapInPandas / Arrow-batched iterator UDFs)
 
 Each allowlisted entry documents WHY the flag is justified. A query
 that gains a NON-allowlisted flag fails the audit (exit 1) — run this
@@ -81,6 +85,8 @@ FLAG_MARKERS = [
     ("Cartesian", "CartesianProduct"),
     ("BNLJ", "BroadcastNestedLoopJoin"),
     ("SinglePart", "SinglePartition"),
+    # row-at-a-time Python UDF — no allowlist entry may carry this
+    ("RowPython", "BatchEvalPython"),
 ]
 
 
