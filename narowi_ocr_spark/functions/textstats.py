@@ -484,6 +484,10 @@ def vocab_stats(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFram
         order,
         ascending_buckets=False,
         rank_name="rank",
+        # prune whole buckets past the cutoff before the rank sort —
+        # the count=1 hapax bucket (~half the vocab's types on a web
+        # corpus) never gets sorted for a top-k it cannot enter
+        limit=k,
     ).where(F.col("rank") <= k)
     cum_w = Window.orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0

@@ -69,6 +69,7 @@ def bucketed_rank(
     ascending_buckets: bool,
     rank_name: str = "_rank",
     total_name: str | None = None,
+    limit: int | None = None,
 ) -> DataFrame:
     """Exact global ``row_number`` over ``order`` without a global sort.
 
@@ -78,6 +79,23 @@ def bucketed_rank(
     ``total_name`` is given, the total row count — replacing the
     ``count(*) over ()`` second unpartitioned window the quantile
     queries used to pay for (VERDICT r2 item 4).
+
+    ``limit``: when the caller only keeps ranks ≤ limit (top-k), pass
+    it here — every bucket whose starting offset is already ≥ limit is
+    dropped BEFORE the rank window (its rows all satisfy
+    rank = offset + row_number > limit), so they are never shuffled or
+    sorted. This is what defuses the Zipf TIE-MASS hazard: ranking a
+    web vocabulary by (freq desc, token asc) puts every hapax
+    (freq = 1 — typically about half of all types) into ONE bucket,
+    and without the pruning one task would sort that entire tie set
+    just to assign ranks the caller immediately filters away. The
+    returned ranks of surviving rows are bit-identical to the
+    unlimited call (row_number is computed per bucket, and only whole
+    buckets past the cutoff are removed); rows with rank in
+    (limit, bucket end] still come back — callers filter exactly as
+    before. For full-table rankings (deciles, RFM) no limit applies;
+    there the bucket function must be fine enough that no single value
+    atom concentrates the table (see module docstring).
 
     Shuffle budget: one partial-agg exchange on the bucket key (tiny
     output), one single-partition exchange over the PER-BUCKET COUNT
@@ -98,6 +116,12 @@ def bucketed_rank(
         (F.sum("_rc").over(wo) - F.col("_rc")).alias("_off"),
         F.sum("_rc").over(wall).alias("_tot"),
     )
+    if limit is not None:
+        # whole-bucket top-k pruning: rank > _off for every row, so a
+        # bucket starting at or past the cutoff contributes nothing.
+        # Filtering the broadcast side prunes the big side's rows at
+        # the join — the tie-mass bucket never reaches the rank sort.
+        offs = offs.where(F.col("_off") < F.lit(int(limit)))
     j = b.join(F.broadcast(offs), "_rb")
     wl = Window.partitionBy("_rb").orderBy(*order)
     out = j.withColumn(

@@ -153,6 +153,11 @@ def bpe_learn(
                 [F.desc("freq"), F.asc("word")],
                 ascending_buckets=False,
                 rank_name="_vr",
+                # whole-bucket top-k pruning: the hapax/low-freq tie
+                # mass (freq 1-2 is most of a web vocab's TYPES) sits
+                # past the cutoff in one bucket each — without the
+                # limit, one task sorts it just to discard it
+                limit=max_vocab,
             )
             .where(F.col("_vr") <= max_vocab)
             .drop("_vr")

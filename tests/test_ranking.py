@@ -101,6 +101,43 @@ def test_bucketed_rank_double_key_deciles(spark):
     assert got == want
 
 
+def test_bucketed_rank_limit_prunes_tie_mass_exactly(spark):
+    """Top-k whole-bucket pruning (the Zipf tie-mass fix): with
+    ``limit=k`` the surviving rows' ranks are bit-identical to the
+    unlimited call, AND the hapax tie bucket (freq=1 — most of the
+    rows) is dropped before the rank sort, never just filtered after.
+    """
+    # 20 head words with distinct high freqs + 400 hapax (freq=1)
+    rows = [(f"head{i:02d}", 1000 - i) for i in range(20)]
+    rows += [(f"tail{i:04d}", 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "word string, freq long").repartition(8)
+    order = [F.desc("freq"), F.asc("word")]
+    k = 10
+
+    want = {
+        r["word"]: r["rn"]
+        for r in df.select(
+            "word", F.row_number().over(Window.orderBy(*order)).alias("rn")
+        ).collect()
+        if r["rn"] <= k
+    }
+    got_df = bucketed_rank(
+        df,
+        loglin_bucket(F.col("freq")),
+        order,
+        ascending_buckets=False,
+        rank_name="rn",
+        limit=k,
+    )
+    returned = got_df.collect()
+    got = {r["word"]: r["rn"] for r in returned if r["rn"] <= k}
+    assert got == want
+    # pruning, not post-filtering: the 400-row freq=1 bucket starts at
+    # offset 20 >= k, so none of its rows may come back at all
+    assert len(returned) < 100, len(returned)
+    assert not any(r["word"].startswith("tail") for r in returned)
+
+
 def test_bucketed_rank_plan_no_fulltable_single_partition(spark):
     """Plan shape: the ONLY single-partition exchange carries the tiny
     per-bucket count table (child subtree contains the aggregate); the
