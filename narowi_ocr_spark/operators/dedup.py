@@ -200,40 +200,33 @@ def with_minhash_bands(
             for g in range(n_digests)
         ],
     )
-    # per-permutation value = 8 hex chars of the digest, parsed to a
-    # LONG for the min: lexicographic order of fixed-width lowercase
-    # hex IS the numeric order, and a long min buffer is UnsafeRow-
-    # mutable, so the signature aggregate runs as a HashAggregate —
-    # min(string) would force SortAggregate (a per-partition sort of
-    # the whole shingle stream on BOTH the map and reduce side). The
-    # hex form is reconstructed zero-padded after the aggregate, so
-    # band digests (and the DuckDB oracle bytes) are unchanged.
+    # per-permutation value = 8 hex chars of the digest, min'd AS A
+    # STRING. This plans a SortAggregate (min over var-length strings
+    # has no UnsafeRow-mutable buffer) — a DELIBERATE exception to the
+    # hash-aggregable-keys discipline: the alternative (parse each
+    # slice to a long via conv() so the agg hashes, reconstruct hex
+    # after — tried in r4) paid a 128×-per-shingle-row parse tax that
+    # exceeded what the sort costs, measured interleaved-A/B on the
+    # same session at sf0.1×128 perms: string/sort-agg median 1.71 s
+    # vs conv/hash-agg 2.29 s (+35%). The sort is per-partition over
+    # fixed-width 8-char keys with map-side combine — O(n log n) with
+    # a small constant and spill support, not a scale cliff. The
+    # AT-SCALE kernel is ``with_minhash_bands_fast`` below: xxhash64
+    # longs min natively in a HashAggregate with no parse step at all;
+    # this md5 variant exists for DuckDB-reproducible byte identity.
     hashed = digests.select(
         "id",
         *[
-            F.conv(
-                F.substring(
-                    F.col(f"m{p // PERMS_PER_DIGEST}"),
-                    (p % PERMS_PER_DIGEST) * 8 + 1,
-                    8,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias(f"h{p}")
+            F.substring(
+                F.col(f"m{p // PERMS_PER_DIGEST}"),
+                (p % PERMS_PER_DIGEST) * 8 + 1,
+                8,
+            ).alias(f"h{p}")
             for p in range(num_perm)
         ],
     )
-    sig_long = hashed.groupBy("id").agg(
+    sig = hashed.groupBy("id").agg(
         *[F.min(f"h{p}").alias(f"h{p}") for p in range(num_perm)]
-    )
-    sig = sig_long.select(
-        "id",
-        *[
-            F.lower(F.lpad(F.hex(F.col(f"h{p}")), 8, "0")).alias(f"h{p}")
-            for p in range(num_perm)
-        ],
     )
     num_bands = num_perm // rows_per_band
     bands = sig.select(

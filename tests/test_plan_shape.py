@@ -595,13 +595,16 @@ def test_fast_minhash_signature_pass_is_pure_jvm(spark):
     assert "xxhash64" in plan.lower(), plan
 
 
-def test_md5_minhash_signature_agg_is_hash_based(spark):
-    """The md5 (oracle-parity) MinHash variant parses each permutation's
-    8-hex slice to a long before the signature min, so the per-doc
-    aggregate over the exploded shingle stream is a HashAggregate —
-    min(string) would plan a SortAggregate that sorts the whole stream
-    on both the map and reduce side (measured 40% of minhash_prod at
-    sf0.1, growing with shingle volume)."""
+def test_md5_minhash_signature_agg_shape(spark):
+    """The md5 (oracle-parity) MinHash variant min's the 8-hex slices
+    AS STRINGS — a deliberate SortAggregate: the hash-aggregable
+    alternative (conv() each slice to a long, reconstruct hex after the
+    agg) was tried in r4 and measured +35% SLOWER interleaved-A/B at
+    sf0.1×128 perms — the per-shingle-row parse tax exceeds the sort
+    cost. The at-scale kernel is with_minhash_bands_fast (native long
+    mins, HashAggregate, pinned above); this one exists for
+    DuckDB-reproducible byte identity. Pin: exactly ONE Exchange (the
+    signature agg), and no conv() parse anywhere in the plan."""
     from narowi_ocr_spark.operators.dedup import with_minhash_bands
 
     df = spark.createDataFrame(
@@ -609,8 +612,8 @@ def test_md5_minhash_signature_agg_is_hash_based(spark):
         "doc_id long, text string",
     )
     plan = _physical_plan(with_minhash_bands(df))
-    assert "SortAggregate" not in plan, plan
-    assert "HashAggregate" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "conv(" not in plan, plan
 
 
 def test_span_dedup_gram_stream_shuffles_once(spark):

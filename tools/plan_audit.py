@@ -73,6 +73,15 @@ ALLOWED = {
     "training_order": ("SinglePart", "epoch-boundary offset table"),
     "session_stats": ("SinglePart", "single-row summary"),
     "batch_summary": ("SinglePart", "single-row batch totals"),
+    # -- md5 MinHash byte-identity kernel: signature min over fixed-width
+    #    hex strings; the conv()-to-long hash-agg form measured +35% slower
+    #    (interleaved A/B, sf0.1×128 perms) — at-scale path is the xxhash64
+    #    kernel (native long mins, HashAggregate, plan-pinned) --
+    "minhash_bands": ("SortAgg", "md5 dev-kernel signature min (string) — xxhash64 kernel is the scale path"),
+    "lsh_pairs": ("SortAgg", "md5 dev-kernel signature min (string) — xxhash64 kernel is the scale path"),
+    "jaccard_near_dups": ("SortAgg", "md5 dev-kernel signature min (string) — xxhash64 kernel is the scale path"),
+    "incremental_near_dup": ("SortAgg", "md5 dev-kernel signature min (string) — xxhash64 kernel is the scale path"),
+    "containment_pairs": ("SortAgg", "md5 dev-kernel signature min (string) — xxhash64 kernel is the scale path"),
     # -- string ordering IS the semantics, input already reduced --
     "anchor_texts": ("SortAgg", "lexicographic top-anchor tie-break over the (target,anchor) tie-set"),
     "template_clusters": ("SortAgg", "lexicographic representative (url,n_tags) per template"),
