@@ -38,6 +38,8 @@ def resolve_redirects(
     src_col: str = "src",
     dst_col: str = "dst",
     max_hops: int = 32,
+    early_exit: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve every pointer chain in ``edges`` (src → dst, at most one
     outgoing pointer per src — last wins is NOT applied here; feed a
@@ -53,6 +55,21 @@ def resolve_redirects(
     urls), pointer-less urls are included as identity rows
     (final = self, hops 0, resolved true) so the output is a total
     mapping suitable for a left-join-free downstream rewrite.
+
+    ``early_exit`` (default on): a doubling round is an exact no-op
+    once no row's chase extended (``b`` side unmatched for every row) —
+    further rounds leave dst and d bit-identical — so each round
+    carries a ``moved`` flag and the loop stops after the first round
+    in which no row moved. The probe costs one narrow ``isEmpty`` scan
+    over the round's (eagerly checkpointed, so never recomputed) rows:
+    no join, no extra shuffle, and EXACT — a cyclic or over-cap chain
+    keeps moving every round, so those inputs still run all
+    ceil(log2(max_hops)) rounds and the capped/unresolved output is
+    unchanged. Real crawl chains are 1-4 hops, so the common case
+    resolves in 2-3 rounds instead of always paying the worst-case 5
+    (the per-round fixed stage cost was the flat region in BENCH.md's
+    redirect_resolve_4m row). ``stats``, when given, records
+    ``rounds_run`` for manifests/tests.
     """
     rounds = max(1, math.ceil(math.log2(max_hops)))
     f = edges.select(
@@ -60,6 +77,7 @@ def resolve_redirects(
         F.col(dst_col).alias("dst"),
         F.lit(1).alias("d"),
     )
+    rounds_run = 0
     for _ in range(rounds):
         a, b = f.alias("a"), f.alias("b")
         f = (
@@ -71,9 +89,16 @@ def resolve_redirects(
                     F.col("a.d")
                     + F.coalesce(F.col("b.d"), F.lit(0))
                 ).alias("d"),
+                F.col("b.src").isNotNull().alias("_moved"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=early_exit)
         )
+        rounds_run += 1
+        if early_exit and f.where(F.col("_moved")).isEmpty():
+            break
+    f = f.drop("_moved")
+    if stats is not None:
+        stats["rounds_run"] = rounds_run
     # a target with an outgoing pointer means the chase didn't finish
     srcs = edges.select(F.col(src_col).alias("_s")).distinct()
     out = (

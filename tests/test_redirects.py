@@ -39,3 +39,50 @@ def test_resolve_redirects_without_nodes_only_pointer_rows(spark):
     assert len(got) == 1
     assert (got[0]["src"], got[0]["final"], got[0]["hops"],
             got[0]["resolved"]) == ("a", "b", 1, True)
+
+
+def test_resolve_redirects_early_exit_identity_and_rounds(spark):
+    """The convergence early-exit is bit-identical to the fixed-round
+    run, and actually exits: short chains stop as soon as a round moved
+    nothing (rounds ~ log2(longest chain), not log2(max_hops)), while
+    cycles — which keep moving forever — still run every round and come
+    back capped exactly as before."""
+    from narowi_ocr_spark.operators.redirects import resolve_redirects
+
+    # longest chain = 3 hops; plus a 2-cycle entered from outside
+    edges = [("a", "b"), ("b", "c"), ("c", "T"),
+             ("p", "q"), ("q", "p"), ("e", "p")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    nodes = spark.createDataFrame([("a",), ("T",), ("solo",)], "src string")
+
+    def snap(df):
+        return sorted(
+            (r["src"], r["final"], r["hops"], r["resolved"])
+            for r in df.collect()
+        )
+
+    st_fast: dict = {}
+    fast = snap(resolve_redirects(e, nodes=nodes, stats=st_fast))
+    st_slow: dict = {}
+    slow = snap(resolve_redirects(
+        e, nodes=nodes, early_exit=False, stats=st_slow))
+    assert fast == slow
+    # cycle rows keep moving, so the cycle corpus pins the full count...
+    assert st_slow["rounds_run"] == 5  # ceil(log2(32))
+    assert st_fast["rounds_run"] == 5
+    # ...and a cycle-free corpus exits early: chain of 3 converges once
+    # a round moves nothing (round 2 covers distance 4 > 3; round 3 is
+    # the no-op that proves it)
+    e2 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "T")], "src string, dst string"
+    )
+    st2: dict = {}
+    got2 = snap(resolve_redirects(e2, stats=st2))
+    assert st2["rounds_run"] <= 3
+    st2_slow: dict = {}
+    assert got2 == snap(resolve_redirects(
+        e2, early_exit=False, stats=st2_slow))
+    assert st2_slow["rounds_run"] == 5
+    # no _moved leakage into the public schema
+    cols = resolve_redirects(e2).columns
+    assert cols == ["src", "final", "hops", "resolved"]
