@@ -528,6 +528,21 @@ def main() -> None:
         print(release_md(rel))
         print(json.dumps({"release_ladder": rel}))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--release-level":
+        # One timed run of ONE parallelism level of the release job, for
+        # a disclosed multi-run protocol (median/best-of-K across
+        # invocations on a shared box). Reuses the materialized corpus.
+        cpus = int(sys.argv[2])
+        n = int(sys.argv[3]) if len(sys.argv) > 3 else RELEASE_PAGES
+        path = os.path.join(tempfile.gettempdir(), f"bench_release_{n}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            subprocess.run(
+                [sys.executable, "-c",
+                 RELEASE_GEN.format(repo=REPO, n=n, path=path)],
+                check=True, timeout=3600,
+            )
+        print(json.dumps(run_release_level(cpus, path)))
+        return
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
     t0 = time.time()
     path = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_pages}")
