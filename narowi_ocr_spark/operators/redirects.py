@@ -43,7 +43,14 @@ def resolve_redirects(
 ) -> DataFrame:
     """Resolve every pointer chain in ``edges`` (src → dst, at most one
     outgoing pointer per src — last wins is NOT applied here; feed a
-    deduplicated mapping). Returns (src, final, hops, resolved):
+    deduplicated mapping). Returns (src, final, hops, resolved).
+
+    EAGER under the default ``early_exit=True``: each doubling round
+    localCheckpoints eagerly and probes an ``isEmpty``, so the chase
+    EXECUTES during this call rather than composing lazily. Callers
+    that only inspect or compose the plan (audits, building a larger
+    pipeline before triggering) should pass ``early_exit=False`` for
+    the fully lazy fixed-round form; results are bit-identical.
 
     - resolved rows: ``final`` is the chain's terminal (a url with no
       outgoing pointer), ``hops`` the exact chain length;

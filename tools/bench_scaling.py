@@ -532,6 +532,10 @@ def main() -> None:
         # One timed run of ONE parallelism level of the release job, for
         # a disclosed multi-run protocol (median/best-of-K across
         # invocations on a shared box). Reuses the materialized corpus.
+        if len(sys.argv) < 3:
+            print("usage: bench_scaling.py --release-level <cpus> [n_pages]",
+                  file=sys.stderr)
+            raise SystemExit(2)
         cpus = int(sys.argv[2])
         n = int(sys.argv[3]) if len(sys.argv) > 3 else RELEASE_PAGES
         path = os.path.join(tempfile.gettempdir(), f"bench_release_{n}")

@@ -87,6 +87,17 @@ ALLOWED = {
     "template_clusters": ("SortAgg", "lexicographic representative (url,n_tags) per template"),
     "url_templates": ("SortAgg", "lexicographic example_url per template"),
     "merge_upserts": ("SortAgg", "CDC latest-record max_by(struct) — value struct is the payload"),
+    # -- release-job stage plans (tools/run_release_job.py dry-run;
+    #    VERDICT r4 item 4). Flags here describe the LAZY chain the
+    #    audit sweeps — the real job checkpoints each stage to parquet,
+    #    so downstream stages re-scan durable files instead of
+    #    replaying upstream plans; the per-stage shapes are the same --
+    "release:00_docs": ("SortAgg", "distinct-on-id struct-min: lexicographic (url,ts,text) pick per doc_id, documented at build_docs"),
+    "release:01_clean_ids": ("SortAgg", "consumes 00_docs' struct-min (lazy chain only; the job reads the checkpoint)"),
+    "release:02_exact_ids": ("SortAgg", "00_docs chain + exact_dedup keep-min over (md5,doc_id) struct"),
+    "release:03_near_ids": ("SortAgg", "00_docs chain; the near-dup pass itself is HashAggregate (xxhash64 kernel)"),
+    "release:shards": ("SortAgg", "00_docs chain through splits + shard assignment"),
+    "release:wet": ("SortAgg", "00_docs chain through WET record conversion"),
 }
 
 FLAG_MARKERS = [
@@ -109,7 +120,22 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     failures = []
     flagged = 0
-    for name, fn in entry.queries().items():
+
+    # the 218 queries + the release job's per-stage dataflows
+    # (dry-run: release_stage_plans chains the stages lazily, so the
+    # sweep sees the plans run_release() would compose — VERDICT r4
+    # item 4: a regression in the release path fails the audit too)
+    from narowi_ocr_spark.sources.pages import synth_pages
+    from run_release_job import release_stage_plans
+
+    targets: dict = dict(entry.queries())
+    release_pages = synth_pages(spark, 64, partitions=4)
+    targets.update(
+        {k: (lambda df: lambda *_: df)(v)
+         for k, v in release_stage_plans(release_pages).items()}
+    )
+
+    for name, fn in targets.items():
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         except Exception as ex:  # noqa: BLE001 — audit must report, not die
@@ -126,7 +152,8 @@ def main() -> int:
             failures.append(
                 f"{name}: flags [{flags}] != allowlisted [{allowed or 'none'}]"
             )
-    print(f"\n{flagged} flagged / {len(entry.queries())} queries; "
+    print(f"\n{flagged} flagged / {len(targets)} plans "
+          f"({len(entry.queries())} queries + release stages); "
           f"{len(failures)} NOT allowlisted")
     for f in failures:
         print(f"  FAIL {f}")

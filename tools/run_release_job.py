@@ -67,6 +67,191 @@ DEFAULT_BLOCKLIST = ["slow", "dup"]  # demo terms; deployments load the
 # published list (see corpus.blocklist_gate)
 
 
+# --------------------------------------------------------------------------
+# Stage builders — pure DataFrame → DataFrame functions. run_release()
+# wraps each in its checkpoint/resume protocol; release_stage_plans()
+# chains them lazily so tools/plan_audit.py can sweep the release
+# job's physical plans with the same allowlist discipline as the 218
+# queries (VERDICT r4 item 4: a new SortAggregate/CartesianProduct in
+# the release path must fail the audit, not ship silently).
+# --------------------------------------------------------------------------
+
+
+def build_docs(pages: DataFrame) -> DataFrame:
+    """Extraction + admission + distinct-on-id (stage 00_docs).
+
+    Admission gate = non-empty extracted TEXT: `status` is the
+    READINGS-validity verdict (the reference's per-image A1 status —
+    typed spans found and valid), not an extraction-quality signal;
+    extracted_text is byte-exact for partial/failed pages too, and a
+    corpus release that kept only reading-bearing pages would silently
+    drop ~90% of good prose (measured on the fixture corpus)."""
+    from narowi_ocr_spark.operators.urls import url_host
+    from narowi_ocr_spark.plans.pipeline import extract_pages
+
+    extracted = extract_pages(pages).where(
+        F.length("extracted_text") > 0
+    ).select(
+        # Full 64-bit id over (url, warc_ts) — no abs() (folding to
+        # 63 bits doubles collision odds), and the timestamp
+        # disambiguates re-crawls of the same URL across segments.
+        F.xxhash64("url", "warc_ts").alias("doc_id"),
+        "url",
+        "warc_ts",
+        F.col("extracted_text").alias("text"),
+        url_host(F.col("url")).alias("source"),
+    )
+    # Distinct-on-id guard: real crawl inputs repeat (url, warc_ts)
+    # across re-ingested segments, and every downstream id-keyed
+    # semi-join (c4_keep, bl_keep, exact_keep, reps) would fan rows
+    # out multiplicatively on a duplicated id. Deterministic keep
+    # (min struct), ONE aggregate on doc_id — linear, no window.
+    # The struct-min buffer makes it sort-based (per-partition sort
+    # by the 8-byte doc_id, map-side combined to <=1 row per group
+    # per partition before the shuffle); kept deliberately — the
+    # lexicographic pick must compare text, so no fixed-width
+    # packing applies, and a hash-then-join-back alternative
+    # re-emits byte-identical duplicates (the common case) and
+    # would need a second text shuffle to drop them.
+    return (
+        extracted.groupBy("doc_id")
+        .agg(F.min(F.struct("url", "warc_ts", "text", "source")).alias("_r"))
+        .select("doc_id", "_r.url", "_r.warc_ts", "_r.text", "_r.source")
+    )
+
+
+def build_clean_ids(
+    docs: DataFrame,
+    blocklist: list[str] | None = None,
+    apply_c4: bool = True,
+) -> DataFrame:
+    """Cleaning gates (stage 01_clean_ids) — both zero-shuffle codegen
+    filters; the survivor set is ids-only (the text column never
+    rewrites after 00_docs)."""
+    from narowi_ocr_spark.functions.textstats import with_c4_rules
+    from narowi_ocr_spark.operators.corpus import blocklist_gate
+
+    keep = docs.select("doc_id")
+    if apply_c4:
+        c4_keep = (
+            with_c4_rules(docs)
+            .where(F.col("c4_keep"))
+            .select(F.col("id").alias("doc_id"))
+        )
+        keep = keep.join(c4_keep, "doc_id")
+    bl_keep = (
+        blocklist_gate(docs, blocklist or DEFAULT_BLOCKLIST)
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    return keep.join(bl_keep, "doc_id")
+
+
+def build_exact_ids(clean: DataFrame) -> DataFrame:
+    """Exact dedup survivor ids (stage 02_exact_ids): keep-min over
+    content md5."""
+    from narowi_ocr_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
+
+
+def build_near_ids(uniq: DataFrame, materialize: bool = True) -> DataFrame:
+    """Near-dedup survivor ids (stage 03_near_ids): LSH candidates →
+    exact-Jaccard verify → connected components → one rep per cluster.
+
+    PRODUCTION band geometry (128 perms, 16 bands x 8 rows, ~0.71
+    capture threshold): the dev 16/2 geometry's ~0.35 threshold turns
+    any moderately self-similar corpus into a quadratic candidate
+    join — at release scale the steep S-curve is what keeps this
+    stage linear in the number of TRUE near-dup pairs. The xxhash64
+    kernel keeps the 128-perm signature pass up to ~10× cheaper than
+    md5 on shingle-heavy corpora (the hash kernel IS the dedup cost
+    at scale); candidates are verified by exact Jaccard either way.
+
+    ``materialize=False`` (plan audit only) skips the eager
+    localCheckpoint of the candidate pair list so the full chain stays
+    lazy; the real job materializes it because the verify → CC → count
+    chain walks the (cheap, sparse) pair list several times."""
+    from narowi_ocr_spark.operators.components import (
+        component_representatives,
+        connected_components,
+    )
+    from narowi_ocr_spark.operators.dedup import (
+        PROD_NUM_PERM,
+        PROD_ROWS_PER_BAND,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+    )
+
+    cand = lsh_candidate_pairs(
+        uniq,
+        num_perm=PROD_NUM_PERM,
+        rows_per_band=PROD_ROWS_PER_BAND,
+        kernel="xxhash64",
+    )
+    if materialize:
+        cand = cand.localCheckpoint(eager=True)
+    verified = jaccard_pairs(uniq, cand, threshold=0.8)
+    labels = connected_components(
+        verified, nodes=uniq.select(F.col("doc_id").alias("id"))
+    )
+    return component_representatives(labels).select(
+        F.col("keep_id").alias("doc_id")
+    )
+
+
+def build_train_shards(released: DataFrame) -> DataFrame:
+    """Deterministic split → train shard assignment (stage shards)."""
+    from narowi_ocr_spark.operators.corpus import dataset_splits
+    from narowi_ocr_spark.operators.shards import shard_assign
+
+    split = dataset_splits(released)
+    train = split.where(F.col("split") == "train").drop("split", "split_key")
+    return shard_assign(train)
+
+
+def build_wet(assigned: DataFrame) -> DataFrame:
+    """WET conversion records for the released train split."""
+    from narowi_ocr_spark.sources.wet import wet_export
+
+    return wet_export(
+        assigned.select("doc_id", "url", "warc_ts", "text"),
+        url_col="url",
+        ts_col="warc_ts",
+        text_col="text",
+    )
+
+
+def release_stage_plans(
+    pages: DataFrame,
+    blocklist: list[str] | None = None,
+    apply_c4: bool = True,
+) -> dict[str, DataFrame]:
+    """Lazily chain every release stage off ``pages`` — NOTHING
+    executes (no checkpoints, no counts, no candidate materialization),
+    so tools/plan_audit.py can inspect each stage's physical plan
+    exactly as run_release() would compose it. Downstream stages read
+    their upstream through the lazy chain instead of run_release()'s
+    checkpoint parquet; the logical dataflow is identical, only the
+    exchange-with-disk boundary differs."""
+    docs = build_docs(pages)
+    clean_ids = build_clean_ids(docs, blocklist, apply_c4)
+    clean = docs.join(clean_ids, "doc_id")
+    exact_ids = build_exact_ids(clean)
+    uniq = clean.join(exact_ids, "doc_id")
+    near_ids = build_near_ids(uniq, materialize=False)
+    released = docs.join(near_ids, "doc_id")
+    assigned = build_train_shards(released)
+    return {
+        "release:00_docs": docs,
+        "release:01_clean_ids": clean_ids,
+        "release:02_exact_ids": exact_ids,
+        "release:03_near_ids": near_ids,
+        "release:shards": assigned,
+        "release:wet": build_wet(assigned),
+    }
+
+
 def _fs(spark: SparkSession, path: str):
     """Hadoop FileSystem for ``path`` — works for file://, hdfs://, s3a://
     alike, unlike os.path (the driver must run unchanged on a cluster)."""
@@ -110,27 +295,9 @@ def run_release(
     NEXT run can resume). Checkpoints are keyed by ``out_path`` alone —
     a release over a DIFFERENT pages table must use a fresh out dir
     (reusing one would resume from the other corpus' stages)."""
-    from narowi_ocr_spark.functions.textstats import with_c4_rules
-    from narowi_ocr_spark.operators.components import (
-        component_representatives,
-        connected_components,
-    )
-    from narowi_ocr_spark.operators.corpus import (
-        blocklist_gate,
-        dataset_splits,
-    )
-    from narowi_ocr_spark.operators.dedup import (
-        PROD_NUM_PERM,
-        PROD_ROWS_PER_BAND,
-        exact_dedup,
-        jaccard_pairs,
-        lsh_candidate_pairs,
-    )
-    from narowi_ocr_spark.operators.shards import shard_assign, shard_manifest
-    from narowi_ocr_spark.operators.urls import url_host
-    from narowi_ocr_spark.plans.pipeline import extract_pages
+    from narowi_ocr_spark.operators.shards import shard_manifest
     from narowi_ocr_spark.sources.sink import partition_histogram
-    from narowi_ocr_spark.sources.wet import wet_export, write_wet
+    from narowi_ocr_spark.sources.wet import write_wet
 
     t0 = time.time()
     reader = spark.read
@@ -161,112 +328,31 @@ def run_release(
 
     counts: dict[str, int] = {"pages": pages.count()}
 
-    # 1. extraction (one Arrow stage). Admission gate = non-empty
-    # extracted TEXT: `status` is the READINGS-validity verdict (the
-    # reference's per-image A1 status — typed spans found and valid),
-    # not an extraction-quality signal; extracted_text is byte-exact
-    # for partial/failed pages too, and a corpus release that kept
-    # only reading-bearing pages would silently drop ~90% of good
-    # prose (measured on the fixture corpus).
-    def _compute_docs() -> DataFrame:
-        extracted = extract_pages(pages).where(
-            F.length("extracted_text") > 0
-        ).select(
-            # Full 64-bit id over (url, warc_ts) — no abs() (folding to
-            # 63 bits doubles collision odds), and the timestamp
-            # disambiguates re-crawls of the same URL across segments.
-            F.xxhash64("url", "warc_ts").alias("doc_id"),
-            "url",
-            "warc_ts",
-            F.col("extracted_text").alias("text"),
-            url_host(F.col("url")).alias("source"),
-        )
-        # Distinct-on-id guard: real crawl inputs repeat (url, warc_ts)
-        # across re-ingested segments, and every downstream id-keyed
-        # semi-join (c4_keep, bl_keep, exact_keep, reps) would fan rows
-        # out multiplicatively on a duplicated id. Deterministic keep
-        # (min struct), ONE aggregate on doc_id — linear, no window.
-        # The struct-min buffer makes it sort-based (per-partition sort
-        # by the 8-byte doc_id, map-side combined to <=1 row per group
-        # per partition before the shuffle); kept deliberately — the
-        # lexicographic pick must compare text, so no fixed-width
-        # packing applies, and a hash-then-join-back alternative
-        # re-emits byte-identical duplicates (the common case) and
-        # would need a second text shuffle to drop them.
-        return (
-            extracted.groupBy("doc_id")
-            .agg(
-                F.min(F.struct("url", "warc_ts", "text", "source")).alias("_r")
-            )
-            .select("doc_id", "_r.url", "_r.warc_ts", "_r.text", "_r.source")
-        )
-
-    # the downstream chain re-reads the survivor set many times (gates,
-    # dedup, splits); it is served from the checkpoint parquet — the
-    # disk-backed equivalent of the old .persist(), and it survives a
-    # driver restart.
-    docs = stage("00_docs", _compute_docs)
+    # 1. extraction (one Arrow stage) + admission + distinct-on-id
+    # (see build_docs). The downstream chain re-reads the survivor set
+    # many times (gates, dedup, splits); it is served from the
+    # checkpoint parquet — the disk-backed equivalent of the old
+    # .persist(), and it survives a driver restart.
+    docs = stage("00_docs", lambda: build_docs(pages))
     counts["extracted"] = docs.count()
 
-    # 2. cleaning gates — both are zero-shuffle codegen filters; the
-    # checkpoint is the surviving id list (ids-only: the text column
-    # never rewrites after 00_docs)
-    def _compute_clean_ids() -> DataFrame:
-        keep = docs.select("doc_id")
-        if apply_c4:
-            c4_keep = (
-                with_c4_rules(docs)
-                .where(F.col("c4_keep"))
-                .select(F.col("id").alias("doc_id"))
-            )
-            keep = keep.join(c4_keep, "doc_id")
-        bl_keep = (
-            blocklist_gate(docs, blocklist or DEFAULT_BLOCKLIST)
-            .where(F.col("keep"))
-            .select("doc_id")
-        )
-        return keep.join(bl_keep, "doc_id")
-
-    clean_ids = stage("01_clean_ids", _compute_clean_ids)
+    # 2. cleaning gates (see build_clean_ids) — the checkpoint is the
+    # surviving id list (ids-only: text never rewrites after 00_docs)
+    clean_ids = stage(
+        "01_clean_ids", lambda: build_clean_ids(docs, blocklist, apply_c4)
+    )
     clean = docs.join(clean_ids, "doc_id")
     counts["clean"] = clean_ids.count()
 
     # 3. exact dedup (keep-min over content md5)
-    exact_ids = stage(
-        "02_exact_ids",
-        lambda: exact_dedup(clean).select(F.col("keep_id").alias("doc_id")),
-    )
+    exact_ids = stage("02_exact_ids", lambda: build_exact_ids(clean))
     uniq = clean.join(exact_ids, "doc_id")
     counts["exact_unique"] = exact_ids.count()
 
-    # 4. near-dedup: LSH candidates → exact-Jaccard verify → CC reps.
-    # PRODUCTION band geometry (128 perms, 16 bands x 8 rows, ~0.71
-    # capture threshold): the dev 16/2 geometry's ~0.35 threshold turns
-    # any moderately self-similar corpus into a quadratic candidate
-    # join — at release scale the steep S-curve is what keeps this
-    # stage linear in the number of TRUE near-dup pairs. The xxhash64
-    # kernel keeps the 128-perm signature pass up to ~10× cheaper than
-    # md5 on shingle-heavy corpora (the hash kernel IS the dedup cost
-    # at scale); candidates are verified by exact Jaccard either way.
-    def _compute_near_ids() -> DataFrame:
-        cand = lsh_candidate_pairs(
-            uniq,
-            num_perm=PROD_NUM_PERM,
-            rows_per_band=PROD_ROWS_PER_BAND,
-            kernel="xxhash64",
-        )
-        # the verify → CC → count chain walks the candidate graph
-        # several times; materialize the (cheap, sparse) pair list once
-        cand = cand.localCheckpoint(eager=True)
-        verified = jaccard_pairs(uniq, cand, threshold=0.8)
-        labels = connected_components(
-            verified, nodes=uniq.select(F.col("doc_id").alias("id"))
-        )
-        return component_representatives(labels).select(
-            F.col("keep_id").alias("doc_id")
-        )
-
-    near_ids = stage("03_near_ids", _compute_near_ids)
+    # 4. near-dedup: LSH candidates → exact-Jaccard verify → CC reps
+    # (see build_near_ids; materialize=True pins the candidate pair
+    # list once for the verify → CC → count chain)
+    near_ids = stage("03_near_ids", lambda: build_near_ids(uniq))
     released = docs.join(near_ids, "doc_id").persist()
     counts["near_unique"] = near_ids.count()
 
@@ -279,16 +365,12 @@ def run_release(
         counts["train"] = assigned.count()
     else:
         ts = time.time()
-        split = dataset_splits(released)
-        train = split.where(F.col("split") == "train").drop(
-            "split", "split_key"
-        )
-        counts["train"] = train.count()
-        assigned = shard_assign(train)
+        assigned = build_train_shards(released)
+        counts["train"] = assigned.count()
         assigned.write.mode("overwrite").partitionBy("shard").parquet(
             f"{out_path}/shards"
         )
-        shard_manifest(assigned, train).write.mode("overwrite").parquet(
+        shard_manifest(assigned, assigned).write.mode("overwrite").parquet(
             f"{out_path}/shard_manifest"
         )
         stage_s["shards"] = round(time.time() - ts, 2)
