@@ -265,6 +265,106 @@ spark.stop()
 """
 
 
+# --------------------------------------------------------------------
+# Adversarial hot-gram drive (VERDICT r4 item 5): the span-dedup
+# family's single-exchange plan runs its occurrence count COMPLETE-mode
+# above the pre-partitioned digest stream (documented trade at
+# dup_span_stats), so one pathological boilerplate gram is counted by
+# ONE task scanning its partition serially. The documented bound is
+# O(1) aggregate state and linear single-task CPU — no OOM, no
+# straggler cliff. This drive PROVES it: plant one 15-token boilerplate
+# sentence in ``hot_pct``% of an ``n_docs``-page corpus, time
+# dup_span_stats against a uniform twin of identical token shape, and
+# report the wall-clock ratio. Interleaved U/H/U/H timings in one
+# session (the box has 2-4x noisy-neighbor swings; never serial A-then-B).
+HOTGRAM_DOCS = 400_000
+
+HOTGRAM_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from narowi_ocr_spark.config import get_spark
+from narowi_ocr_spark.operators.corpus import dup_span_stats
+from pyspark.sql import functions as F
+
+n_docs = int(sys.argv[1]); hot_pct = int(sys.argv[2])
+spark = get_spark(app_name="hotgram", master="local[32]",
+                  shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+
+HOT = ("this site uses cookies to improve your browsing experience "
+       "accept our policy now")  # 15 tokens -> 8 hot k=8 windows
+
+def corpus(hot):
+    # ~28 unique filler tokens per doc + a 15-token tail: the planted
+    # boilerplate for hot docs, a per-doc-unique sentence otherwise —
+    # both corpora have identical token counts, only df(g) differs.
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(F.sequence(F.lit(1), F.lit(28)),
+                        lambda i: F.substring(
+                            F.md5(F.concat(F.col("id").cast("string"),
+                                           F.lit("-"), i.cast("string"))),
+                            1, 8)),
+        ).alias("_fill"),
+    )
+    tail = (
+        F.when(F.col("doc_id") % 100 < F.lit(hot_pct), F.lit(HOT))
+        .otherwise(F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(15)),
+            lambda i: F.substring(
+                F.md5(F.concat(F.lit("tail"), F.col("doc_id").cast("string"),
+                               i.cast("string"))), 1, 8))))
+        if hot else
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(15)),
+            lambda i: F.substring(
+                F.md5(F.concat(F.lit("tail"), F.col("doc_id").cast("string"),
+                               i.cast("string"))), 1, 8)))
+    )
+    return base.select(
+        "doc_id", F.concat_ws(" ", "_fill", tail).alias("text")
+    ).repartition(64).localCheckpoint(eager=True)  # pin bytes: timing
+    # below measures dup_span_stats, not the generator expressions
+
+uni, hot = corpus(False), corpus(True)
+
+def timed(df):
+    t0 = time.time()
+    n = dup_span_stats(df, k=8).count()
+    return time.time() - t0, n
+
+timed(uni)  # warm-up: JIT + worker pools
+pairs = [(timed(uni), timed(hot)) for _ in range(2)]  # interleaved U/H
+u_sec = min(p[0][0] for p in pairs)
+h_sec = min(p[1][0] for p in pairs)
+h_rows = pairs[0][1][1]
+# verify the plant: every hot doc must report dup windows
+n_hot = n_docs * hot_pct // 100
+print(json.dumps({{
+    "n_docs": n_docs, "hot_pct": hot_pct, "planted_docs": n_hot,
+    "uniform_sec": round(u_sec, 2), "hot_sec": round(h_sec, 2),
+    "ratio": round(h_sec / u_sec, 3),
+    "hot_dup_docs": h_rows,
+    "plant_verified": bool(h_rows >= n_hot),
+}}))
+spark.stop()
+"""
+
+
+def hotgram_drive(n_docs: int = HOTGRAM_DOCS, hot_pct: int = 50) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", HOTGRAM_CHILD.format(repo=REPO),
+         str(n_docs), str(hot_pct)],
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(lines[-1])
+
+
 def run_release_level(cpus: int, src: str) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", RELEASE_CHILD.format(repo=REPO),
@@ -527,6 +627,11 @@ def main() -> None:
         rel = release_ladder(n)
         print(release_md(rel))
         print(json.dumps({"release_ladder": rel}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--hotgram":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else HOTGRAM_DOCS
+        pct = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+        print(json.dumps({"hotgram": hotgram_drive(n, pct)}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--release-level":
         # One timed run of ONE parallelism level of the release job, for
