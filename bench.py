@@ -67,6 +67,10 @@ def main() -> None:
     # stays comparable to BENCH_r01 (same query set); the judge and
     # BENCH.md read both
     extra: dict[str, float] = {}
+    # headline per-query min over the timed runs ONLY (warm-up
+    # discarded) — the r1-r3 estimator, emitted alongside the current
+    # one to quantify the protocol-change bias (ADVICE r4)
+    timings_warm_discarded: dict[str, float] = {}
 
     def bench(name, fn, extra_set: bool = False):
         # One warm-up run per query: whole-stage codegen + JIT
@@ -83,20 +87,30 @@ def main() -> None:
         # its one-time compile cost, so min() never gets worse — and
         # any EXTRA query still reading >1s after its timed run gets
         # one more run (bounded: only the slow tail pays a 3rd
-        # execution, ~+1 min total; headline stays best-of-2+warm-up,
-        # comparable to r01-r03).
+        # execution, ~+1 min total).
+        #
+        # Estimator change disclosure (r5, ADVICE r4): r1-r3 headlines
+        # used min over the 2 timed runs with the warm-up DISCARDED;
+        # r4+ includes the warm-up as a 3rd min candidate, which on a
+        # noisy box biases the total downward independent of code
+        # changes. Both totals are emitted ("value" = current protocol,
+        # "value_r1r3_protocol" = warm-up discarded) so cross-round
+        # deltas can be read under a single protocol.
         t0 = time.time()
         fn()
-        best = time.time() - t0
+        warm = time.time() - t0
+        best_timed = float("inf")
         for _ in range(1 if extra_set else 2):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        if extra_set and best > 1.0:
+            best_timed = min(best_timed, time.time() - t0)
+        if extra_set and min(warm, best_timed) > 1.0:
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        (extra if extra_set else timings)[name] = round(best, 3)
+            best_timed = min(best_timed, time.time() - t0)
+        (extra if extra_set else timings)[name] = round(min(warm, best_timed), 3)
+        if not extra_set:
+            timings_warm_discarded[name] = round(best_timed, 3)
 
     # -- flagship: full html extraction pipeline over synthetic pages ------
     # Materialize the corpus to parquet once so the timed job is the real
@@ -470,6 +484,7 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    total_r1r3 = round(sum(timings_warm_discarded.values()), 3)
     print(
         json.dumps(
             {
@@ -478,6 +493,11 @@ def main() -> None:
                 "round-2 additions under extra_queries)",
                 "value": total,
                 "unit": "sec",
+                # same queries under the r1-r3 estimator (warm-up run
+                # discarded from the min): read cross-round deltas
+                # against this number, not "value" (protocol changed
+                # in r4 — see bench() comment)
+                "value_r1r3_protocol": total_r1r3,
                 "queries": timings,
                 "extra_queries": extra,
                 "sf": sf,
