@@ -64,12 +64,20 @@ _VOCAB = (
 _EPOCH = datetime(2024, 1, 1)
 _KNUTH = 2654435761  # multiplicative hash constant
 
+# prose mode (see _filler): function words left unsuffixed so the
+# stopword-driven gates (lang id, quality score, Gopher r_stopwords)
+# see real English signal; everything else gets a letter suffix
+_PROSE_KEEP = frozenset(
+    ["the", "a", "of", "and", "with", "over", "while", "through", "each"]
+)
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
 
 def _h(i: int, salt: int = 0) -> int:
     return ((i + salt * 1_000_003) * _KNUTH) % (1 << 32)
 
 
-def _filler(i: int, k: int, vocab_scale: int = 1) -> str:
+def _filler(i: int, k: int, vocab_scale: int = 1, prose: bool = False) -> str:
     """``vocab_scale=1`` (default) is the byte-locked fixture text.
     ``vocab_scale > 1`` suffixes each word with a hash-derived index in
     [0, vocab_scale), multiplying the effective vocabulary — random
@@ -77,20 +85,40 @@ def _filler(i: int, k: int, vocab_scale: int = 1) -> str:
     31-word vocabulary does not (its uniform ~0.7 inter-document
     similarity makes MinHash blocking degenerate: every pair becomes
     an LSH candidate — fine for correctness fixtures, pathological for
-    benchmarking the near-dedup composition)."""
+    benchmarking the near-dedup composition).
+
+    ``prose=True`` (vocab_scale > 1 only) shapes the same diverse text
+    like organic English so the FULL curation gate stack (language ID,
+    quality score, Gopher rules, C4 line rules) passes at realistic
+    rates instead of rejecting the corpus wholesale — see the
+    full-gates release ladder in tools/bench_scaling.py."""
     n_words = 20 + _h(i, 10 + k) % 60
     words = []
     for j in range(n_words):
         h = _h(i, 100 + 57 * k + j)
         w = _VOCAB[h % len(_VOCAB)]
         if vocab_scale > 1:
-            w = f"{w}{(h >> 8) % vocab_scale}"
+            if prose:
+                # prose mode: function words stay unsuffixed (so the
+                # language/stopword/quality gates see real English
+                # signal) and content words take a LETTER suffix (digit
+                # suffixes crater the alpha-char ratio that both the
+                # quality score and Gopher's alpha-word rule measure);
+                # inter-document diversity is unchanged — content words
+                # still span a vocab_scale× vocabulary.
+                if w not in _PROSE_KEEP:
+                    sfx = (h >> 8) % vocab_scale
+                    w = f"{w}{_ALPHA[sfx % 26]}{_ALPHA[(sfx // 26) % 26]}"
+            else:
+                w = f"{w}{(h >> 8) % vocab_scale}"
         words.append(w)
-    return " ".join(words)
+    text = " ".join(words)
+    # terminal punctuation per paragraph: the C4 line rules gate on it
+    return text + "." if prose else text
 
 
 def build_page(
-    i: int, vocab_scale: int = 1
+    i: int, vocab_scale: int = 1, prose: bool = False
 ) -> tuple[str, datetime, bytes, str, str]:
     """One deterministic page: (url, warc_ts, html, oracle_text, lang)."""
     hv = _h(i)
@@ -103,7 +131,7 @@ def build_page(
     lang = ("de", "fr")[hv % 2] if hv % 100 >= 95 else "en"
 
     content: list[str] = [
-        _filler(i, k, vocab_scale) for k in range(5 + _h(i, 2) % 10)
+        _filler(i, k, vocab_scale, prose) for k in range(5 + _h(i, 2) % 10)
     ]
     if i % 7 == 0:
         content.insert(
@@ -138,16 +166,18 @@ def synth_pages(
     n_rows: int,
     partitions: int | None = None,
     vocab_scale: int = 1,
+    prose: bool = False,
 ) -> DataFrame:
     """Distributed deterministic pages table of ``n_rows`` rows.
     ``vocab_scale`` (default 1 = the byte-locked fixture corpus) widens
     the filler vocabulary for realistic inter-document diversity — see
-    ``_filler``; extraction byte-identity (text == extracted main text)
-    holds at every scale by construction."""
+    ``_filler``; ``prose`` additionally shapes it like organic English
+    (for full-gate-stack benchmarks). Extraction byte-identity
+    (text == extracted main text) holds at every scale by construction."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [build_page(int(i), vocab_scale) for i in pdf["id"]]
+            rows = [build_page(int(i), vocab_scale, prose) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )

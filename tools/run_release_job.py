@@ -124,10 +124,18 @@ def build_clean_ids(
     docs: DataFrame,
     blocklist: list[str] | None = None,
     apply_c4: bool = True,
+    full_gates: bool = False,
 ) -> DataFrame:
-    """Cleaning gates (stage 01_clean_ids) — both zero-shuffle codegen
-    filters; the survivor set is ids-only (the text column never
-    rewrites after 00_docs)."""
+    """Cleaning gates (stage 01_clean_ids) — every gate is a
+    zero-shuffle codegen filter; the survivor set is ids-only (the text
+    column never rewrites after 00_docs).
+
+    ``full_gates`` adds the complete modern curation stack on top of
+    the C4 + blocklist default: language ID (en only), quality score,
+    Gopher document rules, and the within-document repetition filter —
+    the gate set the production recipe (``curation_full``) runs. Each
+    is a narrow per-doc projection; the composition stays one scan of
+    the text column with AND-ed survivor-id semi-joins."""
     from narowi_ocr_spark.functions.textstats import with_c4_rules
     from narowi_ocr_spark.operators.corpus import blocklist_gate
 
@@ -144,7 +152,33 @@ def build_clean_ids(
         .where(F.col("keep"))
         .select("doc_id")
     )
-    return keep.join(bl_keep, "doc_id")
+    keep = keep.join(bl_keep, "doc_id")
+    if full_gates:
+        from narowi_ocr_spark.functions.textstats import (
+            with_gopher_rules,
+            with_repetition_stats,
+            with_text_stats,
+        )
+
+        lang_q_keep = (
+            with_text_stats(docs)
+            .where((F.col("lang_pred") == "en") & (F.col("q") >= 0.5))
+            .select("doc_id")
+        )
+        gopher_keep = (
+            with_gopher_rules(docs)
+            .where(F.col("gopher_keep"))
+            .select(F.col("id").alias("doc_id"))
+        )
+        rep_keep = (
+            with_repetition_stats(docs)
+            .where(~F.col("is_repetitive"))
+            .select("doc_id")
+        )
+        keep = keep.join(lang_q_keep, "doc_id").join(gopher_keep, "doc_id").join(
+            rep_keep, "doc_id"
+        )
+    return keep
 
 
 def build_exact_ids(clean: DataFrame) -> DataFrame:
@@ -200,6 +234,23 @@ def build_near_ids(uniq: DataFrame, materialize: bool = True) -> DataFrame:
     )
 
 
+def build_released_text(released: DataFrame, pii_scrub: bool = False) -> DataFrame:
+    """Delivery-side text pass: PII redaction applied ONCE to the
+    released survivors (after dedup, so the regex chain never runs on
+    rows dedup is about to drop; before splits/shards/WET, so every
+    delivery surface ships the scrubbed text). Narrow per-row
+    regexp_replace chain — no shuffle, no UDF."""
+    if not pii_scrub:
+        return released
+    from narowi_ocr_spark.functions.textstats import PII_PATTERNS, with_pii_scrub
+
+    return (
+        with_pii_scrub(released)
+        .drop("text", *[f"n_{kind}" for kind, _, _ in PII_PATTERNS])
+        .withColumnRenamed("redacted", "text")
+    )
+
+
 def build_train_shards(released: DataFrame) -> DataFrame:
     """Deterministic split → train shard assignment (stage shards)."""
     from narowi_ocr_spark.operators.corpus import dataset_splits
@@ -226,6 +277,7 @@ def release_stage_plans(
     pages: DataFrame,
     blocklist: list[str] | None = None,
     apply_c4: bool = True,
+    full_gates: bool = False,
 ) -> dict[str, DataFrame]:
     """Lazily chain every release stage off ``pages`` — NOTHING
     executes (no checkpoints, no counts, no candidate materialization),
@@ -235,12 +287,14 @@ def release_stage_plans(
     checkpoint parquet; the logical dataflow is identical, only the
     exchange-with-disk boundary differs."""
     docs = build_docs(pages)
-    clean_ids = build_clean_ids(docs, blocklist, apply_c4)
+    clean_ids = build_clean_ids(docs, blocklist, apply_c4, full_gates)
     clean = docs.join(clean_ids, "doc_id")
     exact_ids = build_exact_ids(clean)
     uniq = clean.join(exact_ids, "doc_id")
     near_ids = build_near_ids(uniq, materialize=False)
-    released = docs.join(near_ids, "doc_id")
+    released = build_released_text(
+        docs.join(near_ids, "doc_id"), pii_scrub=full_gates
+    )
     assigned = build_train_shards(released)
     return {
         "release:00_docs": docs,
@@ -282,8 +336,15 @@ def run_release(
     blocklist: list[str] | None = None,
     apply_c4: bool = True,
     resume: bool = True,
+    full_gates: bool = False,
 ) -> dict:
-    """``apply_c4`` gates on the C4 line/page prose rules — the right
+    """``full_gates`` runs the complete curation recipe: the default
+    C4+blocklist gate stage additionally applies language ID, quality
+    score, Gopher rules and the repetition filter (see
+    ``build_clean_ids``), and the released text is PII-scrubbed once at
+    delivery (``build_released_text``) before splits/shards/WET.
+
+    ``apply_c4`` gates on the C4 line/page prose rules — the right
     default for organic web text, but a corpus without sentence
     punctuation (chat logs, code, the synthetic dev tables) fails the
     terminal-punctuation line rule wholesale; such runs disable it and
@@ -339,7 +400,8 @@ def run_release(
     # 2. cleaning gates (see build_clean_ids) — the checkpoint is the
     # surviving id list (ids-only: text never rewrites after 00_docs)
     clean_ids = stage(
-        "01_clean_ids", lambda: build_clean_ids(docs, blocklist, apply_c4)
+        "01_clean_ids",
+        lambda: build_clean_ids(docs, blocklist, apply_c4, full_gates),
     )
     clean = docs.join(clean_ids, "doc_id")
     counts["clean"] = clean_ids.count()
@@ -353,7 +415,9 @@ def run_release(
     # (see build_near_ids; materialize=True pins the candidate pair
     # list once for the verify → CC → count chain)
     near_ids = stage("03_near_ids", lambda: build_near_ids(uniq))
-    released = docs.join(near_ids, "doc_id").persist()
+    released = build_released_text(
+        docs.join(near_ids, "doc_id"), pii_scrub=full_gates
+    ).persist()
     counts["near_unique"] = near_ids.count()
 
     # 5. splits + shards + manifests — terminal writes are their own
@@ -380,16 +444,7 @@ def run_release(
         resumed.append("wet")
     else:
         ts = time.time()
-        write_wet(
-            wet_export(
-                assigned.select("doc_id", "url", "warc_ts", "text"),
-                url_col="url",
-                ts_col="warc_ts",
-                text_col="text",
-            ),
-            f"{out_path}/wet",
-            mode="overwrite",
-        )
+        write_wet(build_wet(assigned), f"{out_path}/wet", mode="overwrite")
         stage_s["wet"] = round(time.time() - ts, 2)
 
     # 7. per-partition lineage over the delivered shards: rows per
