@@ -522,8 +522,38 @@ GOPHER_MIN_STOPWORD_HITS = 2
 _GOPHER_SYMBOL_RE = r"(\.\.\.)|…|#"
 
 
+def _gopher_rule_exprs(
+    nw: str, nonws: str, sym: str, alpha: str, stops: str
+) -> dict:
+    """The five Gopher rules over staged count columns — the single
+    source of truth shared by both with_gopher_rules forms (identical
+    expressions ⇒ identical verdicts)."""
+    n = F.col(nw).cast("double")
+    mean_len = F.when(
+        F.col(nw) > 0, F.col(nonws).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    sym_ratio = F.when(
+        F.col(nw) > 0, F.col(sym).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        F.col(nw) > 0, F.col(alpha).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    return {
+        "r_word_count": (F.col(nw) >= GOPHER_MIN_WORDS)
+        & (F.col(nw) <= GOPHER_MAX_WORDS),
+        "r_mean_word_len": (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN),
+        "r_symbol_ratio": sym_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        "r_alpha_words": alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC,
+        "r_stopwords": F.col(stops) >= GOPHER_MIN_STOPWORD_HITS,
+    }
+
+
 def with_gopher_rules(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    preserve: bool = False,
 ) -> DataFrame:
     """Gopher-style document quality rules as EXPLICIT per-rule flags —
     the filter bundle production corpora publish ablations over, so each
@@ -540,8 +570,48 @@ def with_gopher_rules(
     the symbol count is one regexp_count, and the ratios are exact
     int/int double divisions — deterministic across engines, so the
     oracle hash-matches without tolerance.
+
+    ``preserve=True`` keeps every input column and appends ONLY
+    ``gopher_keep`` — the form a fused multi-gate scan chains (see
+    tools/run_release_job.py build_clean_ids), where one pass over the
+    text column evaluates every curation gate. Identical rule
+    expressions; the per-rule stat columns are the inspection surface
+    of the default form only.
     """
     t = F.col(text_col)
+    if preserve:
+        staged = (
+            df.withColumn("_g_toks", words(F.lower(t)))
+            .withColumn("_g_nw", F.size("_g_toks").cast("int"))
+            .withColumn(
+                "_g_nonws", F.length(F.regexp_replace(t, r"\s", ""))
+            )
+            .withColumn(
+                "_g_sym", F.regexp_count(t, F.lit(_GOPHER_SYMBOL_RE))
+            )
+            .withColumn(
+                "_g_alpha",
+                F.size(F.filter(F.col("_g_toks"), lambda w: w.rlike("[a-z]"))),
+            )
+            .withColumn(
+                "_g_stops",
+                F.size(
+                    F.array_intersect(
+                        F.array_distinct("_g_toks"),
+                        F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+                    )
+                ).cast("int"),
+            )
+        )
+        rules = _gopher_rule_exprs(
+            "_g_nw", "_g_nonws", "_g_sym", "_g_alpha", "_g_stops"
+        )
+        keep = None
+        for r in rules.values():
+            keep = r if keep is None else (keep & r)
+        return staged.withColumn("gopher_keep", keep).drop(
+            "_g_toks", "_g_nw", "_g_nonws", "_g_sym", "_g_alpha", "_g_stops"
+        )
     staged = df.select(
         F.col(id_col).alias("id"),
         t.alias("_t"),
@@ -571,15 +641,9 @@ def with_gopher_rules(
     alpha_frac = F.when(
         F.col("n_words") > 0, F.col("_alpha_words").cast("double") / n
     ).otherwise(F.lit(0.0))
-    rules = {
-        "r_word_count": (F.col("n_words") >= GOPHER_MIN_WORDS)
-        & (F.col("n_words") <= GOPHER_MAX_WORDS),
-        "r_mean_word_len": (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
-        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN),
-        "r_symbol_ratio": sym_ratio <= GOPHER_MAX_SYMBOL_RATIO,
-        "r_alpha_words": alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC,
-        "r_stopwords": F.col("stop_hits") >= GOPHER_MIN_STOPWORD_HITS,
-    }
+    rules = _gopher_rule_exprs(
+        "n_words", "_nonws", "_sym", "_alpha_words", "stop_hits"
+    )
     keep = None
     for r in rules.values():
         keep = r if keep is None else (keep & r)
@@ -612,7 +676,10 @@ _C4_TERMINAL_RE = '[.!?"]$'
 
 
 def with_c4_rules(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    preserve: bool = False,
 ) -> DataFrame:
     """C4-style line-level cleaning as explicit per-rule columns:
 
@@ -628,7 +695,12 @@ def with_c4_rules(
     hash, not just the counts.
 
     All pure-codegen higher-order expressions over one line split; no
-    shuffle, no Python."""
+    shuffle, no Python.
+
+    ``preserve=True`` keeps every input column and appends ONLY
+    ``c4_keep`` (same line/page rules; the per-rule stats and kept_md5
+    are the default form's inspection surface) — the form a fused
+    multi-gate scan chains."""
     t = F.col(text_col)
     lines = F.split(t, "\n")
 
@@ -648,6 +720,14 @@ def with_c4_rules(
     for w in C4_BAD_WORDS:
         cond = low.contains(w)
         has_bad = cond if has_bad is None else (has_bad | cond)
+    if preserve:
+        return df.withColumn(
+            "c4_keep",
+            (F.size(kept) >= C4_MIN_KEPT_LINES)
+            & ~t.contains("{")
+            & ~low.contains("lorem ipsum")
+            & ~has_bad,
+        )
     staged = df.select(
         F.col(id_col).alias("id"),
         F.size(lines).cast("int").alias("n_lines"),

@@ -1692,6 +1692,7 @@ def blocklist_gate(
     max_hit_ppm: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    preserve: bool = False,
 ) -> DataFrame:
     """Wordlist content gate — the C4 policy (pages containing any term
     from a published blocklist are dropped wholesale; the "List of
@@ -1714,10 +1715,40 @@ def blocklist_gate(
     published lists. A million-entry list switches to explode +
     broadcast semi-join with identical semantics. Zero-token docs keep
     deterministically (0 hits in 0 tokens).
+
+    ``preserve=True`` keeps every input column and appends ONLY
+    ``bl_keep`` (same token-exact ppm verdict; prefixed so it can chain
+    after with_text_stats, whose ``n_tokens`` it must not shadow) — the
+    form a fused multi-gate scan chains.
     """
     from narowi_ocr_spark.functions.textstats import words
 
     toks = words(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    if preserve:
+        terms_lc = [x.lower() for x in terms]
+        staged = (
+            df.withColumn("_bl_toks", toks)
+            .withColumn("_bl_nt", F.size("_bl_toks").cast("int"))
+            .withColumn(
+                "_bl_nh",
+                F.size(
+                    F.filter(
+                        F.col("_bl_toks"), lambda t: t.isin(terms_lc)
+                    )
+                ).cast("int"),
+            )
+            .withColumn(
+                "_bl_ppm",
+                F.when(
+                    F.col("_bl_nt") == 0, F.lit(0).cast("long")
+                ).otherwise(
+                    F.expr("CAST(1000000 AS BIGINT) * _bl_nh div _bl_nt")
+                ),
+            )
+        )
+        return staged.withColumn(
+            "bl_keep", F.col("_bl_ppm") <= F.lit(int(max_hit_ppm))
+        ).drop("_bl_toks", "_bl_nt", "_bl_nh", "_bl_ppm")
     staged = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
     hits = F.filter(F.col("_t"), lambda t: t.isin([x.lower() for x in terms]))
     out = staged.select(

@@ -179,3 +179,56 @@ def test_training_job_end_to_end(spark, tmp_path):
         open(glob.glob(out + "/training_manifest/part-*")[0]).read()
     )
     assert rel["eval"] == ev
+
+
+def test_release_job_full_gates_filters_and_scrubs(spark, tmp_path):
+    """full_gates=True: the clean stage kills repetitive boilerplate the
+    default gates admit, and the delivered text is PII-redacted — on a
+    prose-mode corpus the organic pages survive every gate."""
+    from run_release_job import (
+        build_clean_ids,
+        build_docs,
+        build_released_text,
+    )
+
+    base = synth_pages(spark, 300, partitions=4, vocab_scale=64, prose=True)
+    rep_body = (
+        "<html><body>"
+        + "".join(
+            "<p>" + ("buy cheap deals now " * 12).strip() + ".</p>"
+            for _ in range(6)
+        )
+        + "</body></html>"
+    ).encode()
+    rep = spark.createDataFrame(
+        [("https://rep.example/a", rep_body)], "url string, html binary"
+    ).select(
+        "url",
+        F.timestamp_seconds(F.lit(1)).alias("warc_ts"),
+        "html",
+        F.lit("x").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    docs = build_docs(base.unionByName(rep)).cache()
+
+    default_ids = build_clean_ids(docs, apply_c4=True)
+    full_ids = build_clean_ids(docs, apply_c4=True, full_gates=True)
+    rep_id = docs.where(F.col("url") == "https://rep.example/a").select(
+        "doc_id"
+    )
+    # default gates admit the boilerplate page; the full stack kills it
+    assert default_ids.join(rep_id, "doc_id").count() == 1
+    assert full_ids.join(rep_id, "doc_id").count() == 0
+    # organic prose pages pass the full stack (nothing else was culled)
+    assert full_ids.count() == default_ids.count() - 1
+
+    # PII scrub at delivery: emails redact, schema is unchanged
+    released = docs.limit(5).withColumn(
+        "text", F.concat("text", F.lit("\nmail bob.jones@mail.example now"))
+    )
+    scrubbed = build_released_text(released, pii_scrub=True)
+    assert scrubbed.columns == released.columns
+    assert scrubbed.where(F.col("text").contains("@mail.example")).count() == 0
+    assert scrubbed.where(F.col("text").contains("<EMAIL>")).count() == 5
+    # pii_scrub=False is the identity
+    assert build_released_text(released) is released

@@ -250,17 +250,74 @@ sys.path.insert(0, {repo!r} + "/tools")
 from narowi_ocr_spark.config import get_spark
 from run_release_job import run_release
 cpus = int(sys.argv[1]); src = sys.argv[2]
+full = len(sys.argv) > 3 and sys.argv[3] == "full"
 spark = get_spark(app_name=f"release-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=cpus,
                   extra_conf={{"spark.sql.files.maxPartitionBytes": "8m"}})
 spark.sparkContext.setLogLevel("ERROR")
 t0 = time.time()
-m = run_release(spark, src, tempfile.mkdtemp() + "/rel", apply_c4=False)
+# full-gate runs use the prose corpus, which passes the C4 line rules —
+# so apply_c4 rides the same flag (the base synthetic corpus fails the
+# terminal-punctuation rule wholesale, see run_release docstring)
+m = run_release(spark, src, tempfile.mkdtemp() + "/rel",
+                apply_c4=full, full_gates=full)
 secs = time.time() - t0
 print(json.dumps({{"cpus": cpus, "sec": round(secs, 1),
                    "pages_per_sec": round(m["stages"]["pages"] / secs, 1),
                    "stages": m["stages"],
                    "stage_seconds": m.get("stage_seconds", {{}})}}))
+spark.stop()
+"""
+
+
+# Full-gate ladder corpus: the prose-mode generator (organic-English
+# shape so the lang/quality/Gopher/C4 gates pass at realistic rates)
+# plus FOUR planted defect classes so every release stage filters real
+# rows: exact mirrors (die at exact dedup), near-dups (die at
+# LSH→Jaccard→CC), repetitive boilerplate (dies at the repetition
+# gate), and PII-bearing near-copies (their text carries an email the
+# delivery scrub must redact).
+RELEASE_GEN_FULL = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from narowi_ocr_spark.config import get_spark
+from narowi_ocr_spark.sources.pages import synth_pages
+from pyspark.sql import functions as F
+spark = get_spark(app_name="relgenfull", master="local[32]",
+                  shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+base = synth_pages(spark, {n}, partitions=64, vocab_scale=64, prose=True)
+mirror = base.where(F.xxhash64("url") % 20 == 0).select(
+    F.concat(F.lit("https://mirror.example/x/"), F.col("url")).alias("url"),
+    "warc_ts", "html", "text", "lang")
+extra = ("this mirror edition appends one full extra paragraph of "
+         "fifteen plain words to the body content.")
+near = base.where(F.xxhash64("url") % 20 == 1).select(
+    F.concat(F.lit("https://near.example/x/"), F.col("url")).alias("url"),
+    "warc_ts",
+    F.encode(F.regexp_replace(F.decode("html", "utf-8"), "<footer>",
+                              "<p>" + extra + "</p><footer>"),
+             "utf-8").alias("html"),
+    F.concat(F.col("text"), F.lit("\n" + extra)).alias("text"), "lang")
+rep_body = ("<html><body>"
+            + "".join("<p>" + ("buy cheap deals now " * 12).strip() + ".</p>"
+                      for _ in range(6))
+            + "</body></html>")
+rep = base.where(F.xxhash64("url") % 40 == 2).select(
+    F.concat(F.lit("https://rep.example/x/"), F.col("url")).alias("url"),
+    "warc_ts", F.encode(F.lit(rep_body), "utf-8").alias("html"),
+    F.lit("x").alias("text"), "lang")
+pii_line = ("contact the team of and with editors at "
+            "alice.smith@mail.example for details.")
+pii = base.where(F.xxhash64("url") % 40 == 3).select(
+    F.concat(F.lit("https://pii.example/x/"), F.col("url")).alias("url"),
+    "warc_ts",
+    F.encode(F.regexp_replace(F.decode("html", "utf-8"), "<footer>",
+                              "<p>" + pii_line + "</p><footer>"),
+             "utf-8").alias("html"),
+    F.concat(F.col("text"), F.lit("\n" + pii_line)).alias("text"), "lang")
+base.unionByName(mirror).unionByName(near).unionByName(rep).unionByName(
+    pii).write.mode("overwrite").parquet({path!r})
 spark.stop()
 """
 
@@ -365,11 +422,13 @@ def hotgram_drive(n_docs: int = HOTGRAM_DOCS, hot_pct: int = 50) -> dict:
     return json.loads(lines[-1])
 
 
-def run_release_level(cpus: int, src: str) -> dict:
+def run_release_level(cpus: int, src: str, full: bool = False) -> dict:
+    args = [sys.executable, "-c", RELEASE_CHILD.format(repo=REPO),
+            str(cpus), src]
+    if full:
+        args.append("full")
     out = subprocess.run(
-        [sys.executable, "-c", RELEASE_CHILD.format(repo=REPO),
-         str(cpus), src],
-        capture_output=True, text=True, timeout=3600, cwd=REPO,
+        args, capture_output=True, text=True, timeout=3600, cwd=REPO,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
@@ -377,23 +436,36 @@ def run_release_level(cpus: int, src: str) -> dict:
     return json.loads(lines[-1])
 
 
-def release_ladder(n_pages: int = RELEASE_PAGES) -> dict:
+def release_corpus(n_pages: int, full: bool) -> str:
+    """Materialize (once) and return the ladder corpus path — the base
+    diverse corpus, or the prose + planted-defects corpus the full-gate
+    variant runs over (see RELEASE_GEN_FULL)."""
+    tag = "bench_release_full" if full else "bench_release"
+    path = os.path.join(tempfile.gettempdir(), f"{tag}_{n_pages}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        gen = RELEASE_GEN_FULL if full else RELEASE_GEN
+        subprocess.run(
+            [sys.executable, "-c", gen.format(repo=REPO, n=n_pages, path=path)],
+            check=True, timeout=3600,
+        )
+    return path
+
+
+def release_ladder(n_pages: int = RELEASE_PAGES, full: bool = False) -> dict:
     """Time the full release composition at local[N] and local[4N] on
     one materialized corpus. Single timed run per level — the job is
     minutes-scale, so JIT/startup amortize inside it (documented),
-    and a warm-up would double an already-long measurement."""
-    path = os.path.join(tempfile.gettempdir(), f"bench_release_{n_pages}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        subprocess.run(
-            [sys.executable, "-c",
-             RELEASE_GEN.format(repo=REPO, n=n_pages, path=path)],
-            check=True, timeout=3600,
-        )
-    levels = {c: run_release_level(c, path) for c in (N, FOUR_N)}
+    and a warm-up would double an already-long measurement.
+
+    ``full`` runs the full-gate-stack job (lang/quality/Gopher/
+    repetition/C4 gates + PII scrub at delivery) over the prose corpus."""
+    path = release_corpus(n_pages, full)
+    levels = {c: run_release_level(c, path, full) for c in (N, FOUR_N)}
     eff = round(
         levels[FOUR_N]["pages_per_sec"] / (4 * levels[N]["pages_per_sec"]), 3
     )
-    return {"levels": levels, "efficiency": eff, "n_pages": n_pages}
+    return {"levels": levels, "efficiency": eff, "n_pages": n_pages,
+            "full_gates": full}
 
 
 def release_md(rel: dict) -> str:
@@ -403,6 +475,29 @@ def release_md(rel: dict) -> str:
         for c in (N, FOUR_N)
     )
     st = lv[FOUR_N]["stages"]
+    if rel.get("full_gates"):
+        return f"""
+## End-to-end release job, FULL gate stack (capacity with curation)
+
+Same one-job composition as below, with the complete curation recipe
+switched on (`run_release(full_gates=True)`): C4 line rules + blocklist
++ language ID + quality score + Gopher document rules + repetition
+filter at the clean stage, and PII redaction applied to the released
+text at delivery. Corpus: {rel['n_pages']} prose-mode pages +5% exact
+mirrors +5% near-dups +2.5% repetitive boilerplate +2.5% PII-bearing
+near-copies — every gate and both dedup stages filter real rows.
+Single timed run per level.
+
+| parallelism | wall-clock (s) | pages/sec |
+|---|---|---|
+{rows}
+
+**N→4N (local[{N}] → local[{FOUR_N}]) efficiency = {rel['efficiency']}**
+(target ≥ 0.8). Stage survivors at local[{FOUR_N}]:
+`{json.dumps(st)}`. Per-stage wall-clock (s), local[{N}] vs
+local[{FOUR_N}]: `{json.dumps(lv[N].get('stage_seconds', {}))}` vs
+`{json.dumps(lv[FOUR_N].get('stage_seconds', {}))}`.
+"""
     return f"""
 ## End-to-end release-job composition (the capacity-planning number)
 
@@ -458,6 +553,29 @@ def _burn(_):
     while time.time() - t0 < 2:
         x += 1
     return x
+
+
+def extract_only(n_pages: int) -> None:
+    """Re-run JUST the extraction ladder (no burn/skew/ops/release) and
+    print the per-level JSON — for the disclosed multi-run protocol
+    (ADVICE r4: a single ladder run on a 2-4x noisy-neighbor box cannot
+    attribute a throughput jump to code; run this 2-3 times and report
+    the median/best like the release job does)."""
+    path = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_pages}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        subprocess.run(
+            [sys.executable, "-c", GEN.format(repo=REPO, n=n_pages, path=path)],
+            check=True, timeout=3600,
+        )
+    ladder = {c: run_level(c, n_pages, path) for c in LADDER}
+    eff = round(
+        ladder[FOUR_N]["docs_per_sec"] / (4 * ladder[N]["docs_per_sec"]), 3
+    )
+    eff_8_32 = round(
+        ladder[32]["docs_per_sec"] / (4 * ladder[8]["docs_per_sec"]), 3
+    )
+    print(json.dumps({"ladder": ladder, "eff_n_4n": eff,
+                      "eff_8_32": eff_8_32, "n_pages": n_pages}))
 
 
 def cpu_burn_scaling() -> dict:
@@ -619,6 +737,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--ops-only":
         ops_only()
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--extract-only":
+        extract_only(int(sys.argv[2]) if len(sys.argv) > 2 else 400000)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--cc-only":
         cc_only(int(sys.argv[2]) if len(sys.argv) > 2 else 32_000_000)
         return
@@ -627,6 +748,14 @@ def main() -> None:
         rel = release_ladder(n)
         print(release_md(rel))
         print(json.dumps({"release_ladder": rel}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--release-full":
+        # full-gate-stack variant (VERDICT r4 item 6): same one-job
+        # composition with the complete curation recipe on
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else RELEASE_PAGES
+        rel = release_ladder(n, full=True)
+        print(release_md(rel))
+        print(json.dumps({"release_ladder_full": rel}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--hotgram":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else HOTGRAM_DOCS
@@ -638,19 +767,14 @@ def main() -> None:
         # a disclosed multi-run protocol (median/best-of-K across
         # invocations on a shared box). Reuses the materialized corpus.
         if len(sys.argv) < 3:
-            print("usage: bench_scaling.py --release-level <cpus> [n_pages]",
-                  file=sys.stderr)
+            print("usage: bench_scaling.py --release-level <cpus> "
+                  "[n_pages] [full]", file=sys.stderr)
             raise SystemExit(2)
         cpus = int(sys.argv[2])
         n = int(sys.argv[3]) if len(sys.argv) > 3 else RELEASE_PAGES
-        path = os.path.join(tempfile.gettempdir(), f"bench_release_{n}")
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            subprocess.run(
-                [sys.executable, "-c",
-                 RELEASE_GEN.format(repo=REPO, n=n, path=path)],
-                check=True, timeout=3600,
-            )
-        print(json.dumps(run_release_level(cpus, path)))
+        full = len(sys.argv) > 4 and sys.argv[4] == "full"
+        path = release_corpus(n, full)
+        print(json.dumps(run_release_level(cpus, path, full)))
         return
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
     t0 = time.time()

@@ -126,33 +126,30 @@ def build_clean_ids(
     apply_c4: bool = True,
     full_gates: bool = False,
 ) -> DataFrame:
-    """Cleaning gates (stage 01_clean_ids) — every gate is a
-    zero-shuffle codegen filter; the survivor set is ids-only (the text
-    column never rewrites after 00_docs).
+    """Cleaning gates (stage 01_clean_ids) as ONE fused scan: every
+    gate chains in preserve mode (each appends its keep flag to the
+    same DataFrame), the verdicts AND into a single filter, and the
+    survivor set is ids-only (the text column never rewrites after
+    00_docs). Zero joins, zero shuffles, one read of the text column —
+    at release scale the alternative (one scan per gate + survivor-id
+    semi-joins) multiplies corpus IO by the gate count.
 
     ``full_gates`` adds the complete modern curation stack on top of
     the C4 + blocklist default: language ID (en only), quality score,
     Gopher document rules, and the within-document repetition filter —
-    the gate set the production recipe (``curation_full``) runs. Each
-    is a narrow per-doc projection; the composition stays one scan of
-    the text column with AND-ed survivor-id semi-joins."""
+    the gate set the production recipe (``curation_full``) runs."""
     from narowi_ocr_spark.functions.textstats import with_c4_rules
     from narowi_ocr_spark.operators.corpus import blocklist_gate
 
-    keep = docs.select("doc_id")
+    chain = docs
+    pred = F.lit(True)
     if apply_c4:
-        c4_keep = (
-            with_c4_rules(docs)
-            .where(F.col("c4_keep"))
-            .select(F.col("id").alias("doc_id"))
-        )
-        keep = keep.join(c4_keep, "doc_id")
-    bl_keep = (
-        blocklist_gate(docs, blocklist or DEFAULT_BLOCKLIST)
-        .where(F.col("keep"))
-        .select("doc_id")
+        chain = with_c4_rules(chain, preserve=True)
+        pred = pred & F.col("c4_keep")
+    chain = blocklist_gate(
+        chain, blocklist or DEFAULT_BLOCKLIST, preserve=True
     )
-    keep = keep.join(bl_keep, "doc_id")
+    pred = pred & F.col("bl_keep")
     if full_gates:
         from narowi_ocr_spark.functions.textstats import (
             with_gopher_rules,
@@ -160,25 +157,17 @@ def build_clean_ids(
             with_text_stats,
         )
 
-        lang_q_keep = (
-            with_text_stats(docs)
-            .where((F.col("lang_pred") == "en") & (F.col("q") >= 0.5))
-            .select("doc_id")
+        chain = with_gopher_rules(
+            with_repetition_stats(with_text_stats(chain)), preserve=True
         )
-        gopher_keep = (
-            with_gopher_rules(docs)
-            .where(F.col("gopher_keep"))
-            .select(F.col("id").alias("doc_id"))
+        pred = (
+            pred
+            & (F.col("lang_pred") == "en")
+            & (F.col("q") >= 0.5)
+            & (~F.col("is_repetitive"))
+            & F.col("gopher_keep")
         )
-        rep_keep = (
-            with_repetition_stats(docs)
-            .where(~F.col("is_repetitive"))
-            .select("doc_id")
-        )
-        keep = keep.join(lang_q_keep, "doc_id").join(gopher_keep, "doc_id").join(
-            rep_keep, "doc_id"
-        )
-    return keep
+    return chain.where(pred).select("doc_id")
 
 
 def build_exact_ids(clean: DataFrame) -> DataFrame:
@@ -248,6 +237,8 @@ def build_released_text(released: DataFrame, pii_scrub: bool = False) -> DataFra
         with_pii_scrub(released)
         .drop("text", *[f"n_{kind}" for kind, _, _ in PII_PATTERNS])
         .withColumnRenamed("redacted", "text")
+        # keep the caller's column order (drop+rename appends text)
+        .select(*released.columns)
     )
 
 
