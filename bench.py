@@ -507,6 +507,17 @@ def main() -> None:
             }
         )
     )
+    # Teardown watchdog: the JSON above is the deliverable; at sf0.1
+    # scale session teardown has been observed to linger minutes on
+    # this box (shuffle-dir cleanup + non-daemon gateway threads). A
+    # daemon timer force-exits if stop() hangs so a harness collecting
+    # the stdout line never stalls; clean exits are unaffected.
+    import threading
+
+    sys.stdout.flush()
+    t = threading.Timer(60.0, lambda: os._exit(0))
+    t.daemon = True
+    t.start()
     spark.stop()
 
 
